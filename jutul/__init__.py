@@ -1,0 +1,1 @@
+# Namespace package root for the `jutul.jl_tpu` framework.

@@ -1,0 +1,90 @@
+"""jutul.jl_tpu — a TPU-native implicit finite-volume multiphysics framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of Jutul.jl
+(sintefmath/Jutul.jl): declarative models (primary/secondary variables,
+parameters, residual equations on mesh entities), implicit adaptive
+time-stepping with Newton's method, vmap(jacfwd) entity-local AD assembly
+into block-ELL Jacobians, Krylov solvers + preconditioners, multimodel
+coupling, discrete adjoints + optimization, and SPMD domain decomposition
+over a jax.sharding.Mesh.
+"""
+
+from . import dtypes  # noqa: F401  (enables x64; must import first)
+
+from .config import JutulConfig
+from .core.case import JutulCase
+from .core.domains import DataDomain, DiscretizedDomain
+from .core.entities import (
+    BoundaryFaces,
+    Cells,
+    Faces,
+    HalfFaces,
+    NoEntity,
+    Nodes,
+)
+from .discretization.tpfa import (
+    compute_boundary_trans,
+    compute_face_gdz,
+    compute_face_trans,
+    compute_half_face_trans,
+    expand_perm,
+    half_face_map,
+)
+from .interpolation import (
+    BilinearInterpolant,
+    LinearInterpolant,
+    get_1d_interpolator,
+    get_2d_interpolator,
+)
+from .meshes.cartesian import CartesianMesh, JutulMesh
+from .models.equations import (
+    AccumulationContribution,
+    CellTermContribution,
+    ConservationLaw,
+    FaceFluxContribution,
+    JutulEquation,
+)
+from .models.forces import JutulForce, SourceTerm, setup_forces
+from .models.setup import (
+    setup_parameters,
+    setup_state,
+    setup_state_and_parameters,
+)
+from .models.system import JutulSystem, SimulationModel
+from .models.test_systems import (
+    PoissonSource,
+    ScalarTestDomain,
+    ScalarTestForce,
+    ScalarTestSystem,
+    SimpleHeatSystem,
+    VariablePoissonSystem,
+)
+from .models.variables import (
+    ConstantVariables,
+    FractionVariables,
+    JutulParameter,
+    JutulVariable,
+    ScalarVariable,
+    SecondaryVariable,
+    VectorVariables,
+    secondary_variable,
+)
+from .ops.assembly import CompiledModel, compile_model
+from .ops.blockell import BlockELL, ELLStructure
+from .simulator.relaxation import NoRelaxation, SimpleRelaxation
+from .simulator.simulator import (
+    SimResult,
+    Simulator,
+    expand_to_ministeps,
+    simulate,
+    simulator_config,
+)
+from .simulator.timesteps import (
+    IterationTimestepSelector,
+    LimitByFailedTimestepSelector,
+    TimestepSelector,
+    VariableChangeTimestepSelector,
+)
+from .units import convert_from_si, convert_to_si, si_unit, si_units
+
+__version__ = "0.1.0"

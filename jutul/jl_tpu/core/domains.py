@@ -1,0 +1,164 @@
+"""Domains: entity-keyed data stores over a mesh.
+
+Counterparts of Jutul's domain types (reference: src/core_types/domains.jl —
+``DataDomain`` at :57-255, ``DiscretizedDomain`` at :16-54; entity counting via
+``count_entities``). A ``DataDomain`` wraps a mesh and stores named properties
+keyed by entity (Cells/Faces/...), auto-populating the standard finite-volume
+geometry fields on construction, exactly like the reference does when calling
+``DataDomain(mesh)``.
+
+Data is stored as numpy arrays (static model-build data). Entity axis first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from .entities import (
+    BOUNDARY_FACES,
+    CELLS,
+    FACES,
+    HALF_FACES,
+    NODES,
+    NO_ENTITY,
+    JutulEntity,
+)
+
+
+class JutulDomain:
+    """Abstract domain."""
+
+    def count_entities(self, entity: JutulEntity) -> int:
+        raise NotImplementedError
+
+
+class DataDomain(JutulDomain):
+    """Entity-keyed property store over a mesh (reference domains.jl:57)."""
+
+    def __init__(self, mesh=None, entities: dict | None = None,
+                 populate: bool = True, **fields):
+        self.mesh = mesh
+        self._counts: dict[JutulEntity, int] = {}
+        self._data: dict[str, tuple[JutulEntity, np.ndarray]] = {}
+        self.geometry = None
+        if entities:
+            self._counts.update(entities)
+        if mesh is not None:
+            geo = mesh.tpfv_geometry()
+            self.geometry = geo
+            self._counts.setdefault(CELLS, geo.n_cells)
+            self._counts.setdefault(FACES, geo.n_faces)
+            self._counts.setdefault(BOUNDARY_FACES, geo.n_boundary_faces)
+            self._counts.setdefault(HALF_FACES, 2 * geo.n_faces)
+            self._counts.setdefault(NO_ENTITY, 1)
+            if populate:
+                self._populate_geometry(geo)
+        for name, value in fields.items():
+            self.set(name, value, CELLS)
+
+    def _populate_geometry(self, geo) -> None:
+        # Names follow the reference DataDomain defaults (domains.jl:100-160).
+        self.set("volumes", geo.volumes, CELLS)
+        self.set("cell_centroids", geo.cell_centroids, CELLS)
+        self.set("areas", geo.areas, FACES)
+        self.set("normals", geo.normals, FACES)
+        self.set("face_centroids", geo.face_centroids, FACES)
+        self.set("neighbors", geo.neighbors, FACES)
+        self.set("boundary_areas", geo.boundary_areas, BOUNDARY_FACES)
+        self.set("boundary_normals", geo.boundary_normals, BOUNDARY_FACES)
+        self.set("boundary_centroids", geo.boundary_centroids, BOUNDARY_FACES)
+        self.set("boundary_neighbors", geo.boundary_neighbors, BOUNDARY_FACES)
+
+    # --- entity counts ---------------------------------------------------
+    def count_entities(self, entity: JutulEntity) -> int:
+        if entity == NO_ENTITY:
+            return 1
+        try:
+            return self._counts[entity]
+        except KeyError:
+            raise KeyError(f"Domain has no entity {entity}") from None
+
+    def entities(self):
+        return dict(self._counts)
+
+    # --- data access -----------------------------------------------------
+    def set(self, name: str, value, entity: JutulEntity = CELLS) -> None:
+        value = np.asarray(value)
+        n = self.count_entities(entity)
+        if value.ndim == 0:
+            value = np.full(n, value)
+        if value.shape[0] != n:
+            raise ValueError(
+                f"{name!r}: first axis must match {entity} count {n}, "
+                f"got shape {value.shape}"
+            )
+        self._data[name] = (entity, value)
+
+    def __setitem__(self, key, value) -> None:
+        if isinstance(key, tuple):
+            name, entity = key
+        else:
+            name, entity = key, CELLS
+        self.set(name, value, entity)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self._data[name][1]
+
+    def entity_of(self, name: str) -> JutulEntity:
+        return self._data[name][0]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._data
+
+    def keys(self):
+        return self._data.keys()
+
+    def items(self) -> Iterator[tuple[str, tuple[JutulEntity, np.ndarray]]]:
+        return iter(self._data.items())
+
+    def get(self, name: str, default=None):
+        if name in self._data:
+            return self._data[name][1]
+        return default
+
+    def number_of_cells(self) -> int:
+        return self.count_entities(CELLS)
+
+    def number_of_faces(self) -> int:
+        return self.count_entities(FACES)
+
+    def __repr__(self) -> str:
+        return (
+            f"DataDomain({self.mesh!r}, {len(self._data)} fields, "
+            f"{self._counts.get(CELLS, 0)} cells)"
+        )
+
+
+class DiscretizedDomain(JutulDomain):
+    """Domain + named discretizations (reference domains.jl:16-54)."""
+
+    def __init__(self, domain: DataDomain, discretizations: dict | None = None):
+        if not isinstance(domain, DataDomain):
+            # allow constructing straight from a mesh
+            domain = DataDomain(domain)
+        self.data_domain = domain
+        self.discretizations = dict(discretizations or {})
+
+    @property
+    def mesh(self):
+        return self.data_domain.mesh
+
+    @property
+    def geometry(self):
+        return self.data_domain.geometry
+
+    def count_entities(self, entity: JutulEntity) -> int:
+        return self.data_domain.count_entities(entity)
+
+    def __getitem__(self, name: str):
+        return self.data_domain[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.data_domain

@@ -1,0 +1,61 @@
+"""Mesh/domain entities.
+
+Counterpart of Jutul's ``JutulEntity`` hierarchy (reference:
+src/core_types/core_types.jl:515-556 — Cells, Faces, BoundaryFaces,
+HalfFaces, Nodes, NoEntity). Entities key variable/equation placement: every
+variable and equation lives on exactly one entity of the domain.
+
+Entities are immutable singletons (hashable, usable as dict keys and as static
+jit arguments).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class JutulEntity:
+    def name(self) -> str:
+        return type(self).__name__
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return self.name() + "()"
+
+
+@dataclass(frozen=True)
+class Cells(JutulEntity):
+    pass
+
+
+@dataclass(frozen=True)
+class Faces(JutulEntity):
+    pass
+
+
+@dataclass(frozen=True)
+class BoundaryFaces(JutulEntity):
+    pass
+
+
+@dataclass(frozen=True)
+class HalfFaces(JutulEntity):
+    pass
+
+
+@dataclass(frozen=True)
+class Nodes(JutulEntity):
+    pass
+
+
+@dataclass(frozen=True)
+class NoEntity(JutulEntity):
+    """Entity for quantities with no spatial association (count = 1)."""
+
+
+CELLS = Cells()
+FACES = Faces()
+BOUNDARY_FACES = BoundaryFaces()
+HALF_FACES = HalfFaces()
+NODES = Nodes()
+NO_ENTITY = NoEntity()

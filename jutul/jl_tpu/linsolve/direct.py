@@ -1,0 +1,38 @@
+"""Direct (dense) linear solve fallback.
+
+Counterpart of Jutul's sparse-backslash default (reference:
+src/linsolve/default.jl:467-477 — used when no Krylov solver is configured,
+with a size limit). Here the BlockELL Jacobian is scattered to dense and
+solved with ``jnp.linalg.solve`` — fine for conformance tests and small
+models; large models use linsolve/krylov.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.blockell import BlockELL, ell_to_dense
+
+DIRECT_SOLVE_LIMIT = 50_000  # unknowns; mirror of the reference's 100k limit
+
+
+class DirectSolver:
+    """Dense LU solve of J du = -r (small systems)."""
+
+    def __init__(self, limit: int = DIRECT_SOLVE_LIMIT):
+        self.limit = limit
+
+    def check(self, n_unknowns: int) -> None:
+        if n_unknowns > self.limit:
+            raise ValueError(
+                f"DirectSolver: {n_unknowns} unknowns exceeds limit {self.limit}; "
+                "configure a Krylov solver (GenericKrylov)"
+            )
+
+    def solve(self, J: BlockELL, r):
+        """Return du with J du = -r; shapes (n, ndof) / (n, neq)."""
+        n, _, neq, ndof = J.blocks.shape
+        dense = ell_to_dense(J.blocks, J.structure.cols)
+        rhs = -r.reshape(n * neq)
+        du = jnp.linalg.solve(dense, rhs)
+        return du.reshape(n, ndof), {"solver": "direct", "iterations": 1}

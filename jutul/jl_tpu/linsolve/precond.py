@@ -1,0 +1,211 @@
+"""Preconditioners on BlockELL matrices.
+
+Counterpart of Jutul's preconditioner zoo (reference: src/linsolve/precond/ —
+``JacobiPreconditioner`` jacobi.jl:5, ``SPAI0Preconditioner`` spai.jl:4,
+``ILUZeroPreconditioner`` ilu.jl:4 + src/StaticCSR/ilu0.jl,
+``DiagonalPreconditioner``/``TrivialPreconditioner``/``LUPreconditioner``
+various.jl:1-77, AMG in amg.jl — see linsolve/amg.py).
+
+TPU-native re-design notes:
+- Block-Jacobi inverts the (neq × ndof) diagonal blocks batched — one
+  ``jnp.linalg.inv`` over the cell axis.
+- ILU(0): the reference does a sequential factorization + sequential
+  triangular solves (StaticCSR/ilu0.jl:13-245) — both are hostile to a
+  2048-lane vector machine. Here ILU(0) uses the Chow–Saad fixed-point
+  factorization (parallel sweeps over all nonzeros) and *iterated Jacobi
+  triangular solves* (truncated Neumann series), which are embarrassingly
+  parallel and converge in a handful of sweeps for FV matrices. This keeps
+  ILU-quality preconditioning without giving up the vector units.
+
+All preconditioners follow the same protocol:
+  ``state = p.update(J)``      (refactor; jit-compatible)
+  ``y = p.apply(state, J, x)`` (apply approximate inverse; jit-compatible)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.blockell import BlockELL, ell_matvec
+
+
+class Preconditioner:
+    def update(self, J: BlockELL):
+        return ()
+
+    def apply(self, state, J: BlockELL, x):
+        raise NotImplementedError
+
+
+class TrivialPreconditioner(Preconditioner):
+    """Identity (reference various.jl TrivialPreconditioner)."""
+
+    def apply(self, state, J, x):
+        return x
+
+
+class JacobiPreconditioner(Preconditioner):
+    """Scalar diagonal scaling (reference precond/jacobi.jl:5)."""
+
+    def update(self, J: BlockELL):
+        n, _, neq, ndof = J.blocks.shape
+        diag = jnp.diagonal(J.blocks[:, 0], axis1=-2, axis2=-1)  # (n, min(neq,ndof))
+        return (1.0 / diag,)
+
+    def apply(self, state, J, x):
+        (dinv,) = state
+        return x * dinv
+
+
+class BlockJacobiPreconditioner(Preconditioner):
+    """Inverted diagonal blocks, batched (the reference's block-diagonal
+    scaling path in precond/jacobi.jl for block layouts)."""
+
+    def update(self, J: BlockELL):
+        return (jnp.linalg.inv(J.blocks[:, 0]),)
+
+    def apply(self, state, J, x):
+        (dinv,) = state
+        return jnp.einsum("nij,nj->ni", dinv, x)
+
+
+class SPAI0Preconditioner(Preconditioner):
+    """Zeroth-order sparse approximate inverse (reference precond/spai.jl:4).
+
+    Diagonal M minimizing ||I - M A||_F row-wise:
+    m_i = a_ii / sum_j a_ij^2, applied per scalar equation component.
+    """
+
+    def update(self, J: BlockELL):
+        b = J.blocks  # (n, S, neq, ndof)
+        diag = jnp.diagonal(b[:, 0], axis1=-2, axis2=-1)  # (n, neq)
+        row_sq = jnp.sum(b * b, axis=(1, 3))  # (n, neq)
+        return (diag / jnp.maximum(row_sq, 1e-300),)
+
+    def apply(self, state, J, x):
+        (m,) = state
+        return x * m
+
+
+class ILU0Preconditioner(Preconditioner):
+    """Block ILU(0) via Chow–Saad fixed-point sweeps + iterated triangular
+    solves.
+
+    Factorization: find L (unit diag), U on the sparsity of A with
+    (LU)_ij = a_ij for (i,j) in S. Fixed-point iteration (Chow & Patel,
+    "Fine-grained parallel incomplete LU factorization", SISC 2015):
+      for (i,j) in S, i > j:  l_ij = (a_ij - sum_{k<j} l_ik u_kj) / u_jj
+      for (i,j) in S, i <= j: u_ij = a_ij - sum_{k<i} l_ik u_kj
+    All updates run in parallel per sweep; a few sweeps suffice.
+
+    Application: z = U^{-1} L^{-1} x by truncated Neumann/Jacobi iterations:
+      y^{m+1} = x - (L - I) y^m          (L has unit diagonal)
+      z^{m+1} = D_U^{-1} (x_u - (U - D_U) z^m)
+
+    This replaces the reference's sequential ilu_solve! (StaticCSR/ilu0.jl)
+    with data-parallel sweeps — the TPU-native trade.
+    """
+
+    def __init__(self, n_factor_sweeps: int = 5, n_solve_sweeps: int = 6):
+        self.n_factor_sweeps = n_factor_sweeps
+        self.n_solve_sweeps = n_solve_sweeps
+
+    def _split_masks(self, J: BlockELL):
+        import numpy as np
+
+        cols = np.asarray(J.structure.cols)  # (n, S)
+        n, S = cols.shape
+        rows = np.arange(n)[:, None]
+        lower = (cols < rows)  # strictly lower slots
+        upper = (cols > rows)
+        # padded slots point at the row itself -> neither lower nor upper
+        return jnp.asarray(lower), jnp.asarray(upper)
+
+    def update(self, J: BlockELL):
+        lower_mask, upper_mask = self._split_masks(J)
+        A = J.blocks  # (n, S, b, b)
+        cols = jnp.asarray(J.structure.cols)
+        n, S, bq, bd = A.shape
+
+        lm = lower_mask[..., None, None]
+        um = upper_mask[..., None, None]
+
+        def product_LU(L, U, Udiag_inv):
+            """For every stored (i,j): sum_k l_ik u_kj over shared sparsity.
+
+            Exact Chow-Patel needs the sparse row-i(L) x col-j(U) product;
+            on ELL we approximate with the dominant k = j (for lower) and
+            k = i (for upper) corrections plus the diagonal, which for
+            two-point FV stencils (no fill paths between neighbors of a
+            cell) is exact: neighbors of i and neighbors of j only share i
+            and j themselves.
+            """
+            return None  # handled inline below
+
+        # For TPFA-style stencils two neighbor cells share no third stored
+        # column, so the correction sums collapse:
+        #   l_ij = a_ij * u_jj^{-1}
+        #   u_ij = a_ij                        (i < j)
+        #   u_ii = a_ii - sum_{j<i, j in S(i)} l_ij u_ji
+        # which is one parallel sweep per Jacobi-like diagonal update.
+        def sweep(Udiag, _):
+            Udiag_inv = jnp.linalg.inv(Udiag)  # (n, b, b)
+            Uinv_j = Udiag_inv[cols]  # (n, S, b, b)
+            L_off = jnp.where(lm, jnp.einsum("nsij,nsjk->nsik", A, Uinv_j), 0.0)
+            # u_ji for stored lower pair (i,j): element A[j -> i]; for the
+            # symmetric-structure FV case the (j,i) block is stored at the
+            # transposed slot; use gather via the rmat trick: U_ji = A_ji
+            # for j < i, which equals the upper-stored block of row j.
+            # sum_{j<i} l_ij u_ji with u_ji = upper block in row j, col i.
+            # We gather A at (col_row=cols, slot-of-i) — precomputed below.
+            corr = jnp.einsum("nsij,nsjk->nsik", L_off, self._transposed_blocks)
+            Udiag_new = A[:, 0] - jnp.sum(jnp.where(lm, corr, 0.0), axis=1)
+            return Udiag_new, None
+
+        # Precompute the transposed-partner blocks A_{ji} for each stored
+        # (i,j): requires the slot of i in row j; build once in numpy.
+        import numpy as np
+
+        cols_np = np.asarray(J.structure.cols)
+        nS = cols_np.shape
+        partner_slot = np.zeros_like(cols_np)
+        lookup = J.structure._slot_lookup
+        for i in range(nS[0]):
+            for s in range(nS[1]):
+                j = int(cols_np[i, s])
+                partner_slot[i, s] = lookup.get((j, i), 0)
+        partner_rows = jnp.asarray(cols_np)
+        partner_slots = jnp.asarray(partner_slot)
+        self._transposed_blocks = J.blocks[partner_rows, partner_slots]
+
+        Udiag = A[:, 0]
+        Udiag, _ = jax.lax.scan(sweep, Udiag, None, length=self.n_factor_sweeps)
+
+        Udiag_inv = jnp.linalg.inv(Udiag)
+        L_off = jnp.where(lm, jnp.einsum(
+            "nsij,nsjk->nsik", A, Udiag_inv[cols]), 0.0)
+        U_off = jnp.where(um, A, 0.0)
+        del self._transposed_blocks
+        return (L_off, U_off, Udiag_inv, lower_mask, upper_mask)
+
+    def apply(self, state, J: BlockELL, x):
+        L_off, U_off, Udiag_inv, lower_mask, upper_mask = state
+        cols = jnp.asarray(J.structure.cols)
+
+        # y = L^{-1} x, L unit-diagonal: y = x - L_off y (Jacobi sweeps)
+        def lsweep(y, _):
+            y = x - ell_matvec(L_off, cols, y)
+            return y, None
+
+        y, _ = jax.lax.scan(lsweep, x, None, length=self.n_solve_sweeps)
+
+        # z = U^{-1} y: z = D^{-1}(y - U_off z)
+        def usweep(z, _):
+            z = jnp.einsum("nij,nj->ni", Udiag_inv,
+                           y - ell_matvec(U_off, cols, z))
+            return z, None
+
+        z0 = jnp.einsum("nij,nj->ni", Udiag_inv, y)
+        z, _ = jax.lax.scan(usweep, z0, None, length=self.n_solve_sweeps)
+        return z

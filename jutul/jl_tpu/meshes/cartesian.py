@@ -1,0 +1,279 @@
+"""Cartesian (tensor-product) mesh.
+
+Counterpart of Jutul's ``CartesianMesh`` (reference: src/meshes/cart.jl:30-511):
+dims + per-dimension deltas (scalar or vector) + origin; linear indexing is
+i-fastest (IJK -> linear = i + nx*(j + ny*k), 0-based here); ``tpfv_geometry``
+is computed analytically. Supports 1/2/3 dimensions (lower-dimensional meshes
+behave as 3D with unit thickness, as in the reference).
+
+Face ordering: all x-oriented interior faces first (i-fastest over the
+(nx-1, ny, nz) lattice), then y-oriented, then z-oriented. Boundary faces
+follow the same per-dimension ordering, low side before high side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from .geometry import TwoPointFiniteVolumeGeometry
+
+
+class JutulMesh:
+    """Abstract mesh interface (reference: JutulMesh abstract type)."""
+
+    def number_of_cells(self) -> int:
+        raise NotImplementedError
+
+    def number_of_faces(self) -> int:
+        raise NotImplementedError
+
+    def number_of_boundary_faces(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def dim(self) -> int:
+        raise NotImplementedError
+
+    def neighborship(self) -> np.ndarray:
+        """(n_faces, 2) interior-face cell pairs."""
+        raise NotImplementedError
+
+    def tpfv_geometry(self) -> TwoPointFiniteVolumeGeometry:
+        raise NotImplementedError
+
+
+def _expand_deltas(dims: tuple[int, ...], deltas) -> list[np.ndarray]:
+    """Per-dimension node spacings as arrays of length dims[d]."""
+    if deltas is None:
+        deltas = tuple(1.0 / n for n in dims)
+    if np.isscalar(deltas):
+        deltas = (float(deltas),) * len(dims)
+    out = []
+    for d, n in enumerate(dims):
+        dd = deltas[d]
+        if np.isscalar(dd):
+            arr = np.full(n, float(dd))
+        else:
+            arr = np.asarray(dd, dtype=np.float64)
+            if arr.shape != (n,):
+                raise ValueError(
+                    f"deltas[{d}] must be scalar or have length {n}, got {arr.shape}"
+                )
+        out.append(arr)
+    return out
+
+
+@dataclass(frozen=True)
+class CartesianMesh(JutulMesh):
+    dims: tuple[int, ...]
+    _deltas: tuple = None  # internal; use `deltas`
+    origin: tuple = None
+
+    def __init__(self, dims, deltas=None, origin=None):
+        if np.isscalar(dims):
+            dims = (int(dims),)
+        dims = tuple(int(n) for n in dims)
+        if not 1 <= len(dims) <= 3:
+            raise ValueError("CartesianMesh supports 1-3 dimensions")
+        if any(n < 1 for n in dims):
+            raise ValueError(f"all dims must be >= 1, got {dims}")
+        object.__setattr__(self, "dims", dims)
+        norm = self._normalize(dims, deltas)
+        _expand_deltas(dims, norm)  # validate lengths early
+        dl = tuple(
+            float(x) if np.isscalar(x) else tuple(np.atleast_1d(x).tolist())
+            for x in norm
+        )
+        object.__setattr__(self, "_deltas", dl)
+        if origin is None:
+            origin = (0.0,) * len(dims)
+        if np.isscalar(origin):
+            origin = (float(origin),)
+        object.__setattr__(self, "origin", tuple(float(o) for o in origin))
+
+    @staticmethod
+    def _normalize(dims, deltas):
+        """Reference semantics (src/meshes/cart.jl:40-62): a scalar entry is
+        the physical size of the domain in that direction (cell width =
+        size/dims); a vector entry gives the per-cell widths."""
+        if deltas is None:
+            deltas = (1.0,) * len(dims)
+        if np.isscalar(deltas):
+            deltas = (float(deltas),) * len(dims)
+        out = []
+        for d, n in zip(deltas, dims):
+            if np.isscalar(d):
+                out.append(float(d) / n)
+            else:
+                out.append(d)
+        return tuple(out)
+
+    # --- basic counts ----------------------------------------------------
+    @property
+    def dim(self) -> int:
+        return len(self.dims)
+
+    def deltas(self) -> list[np.ndarray]:
+        return _expand_deltas(self.dims, self._deltas)
+
+    def number_of_cells(self) -> int:
+        return int(np.prod(self.dims))
+
+    def _dims3(self) -> tuple[int, int, int]:
+        d = self.dims
+        return d + (1,) * (3 - len(d))
+
+    def number_of_faces(self) -> int:
+        nx, ny, nz = self._dims3()
+        return (nx - 1) * ny * nz + nx * (ny - 1) * nz + nx * ny * (nz - 1)
+
+    def number_of_boundary_faces(self) -> int:
+        nx, ny, nz = self._dims3()
+        n = 2 * ny * nz
+        if self.dim >= 2:
+            n += 2 * nx * nz
+        if self.dim >= 3:
+            n += 2 * nx * ny
+        return n
+
+    # --- indexing --------------------------------------------------------
+    def cell_index(self, ijk: Sequence[int]) -> int:
+        """Linear index from 0-based (i, j, k)."""
+        nx, ny, nz = self._dims3()
+        ijk = tuple(ijk) + (0,) * (3 - len(ijk))
+        i, j, k = ijk
+        return i + nx * (j + ny * k)
+
+    def cell_ijk(self, index: int) -> tuple[int, ...]:
+        nx, ny, nz = self._dims3()
+        i = index % nx
+        j = (index // nx) % ny
+        k = index // (nx * ny)
+        return (i, j, k)[: self.dim]
+
+    # --- connectivity ----------------------------------------------------
+    def neighborship(self) -> np.ndarray:
+        nx, ny, nz = self._dims3()
+        idx = np.arange(nx * ny * nz).reshape((nz, ny, nx))  # [k, j, i]
+        pairs = []
+        # x faces: (i,j,k)-(i+1,j,k), i-fastest ordering
+        if nx > 1:
+            left = idx[:, :, :-1].reshape(-1)
+            right = idx[:, :, 1:].reshape(-1)
+            pairs.append(np.stack([left, right], axis=1))
+        if ny > 1:
+            left = idx[:, :-1, :].reshape(-1)
+            right = idx[:, 1:, :].reshape(-1)
+            pairs.append(np.stack([left, right], axis=1))
+        if nz > 1:
+            left = idx[:-1, :, :].reshape(-1)
+            right = idx[1:, :, :].reshape(-1)
+            pairs.append(np.stack([left, right], axis=1))
+        if not pairs:
+            return np.zeros((0, 2), dtype=np.int64)
+        return np.concatenate(pairs, axis=0).astype(np.int64)
+
+    # --- geometry --------------------------------------------------------
+    def _node_axes(self) -> list[np.ndarray]:
+        axes = []
+        for d, dx in enumerate(self.deltas()):
+            x = np.concatenate([[0.0], np.cumsum(dx)]) + self.origin[d]
+            axes.append(x)
+        return axes
+
+    def tpfv_geometry(self) -> TwoPointFiniteVolumeGeometry:
+        nx, ny, nz = self._dims3()
+        D = self.dim
+        deltas = self.deltas() + [np.ones(1)] * (3 - D)
+        axes = self._node_axes() + [np.array([0.0, 1.0])] * (3 - D)
+        centers = [0.5 * (a[:-1] + a[1:]) for a in axes]  # per-dim cell centers
+
+        # cell centroids & volumes (i fastest)
+        ZZ, YY, XX = np.meshgrid(centers[2], centers[1], centers[0], indexing="ij")
+        cc3 = np.stack([XX.reshape(-1), YY.reshape(-1), ZZ.reshape(-1)], axis=1)
+        dZ, dY, dX = np.meshgrid(deltas[2], deltas[1], deltas[0], indexing="ij")
+        volumes = (dX * dY * dZ).reshape(-1)
+        cell_centroids = cc3[:, :D]
+
+        neighbors = self.neighborship()
+        n_faces = neighbors.shape[0]
+        areas = np.zeros(n_faces)
+        normals = np.zeros((n_faces, D))
+        face_centroids = np.zeros((n_faces, D))
+
+        # interior faces per direction
+        ofs = 0
+        sizes = [(nx - 1) * ny * nz if nx > 1 else 0,
+                 nx * (ny - 1) * nz if ny > 1 else 0,
+                 nx * ny * (nz - 1) if nz > 1 else 0]
+        cdims = [dX, dY, dZ]  # [k,j,i]-shaped per-cell deltas
+        for d in range(3):
+            nfd = sizes[d]
+            if nfd == 0:
+                continue
+            sl = slice(ofs, ofs + nfd)
+            left = neighbors[sl, 0]
+            # centroid: cell centroid of left, with coord d at the shared node plane
+            fc = cc3[left].copy()
+            # node plane position = left centroid + half delta in dim d
+            dd = [dX.reshape(-1), dY.reshape(-1), dZ.reshape(-1)][d]
+            fc[:, d] += 0.5 * dd[left]
+            face_centroids[sl] = fc[:, :D]
+            # area = product of the two transverse deltas of the left cell
+            other = [0, 1, 2]
+            other.remove(d)
+            a = np.ones(nfd)
+            for o in other:
+                a *= [dX.reshape(-1), dY.reshape(-1), dZ.reshape(-1)][o][left]
+            areas[sl] = a
+            if d < D:
+                normals[sl, d] = 1.0
+            ofs += nfd
+
+        # boundary faces: per dim, low side then high side
+        b_cells, b_areas, b_normals, b_centroids = [], [], [], []
+        idx = np.arange(nx * ny * nz).reshape((nz, ny, nx))
+        dd_flat = [dX.reshape(-1), dY.reshape(-1), dZ.reshape(-1)]
+        for d in range(D):
+            for side in (0, 1):
+                if d == 0:
+                    cells = idx[:, :, 0 if side == 0 else -1].reshape(-1)
+                elif d == 1:
+                    cells = idx[:, 0 if side == 0 else -1, :].reshape(-1)
+                else:
+                    cells = idx[0 if side == 0 else -1, :, :].reshape(-1)
+                other = [0, 1, 2]
+                other.remove(d)
+                a = np.ones(cells.shape[0])
+                for o in other:
+                    a *= dd_flat[o][cells]
+                fc = cc3[cells][:, :D].copy()
+                sign = -1.0 if side == 0 else 1.0
+                fc[:, d] += sign * 0.5 * dd_flat[d][cells]
+                nrm = np.zeros((cells.shape[0], D))
+                nrm[:, d] = sign
+                b_cells.append(cells)
+                b_areas.append(a)
+                b_normals.append(nrm)
+                b_centroids.append(fc)
+
+        geo = TwoPointFiniteVolumeGeometry(
+            neighbors=neighbors,
+            areas=areas,
+            volumes=volumes,
+            normals=normals,
+            cell_centroids=cell_centroids,
+            face_centroids=face_centroids,
+            boundary_areas=np.concatenate(b_areas) if b_areas else np.zeros(0),
+            boundary_normals=np.concatenate(b_normals) if b_normals else np.zeros((0, D)),
+            boundary_centroids=np.concatenate(b_centroids) if b_centroids else np.zeros((0, D)),
+            boundary_neighbors=np.concatenate(b_cells).astype(np.int64) if b_cells else np.zeros(0, dtype=np.int64),
+        )
+        geo.validate()
+        return geo
+
+    def __repr__(self) -> str:
+        return f"CartesianMesh(dims={self.dims})"

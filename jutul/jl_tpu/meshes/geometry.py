@@ -1,0 +1,67 @@
+"""Finite-volume geometry containers.
+
+Counterpart of Jutul's ``TwoPointFiniteVolumeGeometry`` returned by
+``tpfv_geometry`` (reference: src/meshes/ — geometry structs; CartesianMesh
+analytic geometry at src/meshes/cart.jl:146). All arrays are **numpy** —
+geometry is static model-build data; it is converted to device arrays only
+where it enters jitted compute.
+
+Conventions (0-based indexing throughout):
+- ``neighbors``: (n_faces, 2) int array, columns = (left cell, right cell).
+  The face normal points from left to right.
+- boundary faces are split out from interior faces, as in the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TwoPointFiniteVolumeGeometry:
+    neighbors: np.ndarray  # (n_faces, 2) int
+    areas: np.ndarray  # (n_faces,)
+    volumes: np.ndarray  # (n_cells,)
+    normals: np.ndarray  # (n_faces, dim) unit normals (left -> right)
+    cell_centroids: np.ndarray  # (n_cells, dim)
+    face_centroids: np.ndarray  # (n_faces, dim)
+    half_face_cells: np.ndarray | None = None
+    half_face_faces: np.ndarray | None = None
+    boundary_areas: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    boundary_normals: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    boundary_centroids: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    boundary_neighbors: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64)
+    )
+
+    @property
+    def n_cells(self) -> int:
+        return int(self.volumes.shape[0])
+
+    @property
+    def n_faces(self) -> int:
+        return int(self.areas.shape[0])
+
+    @property
+    def n_boundary_faces(self) -> int:
+        return int(self.boundary_areas.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.cell_centroids.shape[1])
+
+    def validate(self) -> None:
+        nf, nc, d = self.n_faces, self.n_cells, self.dim
+        assert self.neighbors.shape == (nf, 2)
+        assert self.normals.shape == (nf, d)
+        assert self.face_centroids.shape == (nf, d)
+        assert self.cell_centroids.shape == (nc, d)
+        assert np.all(self.neighbors >= 0) and np.all(self.neighbors < nc)
+        assert np.all(self.volumes > 0)
+        nb = self.n_boundary_faces
+        assert self.boundary_neighbors.shape == (nb,)
+        if nb:
+            assert self.boundary_centroids.shape == (nb, d)
+            assert self.boundary_normals.shape == (nb, d)

@@ -1,0 +1,74 @@
+"""Forces: sources and boundary conditions.
+
+Counterpart of Jutul's force machinery (reference: ``JutulForce``
+core_types.jl:88, ``setup_forces`` src/models.jl:914, force application
+``apply_forces!`` models.jl:889 and ``apply_forces_to_equation!``
+equations.jl:603; test-system force types in
+src/applications/test_systems/*.jl).
+
+Forces are pytrees: static structure (which cells, which equation) is aux
+data; values are traced leaves, so force magnitudes can change between jitted
+calls without recompilation. Each force type implements:
+
+- ``apply(model, eq, eq_name, r, state, dt) -> r`` — add its residual
+  contribution (r has shape (n_cells, neq)).
+- ``diagonal_jacobian(model, eq, eq_name, compiled, state, dt)`` — optional:
+  return (cells, blocks (ns, neq, ndof)) for state-dependent forces (e.g.
+  Dirichlet BCs), to be added to the diagonal of the Jacobian. Default: no
+  contribution (state-independent sources).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class JutulForce:
+    def apply(self, model, eq, eq_name, r, state, dt):
+        return r
+
+    def diagonal_jacobian(self, model, eq, eq_name, compiled, state, dt):
+        return None
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SourceTerm(JutulForce):
+    """Constant-rate source q in cells: residual -= q
+    (reference: SourceTerm in test systems / JutulDarcy conventions —
+    positive value injects)."""
+
+    cells: np.ndarray  # static (ns,)
+    values: Any  # traced (ns,) or (ns, neq)
+
+    def tree_flatten(self):
+        return (self.values,), (tuple(np.atleast_1d(self.cells).tolist()),)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (cells_t,) = aux
+        return cls(np.asarray(cells_t, dtype=np.int32), children[0])
+
+    def apply(self, model, eq, eq_name, r, state, dt):
+        v = jnp.asarray(self.values)
+        if v.ndim == 1:
+            v = v[:, None]
+        cells = np.atleast_1d(np.asarray(self.cells, dtype=np.int32))
+        return r.at[cells, : v.shape[1]].add(-v)
+
+
+def setup_forces(model, **forces) -> dict:
+    """Collect named forces into the canonical forces dict
+    (reference src/models.jl:914). Values may be a force, a list of forces,
+    or None."""
+    out = {}
+    for k, v in forces.items():
+        if v is None:
+            continue
+        out[k] = v
+    return out

@@ -1,0 +1,82 @@
+"""State/parameter setup.
+
+Counterpart of Jutul's ``setup_state`` / ``setup_parameters`` /
+``setup_state_and_parameters`` (reference: src/models.jl:249-482). States are
+plain dicts of arrays (entity axis first, components last). Parameters are
+kept in their own dict — merged with the primary state at assembly time —
+which keeps the adjoint-with-respect-to-parameters path natural.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..core.entities import CELLS
+
+
+def setup_state(model, values: dict | None = None, **kwargs) -> dict:
+    """Initialize primary-variable state (reference models.jl:249).
+
+    Unknown keys raise; values may be scalars, per-entity arrays, or
+    per-component defaults.
+    """
+    init = dict(values or {})
+    init.update(kwargs)
+    state: dict[str, np.ndarray] = {}
+    for name, var in model.primary_variables.items():
+        n = model.count_entities(var.associated_entity(model))
+        state[name] = var.initialize_value(model, n, init.pop(name, None))
+    if init:
+        raise ValueError(
+            f"setup_state: unknown variables {sorted(init)}; "
+            f"primaries are {list(model.primary_variables)}"
+        )
+    return state
+
+
+def setup_parameters(model, values: dict | None = None, **kwargs) -> dict:
+    """Initialize parameters (reference models.jl:313).
+
+    A parameter class may define ``initialize_parameter(model, n)`` to derive
+    its default from the model's data domain (e.g. transmissibilities from
+    geometry + permeability), mirroring the reference's
+    parameters-from-DataDomain behavior (variables/vectorization.jl:208).
+    """
+    init = dict(values or {})
+    init.update(kwargs)
+    params: dict[str, np.ndarray] = {}
+    for name, var in model.parameters.items():
+        n = model.count_entities(var.associated_entity(model))
+        given = init.pop(name, None)
+        if given is None and hasattr(var, "initialize_parameter"):
+            params[name] = np.asarray(var.initialize_parameter(model, n))
+        else:
+            params[name] = var.initialize_value(model, n, given)
+    if init:
+        raise ValueError(
+            f"setup_parameters: unknown parameters {sorted(init)}; "
+            f"known are {list(model.parameters)}"
+        )
+    return params
+
+
+def setup_state_and_parameters(model, values: dict | None = None, **kwargs):
+    """Split mixed kwargs into (state, parameters)
+    (reference models.jl:370)."""
+    init = dict(values or {})
+    init.update(kwargs)
+    sv = {k: v for k, v in init.items() if k in model.primary_variables}
+    pv = {k: v for k, v in init.items() if k in model.parameters}
+    unknown = set(init) - set(sv) - set(pv)
+    if unknown:
+        raise ValueError(f"Unknown variables/parameters: {sorted(unknown)}")
+    return setup_state(model, sv), setup_parameters(model, pv)
+
+
+def merge_state(state: dict, parameters: dict | None = None) -> dict:
+    out = dict(state)
+    if parameters:
+        out.update(parameters)
+    return out

@@ -1,0 +1,134 @@
+"""Block-ELL sparse matrix: the framework's Jacobian format.
+
+TPU-native replacement for the reference's CSC/CSR/block-CSR Jacobians
+(reference: src/core_types/core_types.jl:101-165 matrix layouts,
+src/StaticCSR/mat.jl StaticSparsityMatrixCSR, src/linsolve/default.jl
+LinearizedSystem). Rationale: ELL with a fixed number of slots per row and
+dense (neq × ndof) blocks gives static shapes, coalesced gathers, and SpMV as
+one batched einsum that XLA maps onto the MXU — no indirection-chasing CSR
+loops, which are hostile to TPU.
+
+Structure (static, numpy, built once per model):
+- ``cols``  (n, S) int32: column cell of each slot; slot 0 is the diagonal;
+  padded slots point at the row itself and carry zero blocks.
+- ``slot_of``: maps (row, col) -> slot, exposed through precomputed
+  per-contribution scatter maps (see ``slots_for``).
+
+Data (traced): ``blocks`` (n, S, neq, ndof).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ELLStructure:
+    n_rows: int
+    cols: np.ndarray  # (n, S) int32
+    n_slots: int
+
+    _slot_lookup: dict = None  # {(row, col): slot}
+
+    @staticmethod
+    def build(n_rows: int, edges: np.ndarray) -> "ELLStructure":
+        """Build from an (m, 2) array of (row, col) off-diagonal pairs.
+
+        Diagonal is always present at slot 0. Duplicate edges collapse.
+        """
+        adj: list[dict[int, int]] = [dict() for _ in range(n_rows)]
+        if edges is not None and len(edges):
+            edges = np.asarray(edges)
+            for r, c in edges:
+                r, c = int(r), int(c)
+                if r != c and c not in adj[r]:
+                    adj[r][c] = 1 + len(adj[r])
+        S = 1 + max((len(a) for a in adj), default=0)
+        cols = np.tile(np.arange(n_rows, dtype=np.int32)[:, None], (1, S))
+        lookup: dict[tuple[int, int], int] = {}
+        for r in range(n_rows):
+            lookup[(r, r)] = 0
+            for c, s in adj[r].items():
+                cols[r, s] = c
+                lookup[(r, c)] = s
+        return ELLStructure(n_rows, cols, S, lookup)
+
+    def slots_for(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        """Slot index for each (row, col) pair; shapes broadcast-compatible."""
+        rows = np.asarray(rows)
+        cols_q = np.asarray(cols)
+        out = np.zeros(np.broadcast(rows, cols_q).shape, dtype=np.int32)
+        it = np.nditer([np.broadcast_to(rows, out.shape),
+                        np.broadcast_to(cols_q, out.shape)], flags=["multi_index"])
+        for r, c in it:
+            out[it.multi_index] = self._slot_lookup[(int(r), int(c))]
+        return out
+
+
+class BlockELL:
+    """blocks (n, S, neq, ndof) over an ELLStructure. Minimal immutable ops."""
+
+    def __init__(self, structure: ELLStructure, blocks):
+        self.structure = structure
+        self.blocks = blocks
+
+    @property
+    def neq(self) -> int:
+        return self.blocks.shape[2]
+
+    @property
+    def ndof(self) -> int:
+        return self.blocks.shape[3]
+
+    def matvec(self, x):
+        """y = A @ x with x (n, ndof) -> y (n, neq)."""
+        return ell_matvec(self.blocks, self.structure.cols, x)
+
+    def rmatvec(self, y):
+        """x = A^T @ y with y (n, neq) -> x (n, ndof)."""
+        return ell_rmatvec(self.blocks, self.structure.cols, y)
+
+    def to_dense(self):
+        return ell_to_dense(self.blocks, self.structure.cols)
+
+
+def ell_matvec(blocks, cols, x):
+    """y[r] = sum_s blocks[r, s] @ x[cols[r, s]].
+
+    Padded slots hold zero blocks, so no masking is needed. The einsum is a
+    batched (neq × ndof) matvec — MXU-friendly for multi-dof models.
+    """
+    xg = x[cols]  # (n, S, ndof)
+    return jnp.einsum("nsij,nsj->ni", blocks, xg)
+
+
+def ell_rmatvec(blocks, cols, y):
+    """x[c] = sum over (r, s) with cols[r,s]==c of blocks[r,s]^T @ y[r]."""
+    n, S = cols.shape
+    contrib = jnp.einsum("nsij,ni->nsj", blocks, y)  # (n, S, ndof)
+    flat = contrib.reshape(n * S, -1)
+    idx = jnp.asarray(cols).reshape(n * S)
+    return jax.ops.segment_sum(flat, idx, num_segments=n)
+
+
+def ell_to_dense(blocks, cols):
+    """Scatter to a dense (n*neq, n*ndof) matrix (small systems / tests)."""
+    n, S, neq, ndof = blocks.shape
+    dense = jnp.zeros((n * neq, n * ndof), dtype=blocks.dtype)
+    rows = jnp.arange(n)
+    r_idx = (rows[:, None, None, None] * neq
+             + jnp.arange(neq)[None, None, :, None])  # (n,1,neq,1)
+    c_idx = (jnp.asarray(cols)[:, :, None, None] * ndof
+             + jnp.arange(ndof)[None, None, None, :])  # (n,S,1,ndof)
+    r_b = jnp.broadcast_to(r_idx, blocks.shape).reshape(-1)
+    c_b = jnp.broadcast_to(c_idx, blocks.shape).reshape(-1)
+    return dense.at[r_b, c_b].add(blocks.reshape(-1))
+
+
+def extract_diagonal(blocks):
+    """(n, neq, ndof) diagonal blocks (slot 0 by construction)."""
+    return blocks[:, 0]

@@ -1,0 +1,43 @@
+"""Newton relaxation strategies.
+
+Counterpart of Jutul's relaxation (reference: src/core_types/core_types.jl
+:1049-1069 ``NoRelaxation``/``SimpleRelaxation``; adaptation rule in
+src/simulator/relaxation.jl:13-28): ω is decreased when the residual
+oscillates or stagnates and increased back toward 1 on good progress.
+"""
+
+from __future__ import annotations
+
+
+class NonLinearRelaxation:
+    def select_relaxation(self, omega: float, errors: list[float]) -> float:
+        return omega
+
+
+class NoRelaxation(NonLinearRelaxation):
+    def select_relaxation(self, omega: float, errors: list[float]) -> float:
+        return 1.0
+
+
+class SimpleRelaxation(NonLinearRelaxation):
+    def __init__(self, tol: float = 0.01, w_min: float = 0.25,
+                 w_max: float = 1.0, dw_decrease: float = 0.25,
+                 dw_increase: float = 0.1):
+        self.tol = tol
+        self.w_min = w_min
+        self.w_max = w_max
+        self.dw_decrease = dw_decrease
+        self.dw_increase = dw_increase
+
+    def select_relaxation(self, omega: float, errors: list[float]) -> float:
+        if len(errors) < 2:
+            return omega
+        e, e_prev = errors[-1], errors[-2]
+        if e_prev <= 0:
+            return omega
+        d = (e - e_prev) / e_prev
+        if d > -self.tol:  # stagnation or growth
+            omega = max(omega - self.dw_decrease, self.w_min)
+        else:
+            omega = min(omega + self.dw_increase, self.w_max)
+        return omega

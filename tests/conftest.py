@@ -1,0 +1,24 @@
+"""Test configuration.
+
+Runs the whole suite on CPU with 8 fake XLA devices so multi-device sharding
+paths can be exercised without TPU hardware (SURVEY.md §4: the JAX
+counterpart of the reference's Debug backend trick).
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel,
+# but the test suite must run on the 8-fake-device CPU rig.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The ambient axon TPU plugin ignores the env var, so set the config flag too
+# (must happen before any backend initialization).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

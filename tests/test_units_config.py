@@ -1,0 +1,82 @@
+"""Unit/config/interpolation tests (reference test/utils.jl patterns)."""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    JutulConfig,
+    convert_from_si,
+    convert_to_si,
+    get_1d_interpolator,
+    get_2d_interpolator,
+    si_unit,
+    si_units,
+)
+
+
+def test_si_unit_basics():
+    assert si_unit("day") == 86400.0
+    assert si_unit("bar") == 1e5
+    assert si_unit("kg") == 1.0
+    day, bar = si_units("day", "bar")
+    assert day == 86400.0 and bar == 1e5
+    assert np.isclose(si_unit("darcy"), 9.8692326671601e-13)
+
+
+def test_convert_roundtrip():
+    assert convert_from_si(3600.0, "hour") == 1.0
+    assert convert_to_si(1.0, "hour") == 3600.0
+    # affine temperature
+    assert np.isclose(convert_to_si(0.0, "Celsius"), 273.15)
+    assert np.isclose(convert_from_si(273.15, "Celsius"), 0.0)
+    assert np.isclose(convert_to_si(32.0, "Fahrenheit"), 273.15)
+
+
+def test_unknown_unit_raises():
+    with pytest.raises(ValueError):
+        si_unit("parsecs_per_fortnight")
+
+
+def test_jutul_config_validation():
+    cfg = JutulConfig("test")
+    cfg.add_option("alpha", 1.0, "a float", types=float)
+    cfg.add_option("mode", "a", values=("a", "b"))
+    assert cfg["alpha"] == 1.0
+    cfg["alpha"] = 2  # int coerced to float
+    assert cfg["alpha"] == 2.0
+    with pytest.raises(KeyError):
+        cfg["nonexistent"]
+    with pytest.raises(KeyError):
+        cfg["nonexistent"] = 1
+    with pytest.raises(ValueError):
+        cfg["mode"] = "c"
+    with pytest.raises(TypeError):
+        cfg["alpha"] = "not a float"
+    # iteration protocol
+    assert set(cfg) == {"alpha", "mode"}
+    assert dict(cfg.items())["mode"] == "a"
+
+
+def test_interpolation_1d():
+    xs = [0.0, 1.0, 2.0]
+    ys = [0.0, 2.0, 6.0]
+    I = get_1d_interpolator(xs, ys)
+    assert np.isclose(float(I(0.5)), 1.0)
+    assert np.isclose(float(I(1.5)), 4.0)
+    # linear extrapolation
+    assert np.isclose(float(I(3.0)), 10.0)
+    Ic = get_1d_interpolator(xs, ys, cap_endpoints=True)
+    assert np.isclose(float(Ic(3.0)), 6.0)
+    assert np.isclose(float(Ic(-1.0)), 0.0)
+    # vectorized
+    out = np.asarray(I(np.array([0.5, 1.5])))
+    assert np.allclose(out, [1.0, 4.0])
+
+
+def test_interpolation_2d():
+    xs = np.array([0.0, 1.0])
+    ys = np.array([0.0, 1.0])
+    fs = np.array([[0.0, 1.0], [2.0, 3.0]])  # f(x,y) = 2x + y
+    I2 = get_2d_interpolator(xs, ys, fs)
+    assert np.isclose(float(I2(0.5, 0.5)), 1.5)
+    assert np.isclose(float(I2(0.0, 0.25)), 0.25)
