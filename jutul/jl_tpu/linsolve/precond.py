@@ -111,82 +111,47 @@ class ILU0Preconditioner(Preconditioner):
         self.n_factor_sweeps = n_factor_sweeps
         self.n_solve_sweeps = n_solve_sweeps
 
-    def _split_masks(self, J: BlockELL):
+    def update(self, J: BlockELL):
         import numpy as np
 
-        cols = np.asarray(J.structure.cols)  # (n, S)
-        n, S = cols.shape
-        rows = np.arange(n)[:, None]
-        lower = (cols < rows)  # strictly lower slots
-        upper = (cols > rows)
-        # padded slots point at the row itself -> neither lower nor upper
-        return jnp.asarray(lower), jnp.asarray(upper)
+        cols_np = np.asarray(J.structure.cols)  # (n, S)
+        n, S = cols_np.shape
+        rows_np = np.broadcast_to(np.arange(n)[:, None], (n, S))
+        lower_mask = jnp.asarray(cols_np < rows_np)
+        upper_mask = jnp.asarray(cols_np > rows_np)
+        # transposed-partner index: stored (i,j) -> location of block (j,i)
+        # (FV sparsity is structurally symmetric, so the partner exists)
+        partner_slot = J.structure.slots_for(cols_np, rows_np)
+        partner_rows = jnp.asarray(cols_np)
+        partner_slots = jnp.asarray(partner_slot)
 
-    def update(self, J: BlockELL):
-        lower_mask, upper_mask = self._split_masks(J)
         A = J.blocks  # (n, S, b, b)
-        cols = jnp.asarray(J.structure.cols)
-        n, S, bq, bd = A.shape
-
+        cols = jnp.asarray(cols_np)
         lm = lower_mask[..., None, None]
         um = upper_mask[..., None, None]
+        A_T_partner = A[partner_rows, partner_slots]  # block (j, i) per slot
 
-        def product_LU(L, U, Udiag_inv):
-            """For every stored (i,j): sum_k l_ik u_kj over shared sparsity.
-
-            Exact Chow-Patel needs the sparse row-i(L) x col-j(U) product;
-            on ELL we approximate with the dominant k = j (for lower) and
-            k = i (for upper) corrections plus the diagonal, which for
-            two-point FV stencils (no fill paths between neighbors of a
-            cell) is exact: neighbors of i and neighbors of j only share i
-            and j themselves.
-            """
-            return None  # handled inline below
-
-        # For TPFA-style stencils two neighbor cells share no third stored
-        # column, so the correction sums collapse:
-        #   l_ij = a_ij * u_jj^{-1}
-        #   u_ij = a_ij                        (i < j)
-        #   u_ii = a_ii - sum_{j<i, j in S(i)} l_ij u_ji
-        # which is one parallel sweep per Jacobi-like diagonal update.
+        # For two-point FV stencils, neighbors i and j share no third stored
+        # column, so ILU(0) collapses to
+        #   l_ij = a_ij u_jj^{-1}  (j < i),   u_ij = a_ij  (i < j),
+        #   u_ii = a_ii - sum_{j<i in S(i)} l_ij u_ji
+        # leaving only the diagonal fixed point, iterated in parallel sweeps
+        # (Chow & Patel 2015). Each sweep advances the row-ordering DAG one
+        # level; a handful of sweeps gives a preconditioner-grade factor.
         def sweep(Udiag, _):
-            Udiag_inv = jnp.linalg.inv(Udiag)  # (n, b, b)
-            Uinv_j = Udiag_inv[cols]  # (n, S, b, b)
-            L_off = jnp.where(lm, jnp.einsum("nsij,nsjk->nsik", A, Uinv_j), 0.0)
-            # u_ji for stored lower pair (i,j): element A[j -> i]; for the
-            # symmetric-structure FV case the (j,i) block is stored at the
-            # transposed slot; use gather via the rmat trick: U_ji = A_ji
-            # for j < i, which equals the upper-stored block of row j.
-            # sum_{j<i} l_ij u_ji with u_ji = upper block in row j, col i.
-            # We gather A at (col_row=cols, slot-of-i) — precomputed below.
-            corr = jnp.einsum("nsij,nsjk->nsik", L_off, self._transposed_blocks)
+            Udiag_inv = jnp.linalg.inv(Udiag)
+            L_off = jnp.where(lm, jnp.einsum(
+                "nsij,nsjk->nsik", A, Udiag_inv[cols]), 0.0)
+            corr = jnp.einsum("nsij,nsjk->nsik", L_off, A_T_partner)
             Udiag_new = A[:, 0] - jnp.sum(jnp.where(lm, corr, 0.0), axis=1)
             return Udiag_new, None
 
-        # Precompute the transposed-partner blocks A_{ji} for each stored
-        # (i,j): requires the slot of i in row j; build once in numpy.
-        import numpy as np
-
-        cols_np = np.asarray(J.structure.cols)
-        nS = cols_np.shape
-        partner_slot = np.zeros_like(cols_np)
-        lookup = J.structure._slot_lookup
-        for i in range(nS[0]):
-            for s in range(nS[1]):
-                j = int(cols_np[i, s])
-                partner_slot[i, s] = lookup.get((j, i), 0)
-        partner_rows = jnp.asarray(cols_np)
-        partner_slots = jnp.asarray(partner_slot)
-        self._transposed_blocks = J.blocks[partner_rows, partner_slots]
-
-        Udiag = A[:, 0]
-        Udiag, _ = jax.lax.scan(sweep, Udiag, None, length=self.n_factor_sweeps)
-
+        Udiag, _ = jax.lax.scan(sweep, A[:, 0], None,
+                                length=self.n_factor_sweeps)
         Udiag_inv = jnp.linalg.inv(Udiag)
         L_off = jnp.where(lm, jnp.einsum(
             "nsij,nsjk->nsik", A, Udiag_inv[cols]), 0.0)
         U_off = jnp.where(um, A, 0.0)
-        del self._transposed_blocks
         return (L_off, U_off, Udiag_inv, lower_mask, upper_mask)
 
     def apply(self, state, J: BlockELL, x):

@@ -32,41 +32,54 @@ class ELLStructure:
     cols: np.ndarray  # (n, S) int32
     n_slots: int
 
-    _slot_lookup: dict = None  # {(row, col): slot}
+    # sorted (row*n + col) keys and their slots, for vectorized lookup
+    _keys: np.ndarray = None
+    _slots: np.ndarray = None
 
     @staticmethod
     def build(n_rows: int, edges: np.ndarray) -> "ELLStructure":
         """Build from an (m, 2) array of (row, col) off-diagonal pairs.
 
-        Diagonal is always present at slot 0. Duplicate edges collapse.
+        Diagonal is always present at slot 0; duplicate edges collapse;
+        padded slots point at the row itself. Fully vectorized (the analogue
+        of the reference's symbolic setup, which must scale to 1M+ cells).
         """
-        adj: list[dict[int, int]] = [dict() for _ in range(n_rows)]
-        if edges is not None and len(edges):
-            edges = np.asarray(edges)
-            for r, c in edges:
-                r, c = int(r), int(c)
-                if r != c and c not in adj[r]:
-                    adj[r][c] = 1 + len(adj[r])
-        S = 1 + max((len(a) for a in adj), default=0)
-        cols = np.tile(np.arange(n_rows, dtype=np.int32)[:, None], (1, S))
-        lookup: dict[tuple[int, int], int] = {}
-        for r in range(n_rows):
-            lookup[(r, r)] = 0
-            for c, s in adj[r].items():
-                cols[r, s] = c
-                lookup[(r, c)] = s
-        return ELLStructure(n_rows, cols, S, lookup)
+        if edges is None or len(edges) == 0:
+            edges = np.zeros((0, 2), dtype=np.int64)
+        edges = np.asarray(edges, dtype=np.int64)
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        key = edges[:, 0] * n_rows + edges[:, 1]
+        key = np.unique(key)
+        rows = key // n_rows
+        colv = key % n_rows
+        # slot = 1 + rank of the edge within its row (keys are sorted, so
+        # edges of a row are contiguous and ordered by col)
+        row_start = np.searchsorted(rows, np.arange(n_rows))
+        counts = np.diff(np.append(row_start, rows.shape[0]))
+        S = 1 + (int(counts.max()) if counts.size else 0)
+        slot = np.arange(key.shape[0]) - row_start[rows] + 1
+        cols = np.tile(np.arange(n_rows, dtype=np.int32)[:, None], (1, max(S, 1)))
+        cols[rows, slot] = colv
+        # lookup table: diagonal keys + edge keys
+        diag_key = np.arange(n_rows, dtype=np.int64) * n_rows + np.arange(n_rows)
+        all_keys = np.concatenate([diag_key, key])
+        all_slots = np.concatenate([np.zeros(n_rows, dtype=np.int32),
+                                    slot.astype(np.int32)])
+        order = np.argsort(all_keys)
+        return ELLStructure(n_rows, cols, max(S, 1), all_keys[order],
+                            all_slots[order])
 
     def slots_for(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
-        """Slot index for each (row, col) pair; shapes broadcast-compatible."""
-        rows = np.asarray(rows)
-        cols_q = np.asarray(cols)
-        out = np.zeros(np.broadcast(rows, cols_q).shape, dtype=np.int32)
-        it = np.nditer([np.broadcast_to(rows, out.shape),
-                        np.broadcast_to(cols_q, out.shape)], flags=["multi_index"])
-        for r, c in it:
-            out[it.multi_index] = self._slot_lookup[(int(r), int(c))]
-        return out
+        """Slot index for each (row, col) pair; vectorized; raises on pairs
+        absent from the sparsity pattern."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols_q = np.asarray(cols, dtype=np.int64)
+        q = rows * self.n_rows + cols_q
+        ix = np.searchsorted(self._keys, q)
+        if np.any(ix >= self._keys.shape[0]) or np.any(self._keys[np.minimum(
+                ix, self._keys.shape[0] - 1)] != q):
+            raise KeyError("slots_for: (row, col) not in sparsity pattern")
+        return self._slots[ix]
 
 
 class BlockELL:

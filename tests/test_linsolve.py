@@ -1,0 +1,110 @@
+"""Krylov + preconditioner tests (reference test strategy: linear operators
+exercised through GenericKrylov in test/test_systems/multimodel.jl etc.)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimpleHeatSystem,
+    SimulationModel,
+    compile_model,
+    setup_parameters,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.linsolve.krylov import GenericKrylov, bicgstab, gmres
+from jutul.jl_tpu.linsolve.precond import (
+    BlockJacobiPreconditioner,
+    ILU0Preconditioner,
+    JacobiPreconditioner,
+    SPAI0Preconditioner,
+    TrivialPreconditioner,
+)
+from jutul.jl_tpu.ops.blockell import BlockELL, ELLStructure, ell_to_dense
+
+
+def heat_jacobian(n=16):
+    """Assembled Jacobian of the transient heat system on an n-cell line."""
+    g = CartesianMesh((n,), (1.0,))
+    model = SimulationModel(DataDomain(g), SimpleHeatSystem())
+    comp = compile_model(model)
+    state = {**setup_state(model, T=np.linspace(0.0, 1.0, n)),
+             **setup_parameters(model)}
+    state = comp.evaluate_secondaries(state)
+    r = comp.residual(state, state, 1e-3)
+    blocks = comp.jacobian_blocks(state, state, 1e-3)
+    return comp, BlockELL(comp.ell, blocks), r
+
+
+def test_ell_matvec_vs_dense():
+    comp, J, _ = heat_jacobian(12)
+    dense = np.asarray(ell_to_dense(J.blocks, J.structure.cols))
+    x = np.random.default_rng(0).normal(size=12)
+    y1 = np.asarray(J.matvec(jnp.asarray(x)[:, None]))[:, 0]
+    y2 = dense @ x
+    assert np.allclose(y1, y2)
+    # transpose matvec
+    y3 = np.asarray(J.rmatvec(jnp.asarray(x)[:, None]))[:, 0]
+    assert np.allclose(y3, dense.T @ x)
+
+
+@pytest.mark.parametrize("method", ["gmres", "bicgstab"])
+@pytest.mark.parametrize("precond", [
+    TrivialPreconditioner(), JacobiPreconditioner(),
+    BlockJacobiPreconditioner(), SPAI0Preconditioner(), ILU0Preconditioner(),
+])
+def test_krylov_matches_direct(method, precond):
+    comp, J, r = heat_jacobian(16)
+    dense = np.asarray(ell_to_dense(J.blocks, J.structure.cols))
+    expected = np.linalg.solve(dense, -np.asarray(r).reshape(-1))
+    solver = GenericKrylov(method, preconditioner=precond, rtol=1e-12,
+                           max_iterations=300)
+    du, stats = solver.solve(J, r)
+    assert np.allclose(np.asarray(du).reshape(-1), expected, atol=1e-7), (
+        f"{method}: {stats}"
+    )
+
+
+def test_gmres_solves_random_spd():
+    rng = np.random.default_rng(1)
+    N = 40
+    A = rng.normal(size=(N, N))
+    A = A @ A.T + N * np.eye(N)
+    b = rng.normal(size=N)
+    x, stats = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                     restart=20, maxiter=500, rtol=1e-10)
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-6)
+    assert bool(stats["converged"])
+
+
+def test_ilu0_beats_jacobi_iterations():
+    """ILU(0) should converge in (weakly) fewer GMRES iterations."""
+    comp, J, r = heat_jacobian(64)
+    it = {}
+    for name, p in [("jacobi", JacobiPreconditioner()),
+                    ("ilu0", ILU0Preconditioner())]:
+        solver = GenericKrylov("gmres", preconditioner=p, rtol=1e-10,
+                               max_iterations=500)
+        du, stats = solver.solve(J, r)
+        it[name] = int(stats["iterations"])
+    assert it["ilu0"] <= it["jacobi"]
+
+
+def test_end_to_end_with_krylov():
+    """Full simulate() with GMRES+ILU0 matches DirectSolver."""
+    n = 24
+    g = CartesianMesh((n,), (1.0,))
+    model = SimulationModel(DataDomain(g), SimpleHeatSystem())
+    x = (np.arange(n) + 0.5) / n
+    T0 = np.cos(np.pi * x)
+    state0 = setup_state(model, T=T0)
+    out_direct, _ = simulate(state0, model, [1e-3, 1e-3], info_level=-1)
+    solver = GenericKrylov("gmres", preconditioner=ILU0Preconditioner(),
+                           rtol=1e-12)
+    out_krylov, _ = simulate(state0, model, [1e-3, 1e-3], info_level=-1,
+                             linear_solver=solver)
+    assert np.allclose(out_direct[-1]["T"], out_krylov[-1]["T"], atol=1e-9)
