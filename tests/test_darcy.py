@@ -1,0 +1,188 @@
+"""Two-phase immiscible Darcy tests (BASELINE config 3 physics).
+
+Pattern follows the reference conformance style: tiny cases with
+analytic/invariant answers (mass conservation, monotone fronts, two-cell
+steady states).
+"""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    setup_parameters,
+    setup_state,
+    simulate,
+    si_unit,
+)
+from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+from jutul.jl_tpu.models.darcy import (
+    ImmiscibleFluid,
+    PhaseSourceTerm,
+    PressureBoundaryCondition,
+    setup_darcy_model,
+)
+
+DAY = si_unit("day")
+BAR = si_unit("bar")
+DARCY = si_unit("darcy")
+
+
+def make_1d_model(n=20, L=100.0):
+    mesh = CartesianMesh((n,), (L,))
+    fluid = ImmiscibleFluid(
+        reference_densities=(1000.0, 800.0),
+        compressibilities=(1e-10, 1e-9),
+        viscosities=(1e-3, 2e-3),
+        corey_exponents=(2.0, 2.0),
+    )
+    model = setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                              porosity=0.25)
+    return model, fluid
+
+
+def test_two_cell_single_phase_steady_pressure():
+    """All-wetting fluid: inject q in cell 0, fixed pressure in cell 1; at
+    steady state dp = q / (rho * mob * T)."""
+    model, fluid = make_1d_model(n=2, L=2.0)
+    state0 = setup_state(model, Pressure=1.0 * BAR, Saturations=[1.0, 0.0])
+    params = setup_parameters(model)
+    T = float(params["Transmissibilities"][0])
+    rho = 1000.0
+    q = 1e-3  # kg/s wetting
+    bc_trans = 2 * T  # boundary half-face roughly
+    forces = {
+        "sources": PhaseSourceTerm([0], np.array([[q, 0.0]])),
+        "bc": PressureBoundaryCondition([1], 1.0 * BAR, bc_trans,
+                                        saturations=[1.0, 0.0]),
+    }
+    # march to steady state
+    states, reports = simulate(state0, model, [10.0] * 40, forces=forces,
+                               info_level=-1)
+    st = states[-1]
+    p = st["Pressure"]
+    mob = 1.0 / fluid.viscosities[0]  # kr=1 at s=1
+    dp_expected = q / (rho * mob * T)
+    assert np.isclose(p[0] - p[1], dp_expected, rtol=1e-3)
+    # boundary: outflux q => p1 - pb = q/(rho*mob*bc_trans)
+    dp_b = q / (rho * mob * bc_trans)
+    assert np.isclose(p[1] - 1.0 * BAR, dp_b, rtol=1e-3)
+    assert np.allclose(st["Saturations"][:, 0], 1.0, atol=1e-8)
+
+
+def test_buckley_leverett_front():
+    """Water injection into oil-filled 1D domain: front is monotone, bounded
+    in [0,1], and mass is conserved to roundoff."""
+    model, fluid = make_1d_model(n=30, L=30.0)
+    state0 = setup_state(model, Pressure=100.0 * BAR,
+                         Saturations=[0.0, 1.0])
+    params = setup_parameters(model)
+    q = 0.02  # kg/s water injected in cell 0
+    forces = {
+        "sources": PhaseSourceTerm([0], np.array([[q, 0.0]])),
+        "bc": PressureBoundaryCondition([29], 100.0 * BAR,
+                                        2 * float(params["Transmissibilities"][0])),
+    }
+    dt = [2.0 * DAY / 20] * 20
+    states, reports = simulate(state0, model, dt, forces=forces, info_level=-1)
+    assert all(r["success"] for r in reports)
+    s = states[-1]["Saturations"]
+    assert np.all(s >= -1e-10) and np.all(s <= 1 + 1e-10)
+    sw = s[:, 0]
+    # water accumulates near inlet, front roughly monotone decreasing
+    assert sw[0] > 0.3
+    assert sw[0] >= sw[-1]
+    # saturations sum to one
+    assert np.allclose(np.sum(s, axis=1), 1.0, atol=1e-12)
+
+
+def test_mass_conservation_no_flow_boundaries():
+    """Closed box with zero sources: total mass per phase is exactly
+    conserved by the implicit scheme."""
+    model, fluid = make_1d_model(n=10, L=10.0)
+    rng = np.random.default_rng(0)
+    sw = rng.uniform(0.2, 0.8, 10)
+    state0 = setup_state(model, Pressure=1.0 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], axis=1))
+    states, reports = simulate(state0, model, [1.0 * DAY] * 3, info_level=-1)
+    # compare total masses start vs end
+    from jutul.jl_tpu import compile_model
+    from jutul.jl_tpu.models.setup import merge_state
+
+    comp = compile_model(model)
+    params = setup_parameters(model)
+    full0 = comp.evaluate_secondaries(merge_state(
+        {k: np.asarray(v) for k, v in state0.items()}, params))
+    m0 = np.sum(np.asarray(full0["TotalMasses"]), axis=0)
+    m1 = np.sum(np.asarray(states[-1]["TotalMasses"]), axis=0)
+    assert np.allclose(m0, m1, rtol=1e-10)
+
+
+def test_darcy_with_krylov_matches_direct():
+    model, fluid = make_1d_model(n=16, L=16.0)
+    state0 = setup_state(model, Pressure=100.0 * BAR, Saturations=[0.0, 1.0])
+    params = setup_parameters(model)
+    forces = {
+        "sources": PhaseSourceTerm([0], np.array([[0.01, 0.0]])),
+        "bc": PressureBoundaryCondition([15], 100.0 * BAR,
+                                        2 * float(params["Transmissibilities"][0])),
+    }
+    dts = [0.5 * DAY] * 4
+    s_direct, _ = simulate(state0, model, dts, forces=forces, info_level=-1)
+    solver = GenericKrylov("gmres", preconditioner=ILU0Preconditioner(),
+                           rtol=1e-10)
+    s_kry, _ = simulate(state0, model, dts, forces=forces, info_level=-1,
+                        linear_solver=solver)
+    assert np.allclose(s_direct[-1]["Pressure"], s_kry[-1]["Pressure"],
+                       rtol=1e-6)
+    assert np.allclose(s_direct[-1]["Saturations"], s_kry[-1]["Saturations"],
+                       atol=1e-7)
+
+
+def test_darcy_jacobian_matches_finite_differences():
+    """vmap(jacfwd) block-ELL Jacobian == FD of the residual (the make-or-
+    break check for the AD assembly core; reference analogue:
+    test/adjoints gradient checks)."""
+    import jax.numpy as jnp
+
+    from jutul.jl_tpu import compile_model
+    from jutul.jl_tpu.models.setup import merge_state
+    from jutul.jl_tpu.ops.blockell import ell_to_dense
+
+    model, fluid = make_1d_model(n=4, L=4.0)
+    rng = np.random.default_rng(0)
+    sw = rng.uniform(0.2, 0.8, 4)
+    state0 = setup_state(model, Pressure=100.0 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], 1))
+    params = setup_parameters(model)
+    comp = compile_model(model)
+    dt = 1000.0
+    full0 = {k: jnp.asarray(v) for k, v in merge_state(state0, params).items()}
+    state = dict(state0)
+    state["Pressure"] = state0["Pressure"] + rng.normal(0, 1e4, 4)
+    sw2 = np.clip(sw + rng.normal(0, 0.05, 4), 0, 1)
+    state["Saturations"] = np.stack([sw2, 1 - sw2], 1)
+    full = {k: jnp.asarray(v) for k, v in merge_state(state, params).items()}
+    r, J, _ = comp.assemble(full, full0, dt)
+    dense = np.asarray(ell_to_dense(J.blocks, J.structure.cols))
+
+    U = np.asarray(comp.get_dofs(full))
+
+    def resid(Uvec):
+        st = dict(full)
+        st.update(comp.unpack_dofs(jnp.asarray(Uvec)))
+        st = comp.evaluate_secondaries(st)
+        return np.asarray(
+            comp.residual(st, comp.evaluate_secondaries(full0), dt)
+        ).reshape(-1)
+
+    n, ndof = U.shape
+    J_fd = np.zeros((n * 2, n * ndof))
+    for c in range(n):
+        for d in range(ndof):
+            e = 1.0 if d == 0 else 1e-6
+            Up = U.copy(); Up[c, d] += e
+            Um = U.copy(); Um[c, d] -= e
+            J_fd[:, c * ndof + d] = (resid(Up) - resid(Um)) / (2 * e)
+    assert np.allclose(dense, J_fd, rtol=1e-6, atol=1e-12)
