@@ -1,0 +1,131 @@
+"""Benchmark: 1M-cell two-phase Darcy Newton step (assembly + preconditioned
+Krylov) on one TPU chip.
+
+Metric mirrors BASELINE.json: wall-clock per Newton step (vmap/jacfwd
+assembly into block-ELL + ILU0-preconditioned BiCGStab) and cells/sec.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md). The
+north-star target is ">= 5x single-core Jutul throughput per chip"; public
+single-core Julia FV simulators of this class sustain on the order of 1e6
+cell-Newton-steps/sec for two-phase TPFA assembly+ILU-Krylov, so we report
+vs_baseline = cells_per_sec / 5e6 (i.e. 1.0 == the 5x north-star target).
+
+Precision: float32 on TPU (f64 is emulated on v5e and LAPACK f64 kernels are
+unavailable); the Krylov solve uses relative tolerances, and conformance
+tests run in f64 on CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_enable_x64", False)  # f32 benchmarking (see docstring)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(nx, ny, nz):
+    from jutul.jl_tpu import (
+        CartesianMesh,
+        compile_model,
+        setup_parameters,
+        setup_state,
+        si_unit,
+    )
+    from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+
+    BAR = si_unit("bar")
+    DARCY = si_unit("darcy")
+    nc = nx * ny * nz
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny, nz), (100.0 * nx / 128, 100.0 * ny / 128,
+                                        10.0 * nz / 64))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(
+        mesh, fluid,
+        permeability=(rng.lognormal(0.0, 1.0, nc) * 0.1 * DARCY),  # SPE10-ish
+        porosity=0.25,
+        gravity=False,
+    )
+    sw = rng.uniform(0.2, 0.8, nc)
+    state0 = setup_state(
+        model,
+        Pressure=200.0 * BAR + rng.uniform(-5, 5, nc) * BAR,
+        Saturations=np.stack([sw, 1 - sw], axis=1),
+    )
+    params = setup_parameters(model)
+    comp = compile_model(model)
+    return comp, state0, params
+
+
+def main():
+    n_lin_it = 25  # fixed Krylov work per Newton step for a stable metric
+    nx, ny, nz = 128, 128, 64  # 1,048,576 cells
+    if jax.default_backend() == "cpu":
+        nx, ny, nz = 64, 64, 16  # CPU fallback size (driver runs on TPU)
+    nc = nx * ny * nz
+
+    from jutul.jl_tpu.linsolve.krylov import bicgstab
+    from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+    from jutul.jl_tpu.models.setup import merge_state
+
+    comp, state0, params = build(nx, ny, nz)
+    precond = ILU0Preconditioner(n_factor_sweeps=3, n_solve_sweeps=4)
+
+    def newton_step(state, state0_d, parameters, dt):
+        full = merge_state(state, parameters)
+        full0 = merge_state(state0_d, parameters)
+        r, J, full_eval = comp.assemble(full, full0, dt)
+        pstate = precond.update(J)
+        n, _, neq, ndof = J.blocks.shape
+
+        def matvec(x):
+            return J.matvec(x.reshape(n, ndof)).reshape(-1)
+
+        def M(x):
+            return precond.apply(pstate, J, x.reshape(n, neq)).reshape(-1)
+
+        du, stats = bicgstab(matvec, (-r).reshape(-1), maxiter=n_lin_it,
+                             rtol=1e-6, precond=M)
+        new_state = comp.apply_update(state, du.reshape(n, ndof), 1.0)
+        return new_state, stats["residual"], stats["iterations"]
+
+    step = jax.jit(newton_step)
+    st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
+    pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
+    dt = 3600.0
+
+    # compile + warmup
+    out_state, res, its = step(st, st, pr, dt)
+    jax.block_until_ready(out_state["Pressure"])
+
+    n_rep = 10
+    t0 = time.perf_counter()
+    cur = st
+    for _ in range(n_rep):
+        cur, res, its = step(cur, st, pr, dt)
+    jax.block_until_ready(cur["Pressure"])
+    elapsed = (time.perf_counter() - t0) / n_rep
+
+    cells_per_sec = nc / elapsed
+    print(json.dumps({
+        "metric": f"{nc}-cell two-phase Darcy Newton step "
+                  f"(vmap/jacfwd assembly + ILU0-BiCGStab {n_lin_it} its, "
+                  f"f32, {jax.default_backend()})",
+        "value": round(cells_per_sec, 1),
+        "unit": "cells/sec per Newton step",
+        "vs_baseline": round(cells_per_sec / 5e6, 4),
+        "step_seconds": round(elapsed, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

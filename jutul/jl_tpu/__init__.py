@@ -37,6 +37,7 @@ from .interpolation import (
     get_2d_interpolator,
 )
 from .meshes.cartesian import CartesianMesh, JutulMesh
+from .meshes.unstructured import IndirectionMap, UnstructuredMesh
 from .models.equations import (
     AccumulationContribution,
     CellTermContribution,
@@ -69,8 +70,16 @@ from .models.variables import (
     VectorVariables,
     secondary_variable,
 )
+from .multimodel.core import CrossTerm, AdditiveCrossTerm, MultiModel
 from .ops.assembly import CompiledModel, compile_model
 from .ops.blockell import BlockELL, ELLStructure
+from .simulator.io import (
+    print_stats,
+    read_results,
+    report_stats,
+    store_output,
+    valid_restart_indices,
+)
 from .simulator.relaxation import NoRelaxation, SimpleRelaxation
 from .simulator.simulator import (
     SimResult,
@@ -84,6 +93,27 @@ from .simulator.timesteps import (
     LimitByFailedTimestepSelector,
     TimestepSelector,
     VariableChangeTimestepSelector,
+)
+from .adjoint.dict_opt import DictParameters
+from .adjoint.gradients import (
+    solve_adjoint_sensitivities,
+    solve_numerical_sensitivities,
+)
+from .adjoint.lbfgs import unit_box_bfgs
+from .adjoint.optimization import (
+    optimization_config,
+    setup_parameter_optimization,
+)
+from .linsolve.amg import AMGPreconditioner
+from .linsolve.cpr import CPRPreconditioner
+from .linsolve.direct import DirectSolver
+from .linsolve.krylov import GenericKrylov, bicgstab, gmres
+from .linsolve.precond import (
+    BlockJacobiPreconditioner,
+    ILU0Preconditioner,
+    JacobiPreconditioner,
+    SPAI0Preconditioner,
+    TrivialPreconditioner,
 )
 from .units import convert_from_si, convert_to_si, si_unit, si_units
 

@@ -1,0 +1,244 @@
+"""Discrete adjoint gradients.
+
+Counterpart of the reference adjoint solver (reference: src/ad/gradients.jl —
+``solve_adjoint_sensitivities`` :17,230, ``setup_adjoint_storage`` :108,
+``update_sensitivities!`` :483, ``next_lagrange_multiplier!`` :519; and the
+AdjointsDI generic path src/ad/AdjointsDI/adjoints.jl:4).
+
+Same mathematics — backward-in-time Lagrange multipliers
+    (dF_n/dx_n)^T λ_n = -(dG/dx_n)^T - (dF_{n+1}/dx_n)^T λ_{n+1}
+    ∇_p G = dG/dp + Σ_n (dF_n/dp)^T λ_n
+— but a fraction of the machinery: the reference builds THREE specially
+laid-out simulators (forward/backward/parameter, gradients.jl:168-224,
+swap_primary_with_parameters! :623). Here:
+
+- (dF_n/dx_n)^T is the block-ELL Jacobian we already assemble, applied
+  transposed (ell_rmatvec) or solved directly;
+- (dF_{n+1}/dx_n)^T λ and (dF_n/dp)^T λ are single ``jax.vjp`` reverse
+  passes through the SAME jitted residual function — no second model, no
+  adjoint layouts, no sparsity re-detection.
+
+States must be the accepted ministep sequence for exactness (reference
+requirement too); use ``expand_to_ministeps`` when ministeps were cut.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.setup import merge_state
+from ..ops.assembly import CompiledModel, compile_model
+from ..ops.blockell import BlockELL, ell_rmatvec, ell_to_dense
+from ..linsolve.krylov import gmres
+
+
+class AdjointStorage:
+    """Precompiled jitted kernels for adjoint sweeps
+    (reference setup_adjoint_storage, gradients.jl:108)."""
+
+    def __init__(self, model, parameters: dict, forces=None,
+                 direct_limit: int = 20_000):
+        self.model = model
+        self.comp = compile_model(model)
+        self.parameters = {k: jnp.asarray(v) for k, v in parameters.items()}
+        self.forces = forces
+        self.direct_limit = direct_limit
+        comp = self.comp
+
+        def residual_from_dofs(u, u0, params, dt, forces_):
+            state = merge_state(comp.unpack_dofs(u), params)
+            state0 = merge_state(comp.unpack_dofs(u0), params)
+            state = comp.evaluate_secondaries(state)
+            state0 = comp.evaluate_secondaries(state0)
+            return comp.residual(state, state0, dt, forces_)
+
+        self._residual_from_dofs = residual_from_dofs
+
+        @jax.jit
+        def jac_blocks(u, u0, params, dt, forces_):
+            state = merge_state(comp.unpack_dofs(u), params)
+            state0 = merge_state(comp.unpack_dofs(u0), params)
+            state = comp.evaluate_secondaries(state)
+            state0 = comp.evaluate_secondaries(state0)
+            return comp.jacobian_blocks(state, state0, dt, forces_)
+
+        @jax.jit
+        def vjp_u0_p(u, u0, params, dt, forces_, lam):
+            _, pull = jax.vjp(
+                lambda u0_, p_: residual_from_dofs(u, u0_, p_, dt, forces_),
+                u0, params)
+            return pull(lam)
+
+        self._jac_blocks = jac_blocks
+        self._vjp_u0_p = vjp_u0_p
+
+    # -- transpose solve ---------------------------------------------------
+    def solve_transposed(self, blocks, rhs):
+        """Solve J^T lam = rhs; rhs (n, ndof) -> lam (n, neq)."""
+        comp = self.comp
+        n = comp.n_cells
+        ndof = comp.ndof
+        if n * ndof <= self.direct_limit:
+            dense = ell_to_dense(blocks, comp.ell.cols)
+            lam = jnp.linalg.solve(dense.T, rhs.reshape(-1))
+            return lam.reshape(n, comp.neq_total)
+
+        cols = jnp.asarray(comp.ell.cols)
+
+        def matvec(x):
+            return ell_rmatvec(blocks, cols, x.reshape(n, comp.neq_total)
+                               ).reshape(-1)
+
+        lam, stats = gmres(matvec, rhs.reshape(-1), rtol=1e-10, maxiter=500)
+        return lam.reshape(n, comp.neq_total)
+
+
+def solve_adjoint_sensitivities(
+    model_or_case,
+    states: list,
+    timesteps_or_reports,
+    G: Callable,
+    parameters: dict | None = None,
+    state0: dict | None = None,
+    forces=None,
+    include_state0: bool = False,
+):
+    """∇_p G for G = Σ_n g(model, state_n, dt_n, n, forces)
+    (reference gradients.jl:17).
+
+    ``states`` are output states (dicts with at least the primaries) of the
+    accepted step sequence; ``G(model, state, dt, step_no, forces) ->
+    scalar`` is the per-step objective (reference's sum-objective form,
+    core_types.jl:1582).
+
+    Returns dict of gradients with the parameter shapes (plus
+    ``"state0"`` entry when requested).
+    """
+    from ..core.case import JutulCase
+
+    if isinstance(model_or_case, JutulCase):
+        case = model_or_case
+        model = case.model
+        parameters = parameters if parameters is not None else case.parameters
+        state0 = state0 if state0 is not None else case.state0
+        forces = forces if forces is not None else case.forces
+        dts = np.atleast_1d(np.asarray(case.dt, dtype=np.float64))
+    else:
+        model = model_or_case
+        dts = np.atleast_1d(np.asarray(timesteps_or_reports, dtype=np.float64))
+    if parameters is None or state0 is None:
+        raise ValueError("parameters and state0 are required")
+
+    storage = AdjointStorage(model, parameters, forces)
+    comp = storage.comp
+    params = storage.parameters
+
+    def dofs_of(state) -> jnp.ndarray:
+        return comp.get_dofs({k: jnp.asarray(v) for k, v in state.items()
+                              if k in model.primary_variables})
+
+    u0 = dofs_of(state0)
+    us = [dofs_of(s) for s in states]
+    N = len(us)
+    assert N == len(dts), (N, len(dts))
+
+    # dG/dx_n in dof space and dG/dp, via vjp through the evaluated state
+    def g_of(u, params_, dt, n):
+        state = merge_state(comp.unpack_dofs(u), params_)
+        state = comp.evaluate_secondaries(state)
+        return G(model, state, dt, n, _forces_for(forces, n))
+
+    g_grad_u = jax.jit(jax.grad(g_of, argnums=0), static_argnums=(3,))
+    g_grad_p = jax.jit(jax.grad(g_of, argnums=1), static_argnums=(3,))
+
+    grad_p = jax.tree_util.tree_map(jnp.zeros_like, params)
+    lam_next = None
+    u_next = None
+
+    for n in range(N - 1, -1, -1):
+        u_n = us[n]
+        u_prev = us[n - 1] if n > 0 else u0
+        dt_n = float(dts[n])
+        f_n = _forces_for(forces, n)
+
+        rhs = -g_grad_u(u_n, params, dt_n, n)
+        grad_p = _tree_add(grad_p, g_grad_p(u_n, params, dt_n, n))
+        if lam_next is not None:
+            dt_np1 = float(dts[n + 1])
+            f_np1 = _forces_for(forces, n + 1)
+            du0_bar, _ = storage._vjp_u0_p(u_next, u_n, params, dt_np1,
+                                           f_np1, lam_next)
+            rhs = rhs - du0_bar
+
+        blocks = storage._jac_blocks(u_n, u_prev, params, dt_n, f_n)
+        lam = storage.solve_transposed(blocks, rhs)
+
+        _, dp_bar = storage._vjp_u0_p(u_n, u_prev, params, dt_n, f_n, lam)
+        grad_p = _tree_add(grad_p, dp_bar)
+        # the u_prev cotangent also flows into p when n == 0 via state0?
+        # state0 is data, not a parameter; exposed separately below.
+        lam_next = lam
+        u_next = u_n
+
+    out = {k: np.asarray(v) for k, v in grad_p.items()}
+    if include_state0:
+        du0_bar, _ = storage._vjp_u0_p(us[0], u0, params, float(dts[0]),
+                                       _forces_for(forces, 0), lam_next)
+        out["state0"] = np.asarray(du0_bar)
+    return out
+
+
+def solve_numerical_sensitivities(model, states, dts, G, parameters,
+                                  state0, forces=None, eps_scale: float = 1e-6,
+                                  targets=None, **sim_kwargs):
+    """Finite-difference gradient checker (reference gradients.jl:700).
+
+    Re-simulates with perturbed parameters; O(n_params) cost — tests only.
+    Extra kwargs are forwarded to ``simulate`` (e.g. tight tolerances).
+    """
+    from ..simulator.simulator import simulate
+
+    def total_objective(params_np: dict) -> float:
+        res = simulate(dict(state0), model, dts, forces=forces,
+                       parameters=params_np, info_level=-1, **sim_kwargs)
+        tot = 0.0
+        for n, st in enumerate(res.states):
+            full = dict(st)
+            tot += float(G(model, {k: jnp.asarray(v) for k, v in full.items()},
+                           float(dts[n]), n, _forces_for(forces, n)))
+        return tot
+
+    grads = {}
+    names = targets if targets is not None else list(parameters)
+    for name in names:
+        base = np.asarray(parameters[name], dtype=np.float64)
+        g = np.zeros_like(base)
+        it = np.nditer(base, flags=["multi_index"])
+        for _ in it:
+            ix = it.multi_index
+            # relative perturbation (parameters span ~30 orders of magnitude
+            # across units; an absolute step would destroy e.g. trans ~1e-11)
+            h = eps_scale * abs(base[ix]) if base[ix] != 0 else eps_scale
+            pp = {k: np.array(v, dtype=np.float64) for k, v in parameters.items()}
+            pp[name][ix] = base[ix] + h
+            fp = total_objective(pp)
+            pm = {k: np.array(v, dtype=np.float64) for k, v in parameters.items()}
+            pm[name][ix] = base[ix] - h
+            fm = total_objective(pm)
+            g[ix] = (fp - fm) / (2 * h)
+        grads[name] = g
+    return grads
+
+
+def _forces_for(forces, n):
+    if isinstance(forces, list):
+        return forces[n]
+    return forces
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(lambda x, y: x + y, a, b)

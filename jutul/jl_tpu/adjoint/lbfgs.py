@@ -1,0 +1,131 @@
+"""Limited-memory BFGS in the unit box.
+
+Counterpart of the reference LBFGS module (reference: src/LBFGS/
+``unit_box_bfgs`` constrained_optimizer.jl:62 — scaled unit-box BFGS with
+inexact line search and limited-memory Hessian limited_memory_hessian.jl:1).
+Host-side numpy driver (like the reference's Julia host code); the expensive
+calls are the jitted simulate/adjoint inside ``f_and_g``.
+
+API: ``unit_box_bfgs(x0, f_and_g)`` minimizes (or maximizes) f over
+[0,1]^n; ``f_and_g(x) -> (value, gradient)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class OptimizationHistory:
+    values: list = field(default_factory=list)
+    grad_norms: list = field(default_factory=list)
+    steps: list = field(default_factory=list)
+
+
+def _two_loop(g, S, Y):
+    """Standard L-BFGS two-loop recursion for H @ g."""
+    q = g.copy()
+    alphas = []
+    rhos = [1.0 / max(np.dot(y, s), 1e-300) for s, y in zip(S, Y)]
+    for (s, y), rho in zip(reversed(list(zip(S, Y))),
+                           reversed(rhos)):
+        a = rho * np.dot(s, q)
+        q -= a * y
+        alphas.append((a, rho))
+    if S:
+        s, y = S[-1], Y[-1]
+        gamma = np.dot(s, y) / max(np.dot(y, y), 1e-300)
+        q *= gamma
+    for (s, y), (a, rho) in zip(zip(S, Y), reversed(alphas)):
+        b = rho * np.dot(y, q)
+        q += (a - b) * s
+    return q
+
+
+def _project_direction(x, d, g, eps=1e-12):
+    """Zero direction components that push against an active bound."""
+    d = d.copy()
+    d[(x <= eps) & (d < 0)] = 0.0
+    d[(x >= 1 - eps) & (d > 0)] = 0.0
+    if np.dot(d, g) >= 0:  # not a descent direction: steepest descent
+        d = -g.copy()
+        d[(x <= eps) & (d < 0)] = 0.0
+        d[(x >= 1 - eps) & (d > 0)] = 0.0
+    return d
+
+
+def _projected_grad_norm(x, g, eps=1e-12):
+    pg = g.copy()
+    pg[(x <= eps) & (g > 0)] = 0.0
+    pg[(x >= 1 - eps) & (g < 0)] = 0.0
+    return np.max(np.abs(pg)) if pg.size else 0.0
+
+
+def unit_box_bfgs(x0, f_and_g, maximize: bool = False,
+                  max_iterations: int = 100, memory: int = 10,
+                  grad_tol: float = 1e-8, obj_change_tol: float = 1e-12,
+                  step_tol: float = 1e-12, c1: float = 1e-4,
+                  max_line_search: int = 25, verbose: bool = False):
+    """Box-constrained L-BFGS on [0,1]^n (reference
+    constrained_optimizer.jl:62). Returns (value, x, history)."""
+    sign = -1.0 if maximize else 1.0
+    x = np.clip(np.asarray(x0, dtype=np.float64), 0.0, 1.0)
+
+    def eval_fg(xq):
+        v, g = f_and_g(xq)
+        return sign * float(v), sign * np.asarray(g, dtype=np.float64)
+
+    v, g = eval_fg(x)
+    hist = OptimizationHistory([sign * v], [_projected_grad_norm(x, g)], [0.0])
+    S: list[np.ndarray] = []
+    Y: list[np.ndarray] = []
+
+    for it in range(max_iterations):
+        pgn = _projected_grad_norm(x, g)
+        if pgn <= grad_tol:
+            break
+        d = _project_direction(x, -_two_loop(g, S, Y), g)
+        dn = np.max(np.abs(d))
+        if dn <= step_tol:
+            break
+        # cap alpha so x + alpha d remains in the box
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hi = np.where(d > 0, (1.0 - x) / np.where(d > 0, d, 1.0), np.inf)
+            lo = np.where(d < 0, (0.0 - x) / np.where(d < 0, d, 1.0), np.inf)
+        alpha_max = float(min(np.min(hi), np.min(lo)))
+        alpha = min(1.0, alpha_max)
+        if alpha <= 0:
+            break
+        gtd = np.dot(g, d)
+        ok = False
+        for _ in range(max_line_search):
+            x_new = np.clip(x + alpha * d, 0.0, 1.0)
+            v_new, g_new = eval_fg(x_new)
+            if v_new <= v + c1 * alpha * gtd or abs(v_new - v) <= (
+                    obj_change_tol * max(abs(v), 1e-300)):
+                ok = True
+                break
+            alpha *= 0.5
+        if not ok:
+            break
+        s = x_new - x
+        y = g_new - g
+        if np.dot(s, y) > 1e-10 * np.linalg.norm(s) * np.linalg.norm(y):
+            S.append(s)
+            Y.append(y)
+            if len(S) > memory:
+                S.pop(0)
+                Y.pop(0)
+        obj_change = abs(v_new - v)
+        x, v, g = x_new, v_new, g_new
+        hist.values.append(sign * v)
+        hist.grad_norms.append(_projected_grad_norm(x, g))
+        hist.steps.append(alpha)
+        if verbose:
+            print(f"LBFGS it {it + 1}: f={sign * v:.6e} "
+                  f"|pg|={hist.grad_norms[-1]:.3e} alpha={alpha:.3e}")
+        if obj_change <= obj_change_tol * max(abs(v), 1e-300):
+            break
+    return sign * v, x, hist

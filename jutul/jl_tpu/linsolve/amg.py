@@ -1,0 +1,201 @@
+"""Algebraic multigrid (aggregation AMG) for scalar block-ELL systems.
+
+Counterpart of the reference's AMG stack (reference: src/linsolve/precond/
+amg.jl:5 ``AMGPreconditioner`` with AlgebraicMultigrid.jl hierarchies, custom
+coarse-system reassembly amg.jl:238-330 and partial updates reusing the
+hierarchy :165; plus the HYPRE BoomerAMG and AMGCL extensions —
+ext/JutulHYPREExt, ext/JutulAMGCLWrapExt — whose native C/C++ engines this
+module replaces with XLA).
+
+TPU-native split of work:
+- **Symbolic setup is value-independent and runs once** (numpy): greedy
+  aggregation (Vanek-style) on the sparsity graph, coarse-level ELL
+  structures, and the fine->coarse scatter maps for the Galerkin product.
+  This mirrors the reference's "partial hierarchy update" trick (amg.jl:165):
+  sparsity never changes between Newton iterations, so only values move.
+- **Numeric setup + apply are jitted**: coarse operators are segment-sums of
+  fine blocks (Galerkin R A P with piecewise-constant P), smoothing is
+  damped Jacobi, and the V-cycle is a fixed unrolled recursion — all static
+  shapes, no host control flow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blockell import BlockELL, ELLStructure, ell_matvec
+from .precond import Preconditioner
+
+
+def greedy_aggregate(cols: np.ndarray, n: int) -> np.ndarray:
+    """Vanek-style greedy aggregation on an ELL sparsity graph.
+
+    Pass 1: seed aggregates from nodes whose neighborhood is untouched.
+    Pass 2: attach remaining nodes to an adjacent aggregate.
+    Returns (n,) aggregate ids in [0, n_agg).
+    """
+    agg = np.full(n, -1, dtype=np.int64)
+    n_agg = 0
+    S = cols.shape[1]
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = cols[i]
+        if np.all(agg[nbrs] < 0):
+            agg[i] = n_agg
+            agg[nbrs] = n_agg
+            n_agg += 1
+    # pass 2: attach leftovers
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = cols[i]
+        assigned = agg[nbrs]
+        good = assigned[assigned >= 0]
+        if good.size:
+            agg[i] = good[0]
+        else:
+            agg[i] = n_agg
+            n_agg += 1
+    return agg
+
+
+@dataclass
+class AMGLevel:
+    structure: ELLStructure  # this level's ELL
+    agg: np.ndarray | None  # (n,) fine->coarse map (None at coarsest)
+    scatter_idx: np.ndarray | None  # (n*S,) flat coarse (row*S_c + slot)
+    scatter_valid: np.ndarray | None
+    n_coarse: int = 0
+
+
+class AMGHierarchy:
+    """Static multilevel structure for a given fine ELLStructure."""
+
+    def __init__(self, structure: ELLStructure, min_coarse: int = 64,
+                 max_levels: int = 10):
+        self.levels: list[AMGLevel] = []
+        cur = structure
+        for _ in range(max_levels):
+            n = cur.n_rows
+            if n <= min_coarse:
+                break
+            agg = greedy_aggregate(np.asarray(cur.cols), n)
+            n_c = int(agg.max()) + 1
+            if n_c >= n:  # no coarsening progress
+                break
+            # coarse structure from aggregated edges
+            rows_f = np.repeat(np.arange(n), cur.n_slots)
+            cols_f = np.asarray(cur.cols).reshape(-1)
+            edges_c = np.stack([agg[rows_f], agg[cols_f]], axis=1)
+            cstruct = ELLStructure.build(n_c, edges_c)
+            # scatter map: fine entry (i, s) -> coarse flat slot
+            slot_c = cstruct.slots_for(agg[rows_f], agg[cols_f])
+            flat = agg[rows_f] * cstruct.n_slots + slot_c
+            self.levels.append(AMGLevel(cur, agg, flat.astype(np.int32),
+                                        None, n_c))
+            cur = cstruct
+        self.levels.append(AMGLevel(cur, None, None, None, 0))
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+
+class AMGPreconditioner(Preconditioner):
+    """Aggregation-AMG V-cycle for SCALAR (1x1 block) ELL systems
+    (reference precond/amg.jl:5).
+
+    ``omega``: damped-Jacobi smoother weight; ``n_smooth``: pre/post sweeps;
+    ``n_cycles``: V-cycles per apply.
+    """
+
+    def __init__(self, omega: float = 0.67, n_smooth: int = 2,
+                 n_cycles: int = 1, min_coarse: int = 64):
+        self.omega = omega
+        self.n_smooth = n_smooth
+        self.n_cycles = n_cycles
+        self.min_coarse = min_coarse
+        self._hier: AMGHierarchy | None = None
+        self._struct_id = None
+
+    def _symbolic(self, structure: ELLStructure) -> AMGHierarchy:
+        if self._hier is None or self._struct_id != id(structure):
+            self._hier = AMGHierarchy(structure, self.min_coarse)
+            self._struct_id = id(structure)
+        return self._hier
+
+    def update(self, J: BlockELL):
+        """Galerkin coarse operators for all levels (jitted scatter-adds)."""
+        assert J.blocks.shape[2] == 1 and J.blocks.shape[3] == 1, (
+            "AMGPreconditioner expects a scalar system; use CPR for blocks"
+        )
+        hier = self._symbolic(J.structure)
+        vals = J.blocks[:, :, 0, 0]  # (n, S)
+        ops = []
+        for li, lvl in enumerate(hier.levels[:-1]):
+            ops.append(vals)
+            n_c = lvl.n_coarse
+            # coarse values: segment-sum of fine entries into coarse slots
+            cstruct = hier.levels[li + 1].structure
+            flat = jnp.asarray(lvl.scatter_idx)
+            coarse_flat = jax.ops.segment_sum(
+                vals.reshape(-1), flat, num_segments=n_c * cstruct.n_slots
+            )
+            vals = coarse_flat.reshape(n_c, cstruct.n_slots)
+        ops.append(vals)  # coarsest operator
+        # dense coarsest for the direct bottom solve
+        bottom = hier.levels[-1].structure
+        nb = bottom.n_rows
+        dense = jnp.zeros((nb, nb), vals.dtype)
+        rows = jnp.repeat(jnp.arange(nb), bottom.n_slots)
+        colsb = jnp.asarray(bottom.cols).reshape(-1)
+        dense = dense.at[rows, colsb].add(vals.reshape(-1))
+        return (ops, dense)
+
+    def apply(self, state, J: BlockELL, x):
+        ops, dense = state
+        hier = self._symbolic(J.structure)
+        b = x[:, 0] if x.ndim == 2 else x
+
+        def vcycle(level: int, rhs):
+            lvl = hier.levels[level]
+            A = ops[level]
+            cols = jnp.asarray(lvl.structure.cols)
+            diag = A[:, 0]
+            dinv = 1.0 / diag
+
+            if level == hier.n_levels - 1:
+                return jnp.linalg.solve(dense, rhs)
+
+            u = self.omega * dinv * rhs  # first Jacobi sweep from zero
+            for _ in range(self.n_smooth - 1):
+                r = rhs - _scalar_matvec(A, cols, u)
+                u = u + self.omega * dinv * r
+            r = rhs - _scalar_matvec(A, cols, u)
+            agg = jnp.asarray(lvl.agg)
+            r_c = jax.ops.segment_sum(r, agg, num_segments=lvl.n_coarse)
+            e_c = vcycle(level + 1, r_c)
+            u = u + e_c[agg]
+            for _ in range(self.n_smooth):
+                r = rhs - _scalar_matvec(A, cols, u)
+                u = u + self.omega * dinv * r
+            return u
+
+        u = jnp.zeros_like(b)
+        for _ in range(self.n_cycles):
+            r = b - _scalar_matvec(ops[0], jnp.asarray(
+                hier.levels[0].structure.cols), u)
+            u = u + vcycle(0, r)
+        return u[:, None] if x.ndim == 2 else u
+
+
+def _scalar_matvec(vals, cols, x):
+    """(n,S) scalar ELL matvec (flat 1D gather: layout-proof on TPU)."""
+    n, S = vals.shape
+    xg = x[cols.reshape(-1)].reshape(n, S)
+    return jnp.sum(vals * xg, axis=1)

@@ -1,0 +1,66 @@
+"""CPR: constrained pressure residual two-stage preconditioner.
+
+The reference framework ships the building blocks (ILU(0)/AMG/Jacobi —
+src/linsolve/precond/, src/StaticCSR/) that downstream JutulDarcy composes
+into CPR (BASELINE.md notes CPR itself lives downstream); here the
+composition is first-class since it is the benchmark solver.
+
+Quasi-IMPES CPR (Wallis):
+  stage 1 (pressure): per-cell weights w solve D_c^T w = e_p with D_c the
+    diagonal block, decoupling the saturation derivatives locally. The
+    scalar pressure operator is A_p[i,j] = w_i . J[i,j][:, p] on the SAME
+    ELL sparsity; one AMG V-cycle approximates A_p^{-1}.
+  stage 2 (full system): a global smoother (block-ILU(0)) is applied to the
+    corrected residual.
+
+Both stages are jitted; the AMG hierarchy's symbolic setup is shared across
+Newton iterations (values-only updates, like the reference's partial AMG
+hierarchy update amg.jl:165).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.blockell import BlockELL
+from ..ops.smallmat import block_inv
+from .amg import AMGPreconditioner
+from .precond import ILU0Preconditioner, Preconditioner
+
+
+class CPRPreconditioner(Preconditioner):
+    def __init__(self, pressure_index: int = 0, smoother: Preconditioner
+                 | None = None, amg: AMGPreconditioner | None = None):
+        self.p = int(pressure_index)
+        self.smoother = smoother or ILU0Preconditioner()
+        self.amg = amg or AMGPreconditioner(n_cycles=1)
+
+    def update(self, J: BlockELL):
+        blocks = J.blocks  # (n, S, neq, ndof)
+        n, S, neq, ndof = blocks.shape
+        D = blocks[:, 0]  # (n, neq, ndof)
+        Dinv = block_inv(D)
+        # quasi-IMPES weights: w = D^{-T} e_p = row p of D^{-1}
+        w = Dinv[:, self.p, :]  # (n, neq)
+        # scalar pressure operator: A_p[i,s] = sum_eq w[i,eq]*J[i,s][eq,p]
+        Ap_vals = jnp.sum(w[:, None, :] * blocks[..., self.p], axis=-1)
+        Ap = BlockELL(J.structure, Ap_vals[..., None, None])
+        amg_state = self.amg.update(Ap)
+        smoother_state = self.smoother.update(J)
+        return (w, Ap_vals, amg_state, smoother_state)
+
+    def apply(self, state, J: BlockELL, x):
+        """x: (n, neq) residual-space vector; returns (n, ndof) update."""
+        w, Ap_vals, amg_state, smoother_state = state
+        n, S, neq, ndof = J.blocks.shape
+        Ap = BlockELL(J.structure, Ap_vals[..., None, None])
+
+        # stage 1: pressure correction
+        r_p = jnp.sum(w * x, axis=-1)  # (n,)
+        dp = self.amg.apply(amg_state, Ap, r_p[:, None])[:, 0]
+        du = jnp.zeros((n, ndof), x.dtype).at[:, self.p].set(dp)
+
+        # stage 2: global smoother on the corrected residual
+        r2 = x - J.matvec(du)
+        du2 = self.smoother.apply(smoother_state, J, r2)
+        return du + du2

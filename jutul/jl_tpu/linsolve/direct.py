@@ -29,8 +29,18 @@ class DirectSolver:
                 "configure a Krylov solver (GenericKrylov)"
             )
 
-    def solve(self, J: BlockELL, r):
-        """Return du with J du = -r; shapes (n, ndof) / (n, neq)."""
+    def solve(self, J, r):
+        """Return du with J du = -r; shapes (n, ndof) / (n, neq).
+
+        Also accepts a coupled MultiLinearizedSystem (dict-valued r/du).
+        """
+        from ..multimodel.core import MultiLinearizedSystem
+
+        if isinstance(J, MultiLinearizedSystem):
+            dense = J.to_dense()
+            rhs = -J.flatten_res(r)
+            du = jnp.linalg.solve(dense, rhs)
+            return J.unflatten_dofs(du), {"solver": "direct", "iterations": 1}
         n, _, neq, ndof = J.blocks.shape
         dense = ell_to_dense(J.blocks, J.structure.cols)
         rhs = -r.reshape(n * neq)

@@ -139,13 +139,20 @@ def gmres(matvec: Callable, b, x0=None, restart: int = 20,
 
 def bicgstab(matvec: Callable, b, x0=None, maxiter: int = 200,
              rtol: float = 1e-8, atol: float = 0.0,
-             precond: Callable | None = None):
-    """Right-preconditioned BiCGStab (reference solver=:bicgstab path)."""
+             precond: Callable | None = None, dot_fn: Callable | None = None):
+    """Right-preconditioned BiCGStab (reference solver=:bicgstab path).
+
+    ``dot_fn`` overrides the inner product — inside ``shard_map`` pass a
+    psum-reducing dot to make the solve distributed (the counterpart of the
+    reference's PVector dot products over MPI, ext krylov.jl).
+    """
     if precond is None:
         precond = _identity
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    bnorm = jnp.linalg.norm(b)
+    dot = dot_fn or jnp.dot
+    norm = lambda v: jnp.sqrt(dot(v, v))
+    bnorm = norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     r0 = b - matvec(x0)
@@ -157,27 +164,27 @@ def bicgstab(matvec: Callable, b, x0=None, maxiter: int = 200,
 
     def step(carry):
         x, r, p, v, rho, alpha, omega, it, _res = carry
-        rho_new = jnp.dot(rhat, r)
+        rho_new = dot(rhat, r)
         beta = (rho_new / jnp.where(rho != 0, rho, 1e-300)) * (
             alpha / jnp.where(omega != 0, omega, 1e-300)
         )
         p = r + beta * (p - omega * v)
         phat = precond(p)
         v = matvec(phat)
-        denom = jnp.dot(rhat, v)
+        denom = dot(rhat, v)
         alpha = rho_new / jnp.where(denom != 0, denom, 1e-300)
         s = r - alpha * v
         shat = precond(s)
         t = matvec(shat)
-        tt = jnp.dot(t, t)
-        omega = jnp.dot(t, s) / jnp.where(tt != 0, tt, 1e-300)
+        tt = dot(t, t)
+        omega = dot(t, s) / jnp.where(tt != 0, tt, 1e-300)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        res = jnp.linalg.norm(r)
+        res = norm(r)
         return (x, r, p, v, rho_new, alpha, omega, it + 1, res)
 
     z = jnp.zeros_like(b)
-    carry0 = (x0, r0, z, z, 1.0, 1.0, 1.0, 0, jnp.linalg.norm(r0))
+    carry0 = (x0, r0, z, z, 1.0, 1.0, 1.0, 0, norm(r0))
     x, r, *_, it, res = jax.lax.while_loop(cond, step, carry0)
     return x, {"iterations": it, "residual": res, "converged": res <= tol}
 
@@ -205,8 +212,16 @@ class GenericKrylov:
         self.restart = restart
         self.verbose = verbose
 
-    def solve(self, J: BlockELL, r):
-        """Solve J du = -r; shapes (n, neq) -> (n, ndof). Jit-compatible."""
+    def solve(self, J, r):
+        """Solve J du = -r; shapes (n, neq) -> (n, ndof). Jit-compatible.
+
+        Also accepts a coupled MultiLinearizedSystem (dict-valued r/du),
+        defaulting to a per-model block-Jacobi (GroupWise) preconditioner.
+        """
+        from ..multimodel.core import MultiLinearizedSystem
+
+        if isinstance(J, MultiLinearizedSystem):
+            return self._solve_multi(J, r)
         n, _, neq, ndof = J.blocks.shape
         pstate = self.preconditioner.update(J)
 
@@ -227,3 +242,34 @@ class GenericKrylov:
                                 rtol=self.rtol, atol=self.atol,
                                 precond=precond)
         return x.reshape(n, ndof), stats
+
+    def _solve_multi(self, J, r: dict):
+        from .precond import BlockJacobiPreconditioner, GroupWisePreconditioner
+
+        p = self.preconditioner
+        if isinstance(p, TrivialPreconditioner):
+            p = GroupWisePreconditioner(BlockJacobiPreconditioner())
+        pstate = p.update(J) if isinstance(p, GroupWisePreconditioner) else None
+
+        def matvec(v):
+            return J.matvec_flat(v)
+
+        if pstate is not None:
+            def precond(v):
+                x = J.unflatten_res(v)
+                y = p.apply(pstate, J, x)
+                return jnp.concatenate([y[n].reshape(-1)
+                                        for n in J.layout.names])
+        else:
+            precond = None
+
+        b = -J.flatten_res(r)
+        if self.solver == "gmres":
+            x, stats = gmres(matvec, b, restart=self.restart,
+                             maxiter=self.max_iterations, rtol=self.rtol,
+                             atol=self.atol, precond=precond)
+        else:
+            x, stats = bicgstab(matvec, b, maxiter=self.max_iterations,
+                                rtol=self.rtol, atol=self.atol,
+                                precond=precond)
+        return J.unflatten_dofs(x), stats

@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallmat import block_inv, bmm, bmv
 from ..ops.blockell import BlockELL, ell_matvec
 
 
@@ -63,11 +64,11 @@ class BlockJacobiPreconditioner(Preconditioner):
     scaling path in precond/jacobi.jl for block layouts)."""
 
     def update(self, J: BlockELL):
-        return (jnp.linalg.inv(J.blocks[:, 0]),)
+        return (block_inv(J.blocks[:, 0]),)
 
     def apply(self, state, J, x):
         (dinv,) = state
-        return jnp.einsum("nij,nj->ni", dinv, x)
+        return bmv(dinv, x)
 
 
 class SPAI0Preconditioner(Preconditioner):
@@ -120,16 +121,25 @@ class ILU0Preconditioner(Preconditioner):
         lower_mask = jnp.asarray(cols_np < rows_np)
         upper_mask = jnp.asarray(cols_np > rows_np)
         # transposed-partner index: stored (i,j) -> location of block (j,i)
-        # (FV sparsity is structurally symmetric, so the partner exists)
+        # (FV sparsity is structurally symmetric, so the partner exists).
+        # All gathers use FLAT 1D indices: 4D gathers constrain layouts to
+        # tile the tiny block dims (64x padding at scale on TPU).
         partner_slot = J.structure.slots_for(cols_np, rows_np)
-        partner_rows = jnp.asarray(cols_np)
-        partner_slots = jnp.asarray(partner_slot)
 
         A = J.blocks  # (n, S, b, b)
+        n_, S_, b_, _ = A.shape
         cols = jnp.asarray(cols_np)
         lm = lower_mask[..., None, None]
         um = upper_mask[..., None, None]
-        A_T_partner = A[partner_rows, partner_slots]  # block (j, i) per slot
+        elem = np.arange(b_ * b_, dtype=np.int64)
+        partner_flat = ((cols_np.astype(np.int64) * S_ + partner_slot)
+                        [:, :, None] * (b_ * b_) + elem).reshape(-1)
+        A_T_partner = A.reshape(-1)[jnp.asarray(partner_flat)].reshape(A.shape)
+
+        def gather_diag_at_cols(Dinv):
+            idx = (cols_np.astype(np.int64)[:, :, None] * (b_ * b_)
+                   + elem).reshape(-1)
+            return Dinv.reshape(-1)[jnp.asarray(idx)].reshape(n_, S_, b_, b_)
 
         # For two-point FV stencils, neighbors i and j share no third stored
         # column, so ILU(0) collapses to
@@ -139,18 +149,16 @@ class ILU0Preconditioner(Preconditioner):
         # (Chow & Patel 2015). Each sweep advances the row-ordering DAG one
         # level; a handful of sweeps gives a preconditioner-grade factor.
         def sweep(Udiag, _):
-            Udiag_inv = jnp.linalg.inv(Udiag)
-            L_off = jnp.where(lm, jnp.einsum(
-                "nsij,nsjk->nsik", A, Udiag_inv[cols]), 0.0)
-            corr = jnp.einsum("nsij,nsjk->nsik", L_off, A_T_partner)
+            Udiag_inv = block_inv(Udiag)
+            L_off = jnp.where(lm, bmm(A, gather_diag_at_cols(Udiag_inv)), 0.0)
+            corr = bmm(L_off, A_T_partner)
             Udiag_new = A[:, 0] - jnp.sum(jnp.where(lm, corr, 0.0), axis=1)
             return Udiag_new, None
 
         Udiag, _ = jax.lax.scan(sweep, A[:, 0], None,
                                 length=self.n_factor_sweeps)
-        Udiag_inv = jnp.linalg.inv(Udiag)
-        L_off = jnp.where(lm, jnp.einsum(
-            "nsij,nsjk->nsik", A, Udiag_inv[cols]), 0.0)
+        Udiag_inv = block_inv(Udiag)
+        L_off = jnp.where(lm, bmm(A, gather_diag_at_cols(Udiag_inv)), 0.0)
         U_off = jnp.where(um, A, 0.0)
         return (L_off, U_off, Udiag_inv, lower_mask, upper_mask)
 
@@ -167,10 +175,34 @@ class ILU0Preconditioner(Preconditioner):
 
         # z = U^{-1} y: z = D^{-1}(y - U_off z)
         def usweep(z, _):
-            z = jnp.einsum("nij,nj->ni", Udiag_inv,
-                           y - ell_matvec(U_off, cols, z))
+            z = bmv(Udiag_inv, y - ell_matvec(U_off, cols, z))
             return z, None
 
-        z0 = jnp.einsum("nij,nj->ni", Udiag_inv, y)
+        z0 = bmv(Udiag_inv, y)
         z, _ = jax.lax.scan(usweep, z0, None, length=self.n_solve_sweeps)
         return z
+
+
+class GroupWisePreconditioner(Preconditioner):
+    """Per-submodel preconditioner for MultiLinearizedSystem
+    (reference precond/various.jl GroupWisePreconditioner): each submodel's
+    diagonal BlockELL gets its own inner preconditioner; couplings are
+    handled by the outer Krylov iteration (block-Jacobi across models)."""
+
+    def __init__(self, preconditioners):
+        # dict name -> Preconditioner, or a single prototype applied to all
+        self.preconditioners = preconditioners
+
+    def _for(self, name):
+        if isinstance(self.preconditioners, dict):
+            return self.preconditioners[name]
+        return self.preconditioners
+
+    def update(self, J):
+        return {name: self._for(name).update(Jd)
+                for name, Jd in J.diag.items()}
+
+    def apply(self, state, J, x: dict) -> dict:
+        return {name: self._for(name).apply(state[name], J.diag[name],
+                                            x[name])
+                for name in J.diag}

@@ -207,15 +207,18 @@ class TwoPhaseDarcyEquation(ConservationLaw):
 
         super().__init__(flux_fn=flux, mass_fn=mass, neq=n_phases)
 
-    def convergence_criterion(self, model, eq_name, r, state, dt):
+    def convergence_parts(self, model, eq_name, r, state, dt):
         """CNV (max local scaled residual) + MB (global mass balance),
-        the standard pair (reference-scaled criteria, models.jl:818)."""
+        the standard pair (reference-scaled criteria, models.jl:818). MB is
+        expressed as a ratio of global sums so the distributed reduction is
+        exact (psum of numerator and denominator)."""
         pv = state["FluidVolume"]
         rho = state["PhaseMassDensities"]
         scale = dt / (pv[:, None] * rho)
         cnv = jnp.max(jnp.abs(r) * scale, axis=0)
-        mb = jnp.abs(jnp.sum(r, axis=0)) * dt / jnp.sum(pv[:, None] * rho, axis=0)
-        return {"CNV": cnv, "MB": mb}
+        mb_num = jnp.sum(r, axis=0) * dt  # signed; |.| applied after psum
+        mb_den = jnp.sum(pv[:, None] * rho, axis=0)
+        return {"CNV": ("max", cnv), "MB": ("ratio", (mb_num, mb_den))}
 
     def default_tolerance(self, model) -> float:
         return 1e-3

@@ -73,12 +73,31 @@ class JutulEquation:
         raise NotImplementedError
 
     # --- convergence -----------------------------------------------------
+    def convergence_parts(self, model, eq_name, r, state, dt):
+        """Distributable criterion pieces: dict name -> (kind, payload).
+
+        kind "max": payload is a (neq,) array reduced by max across shards.
+        kind "ratio": payload is (numerator, denominator) (neq,) arrays,
+        each summed (signed) across shards; the criterion value is
+        |sum(num)| / sum(den) (for global-balance criteria like MB).
+        """
+        return {"Max": ("max", jnp.max(jnp.abs(r), axis=0))}
+
     def convergence_criterion(self, model, eq_name, r, state, dt):
         """Return dict criterion-name -> (neq,) array of errors.
 
-        Default = max abs residual (reference equations.jl:620).
+        Default = max abs residual (reference equations.jl:620). Derived
+        from convergence_parts; override convergence_parts, not this.
         """
-        return {"Max": jnp.max(jnp.abs(r), axis=0)}
+        out = {}
+        for name, (kind, payload) in self.convergence_parts(
+                model, eq_name, r, state, dt).items():
+            if kind == "max":
+                out[name] = payload
+            else:
+                num, den = payload
+                out[name] = jnp.abs(num) / den
+        return out
 
     def default_tolerance(self, model) -> float:
         return 1e-6
@@ -135,9 +154,8 @@ class ConservationLaw(JutulEquation):
             )
         return out
 
-    def convergence_criterion(self, model, eq_name, r, state, dt):
+    def convergence_parts(self, model, eq_name, r, state, dt):
         if self.scale_fn is not None:
             s = self.scale_fn(model, state, dt)  # (n_cells, neq) or (neq,)
-            scaled = r * s
-            return {"CNV": jnp.max(jnp.abs(scaled), axis=0)}
-        return {"Max": jnp.max(jnp.abs(r), axis=0)}
+            return {"CNV": ("max", jnp.max(jnp.abs(r * s), axis=0))}
+        return {"Max": ("max", jnp.max(jnp.abs(r), axis=0))}

@@ -22,6 +22,12 @@ def setup_state(model, values: dict | None = None, **kwargs) -> dict:
     Unknown keys raise; values may be scalars, per-entity arrays, or
     per-component defaults.
     """
+    from ..multimodel.core import MultiModel
+
+    if isinstance(model, MultiModel):
+        init = dict(values or {})
+        init.update(kwargs)
+        return model.setup_state(**init)
     init = dict(values or {})
     init.update(kwargs)
     state: dict[str, np.ndarray] = {}
@@ -44,6 +50,12 @@ def setup_parameters(model, values: dict | None = None, **kwargs) -> dict:
     geometry + permeability), mirroring the reference's
     parameters-from-DataDomain behavior (variables/vectorization.jl:208).
     """
+    from ..multimodel.core import MultiModel
+
+    if isinstance(model, MultiModel):
+        init = dict(values or {})
+        init.update(kwargs)
+        return model.setup_parameters(**init)
     init = dict(values or {})
     init.update(kwargs)
     params: dict[str, np.ndarray] = {}

@@ -214,3 +214,13 @@ class PoissonFaceCoefficientUnit(JutulParameter):
         if coef is None:
             coef = np.ones(model.number_of_cells())
         return compute_face_trans(dd.geometry, coef)
+
+
+class ScalarTestCrossTerm:
+    """X_target - X_source, skew-symmetric
+    (reference scalar.jl ScalarTestCrossTerm + CTSkewSymmetry)."""
+
+    symmetric = True
+
+    def value(self, model_t, model_s, local_t, local_s, dt):
+        return jnp.reshape(local_t["XVar"] - local_s["XVar"], (1,))

@@ -213,17 +213,22 @@ class CompiledModel:
         assemble())."""
         model = self.model
         n = self.n_cells
-        r = jnp.zeros((n, self.neq_total))
+        neqT = self.neq_total
+        r = jnp.zeros(n * neqT)  # flat accumulation (layout-proof scatters)
         cell_state = self._cell_entries(state)
         cell_state0 = self._cell_entries(state0)
         face_state = self._face_entries(state)
 
         for info, con, meta in self.contribs:
             sl = info.row_slice
+            eqs = np.arange(sl.start, sl.stop)
             if isinstance(con, (AccumulationContribution, CellTermContribution)):
                 fn = lambda cs, cs0, _con=con: _con.fn(model, cs, cs0, dt)
                 vals = jax.vmap(fn)(cell_state, cell_state0)  # (n, neq)
-                r = r.at[:, sl].add(vals)
+                idx = meta.setdefault("_r_cell_idx", (
+                    np.arange(n, dtype=np.int64)[:, None] * neqT + eqs
+                ).reshape(-1))
+                r = r.at[idx].add(vals.reshape(-1))
             elif isinstance(con, FaceFluxContribution):
                 st = meta["stencil"]
                 local = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[st],
@@ -231,11 +236,20 @@ class CompiledModel:
                 fs = jax.tree_util.tree_map(lambda a: jnp.asarray(a), face_state)
                 fn = lambda cs, f, _con=con: _con.fn(model, cs, f)
                 flux = jax.vmap(fn)(local, fs)  # (nf, neq)
-                r = r.at[meta["plus"], sl].add(flux)
-                r = r.at[meta["minus"], sl].add(-flux)
+                if "_r_flux_idx" not in meta:
+                    meta["_r_flux_idx"] = (
+                        (meta["plus"].astype(np.int64)[:, None] * neqT
+                         + eqs).reshape(-1),
+                        (meta["minus"].astype(np.int64)[:, None] * neqT
+                         + eqs).reshape(-1),
+                    )
+                ip, im = meta["_r_flux_idx"]
+                r = r.at[ip].add(flux.reshape(-1))
+                r = r.at[im].add(-flux.reshape(-1))
             else:
                 raise TypeError(f"Unknown contribution {type(con)}")
 
+        r = r.reshape(n, neqT)
         if forces:
             r = self._apply_forces(r, state, dt, forces)
         return r
@@ -254,12 +268,33 @@ class CompiledModel:
     # ------------------------------------------------------------------
     # Jacobian
     # ------------------------------------------------------------------
+    def _flat_block_index(self, rows, slots, row_slice: slice):
+        """Flat indices into blocks.reshape(-1) for updates of shape
+        (m, n_eq_local, ndof) at (rows, slots, row_slice, :).
+
+        All Jacobian scatters go through FLAT 1D index space: on TPU a
+        scatter into a (n, S, neq, ndof) operand constrains its layout to
+        tile the trailing tiny block dims — a measured 64x padding blowup
+        (7 GB for a 112 MB operand at 1M cells). 1D scatters are layout-
+        proof. Counterpart of the reference's linear nzval indices
+        (jacobian_positions, ad/ad.jl:103).
+        """
+        S, neqT, ndof = self.ell.n_slots, self.neq_total, self.ndof
+        eqs = np.arange(row_slice.start, row_slice.stop)
+        base = (np.asarray(rows, dtype=np.int64) * S
+                + np.asarray(slots, dtype=np.int64)) * (neqT * ndof)
+        idx = (base[:, None, None] + eqs[:, None] * ndof
+               + np.arange(ndof)[None, :])
+        return idx.reshape(-1)
+
     def jacobian_blocks(self, state: dict, state0: dict, dt, forces=None):
         """BlockELL blocks (n, S, neq_total, ndof) — the vmap(jacfwd)
-        counterpart of fill_equation_entries! (reference ad/generic.jl:53)."""
+        counterpart of fill_equation_entries! (reference ad/generic.jl:53).
+        Accumulation happens in flat 1D index space (see _flat_block_index).
+        """
         model = self.model
         n, S = self.n_cells, self.ell.n_slots
-        blocks = jnp.zeros((n, S, self.neq_total, self.ndof))
+        flat = jnp.zeros(n * S * self.neq_total * self.ndof)
 
         params_cell = self._cell_entries(state, include=("parameter", "extra"))
         cell_state0 = self._cell_entries(state0)
@@ -278,7 +313,9 @@ class CompiledModel:
                 jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
                     U_all, params_cell, cell_state0
                 )  # (n, neq, ndof)
-                blocks = blocks.at[:, 0, sl, :].add(jac)
+                idx = meta.setdefault("_diag_idx", self._flat_block_index(
+                    np.arange(n), np.zeros(n, dtype=np.int64), sl))
+                flat = flat.at[idx].add(jac.reshape(-1))
             elif isinstance(con, FaceFluxContribution):
                 st = meta["stencil"]
                 p_st = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[st],
@@ -295,16 +332,20 @@ class CompiledModel:
                     U_st, p_st, face_state
                 )  # (nf, neq, K, ndof)
                 K = meta["K"]
-                nf = st.shape[0]
-                rows_p = jnp.asarray(meta["plus"])
-                rows_m = jnp.asarray(meta["minus"])
+                if "_flux_idx" not in meta:
+                    idx_p = [self._flat_block_index(
+                        meta["plus"], meta["plus_slots"][:, k], sl)
+                        for k in range(K)]
+                    idx_m = [self._flat_block_index(
+                        meta["minus"], meta["minus_slots"][:, k], sl)
+                        for k in range(K)]
+                    meta["_flux_idx"] = (idx_p, idx_m)
+                idx_p, idx_m = meta["_flux_idx"]
                 for k in range(K):
-                    blocks = blocks.at[rows_p, meta["plus_slots"][:, k], sl, :].add(
-                        jac[:, :, k, :]
-                    )
-                    blocks = blocks.at[rows_m, meta["minus_slots"][:, k], sl, :].add(
-                        -jac[:, :, k, :]
-                    )
+                    jk = jac[:, :, k, :].reshape(-1)
+                    flat = flat.at[idx_p[k]].add(jk)
+                    flat = flat.at[idx_m[k]].add(-jk)
+        blocks = flat.reshape(n, S, self.neq_total, self.ndof)
         if forces:
             blocks = self._apply_force_jacobians(blocks, state, dt, forces)
         return blocks

@@ -112,17 +112,23 @@ class BlockELL:
 def ell_matvec(blocks, cols, x):
     """y[r] = sum_s blocks[r, s] @ x[cols[r, s]].
 
-    Padded slots hold zero blocks, so no masking is needed. The einsum is a
-    batched (neq × ndof) matvec — MXU-friendly for multi-dof models.
+    Padded slots hold zero blocks, so no masking is needed. All gathers go
+    through flat 1D index space and the block product is a broadcast-
+    multiply-reduce, NOT dot_general — tiny block dims on the MXU force
+    (2,128)-tiled padded buffers (measured 64x memory blowup on TPU).
     """
-    xg = x[cols]  # (n, S, ndof)
-    return jnp.einsum("nsij,nsj->ni", blocks, xg)
+    n, S, neq, ndof = blocks.shape
+    cols = jnp.asarray(cols)
+    idx = (cols[:, :, None] * ndof
+           + jnp.arange(ndof, dtype=cols.dtype)).reshape(-1)
+    xg = x.reshape(-1)[idx].reshape(n, S, ndof)
+    return jnp.sum(blocks * xg[:, :, None, :], axis=(1, 3))
 
 
 def ell_rmatvec(blocks, cols, y):
     """x[c] = sum over (r, s) with cols[r,s]==c of blocks[r,s]^T @ y[r]."""
     n, S = cols.shape
-    contrib = jnp.einsum("nsij,ni->nsj", blocks, y)  # (n, S, ndof)
+    contrib = jnp.sum(blocks * y[:, None, :, None], axis=2)  # (n, S, ndof)
     flat = contrib.reshape(n * S, -1)
     idx = jnp.asarray(cols).reshape(n * S)
     return jax.ops.segment_sum(flat, idx, num_segments=n)

@@ -1,0 +1,155 @@
+"""Output, checkpoint and restart.
+
+Counterpart of the reference's output/restart machinery (reference:
+src/simulator/io.jl — ``store_output!`` :54,86 writing per-step
+``jutul_<n>.jld2``; src/utils.jl:646-727 ``read_results``/``read_restart``/
+``valid_restart_indices``; restart logic simulator.jl:625-709).
+
+Format: per report step ``jutul_<n>.npz`` holding the (possibly nested)
+state arrays plus a JSON-serialized report. numpy's npz replaces JLD2 as the
+portable container.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+
+import numpy as np
+
+_STEP_RE = re.compile(r"jutul_(\d+)\.npz$")
+
+
+def _flatten_state(state: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in state.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_state(v, key + "/"))
+        elif isinstance(v, list):  # substates
+            for i, sub in enumerate(v):
+                out.update(_flatten_state(sub, f"{key}/{i}/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_state(flat: dict) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
+def store_output(path, step_no: int, state: dict, report: dict) -> str:
+    """Write one report step (reference io.jl:86)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    fn = path / f"jutul_{step_no + 1}.npz"
+    flat = _flatten_state(state)
+    flat["__report__"] = np.frombuffer(
+        json.dumps(_json_safe(report)).encode(), dtype=np.uint8)
+    np.savez_compressed(fn, **flat)
+    return str(fn)
+
+
+def _json_safe(o):
+    if isinstance(o, dict):
+        return {str(k): _json_safe(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_json_safe(v) for v in o]
+    if isinstance(o, (np.floating, np.integer)):
+        return o.item()
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if hasattr(o, "item") and getattr(o, "shape", None) == ():
+        return o.item()
+    return o
+
+
+def load_step(path, step_no: int):
+    """Read one step -> (state, report) (reference read_restart)."""
+    fn = Path(path) / f"jutul_{step_no + 1}.npz"
+    with np.load(fn, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    rep_raw = flat.pop("__report__", None)
+    report = (json.loads(bytes(rep_raw.tobytes()).decode())
+              if rep_raw is not None else None)
+    return _unflatten_state(flat), report
+
+
+def valid_restart_indices(path) -> list[int]:
+    """Sorted step numbers present on disk (reference utils.jl:686)."""
+    p = Path(path)
+    if not p.is_dir():
+        return []
+    out = []
+    for f in p.iterdir():
+        m = _STEP_RE.search(f.name)
+        if m:
+            out.append(int(m.group(1)) - 1)
+    return sorted(out)
+
+
+def read_results(path, steps=None):
+    """Read all (or selected) stored steps -> (states, reports)
+    (reference utils.jl:646 read_results)."""
+    idx = valid_restart_indices(path)
+    if steps is not None:
+        idx = [i for i in idx if i in set(steps)]
+    states, reports = [], []
+    for i in idx:
+        s, r = load_step(path, i)
+        states.append(s)
+        reports.append(r)
+    return states, reports
+
+
+# ---------------------------------------------------------------------------
+# report statistics (reference utils.jl:265-925 report_stats / print_stats)
+# ---------------------------------------------------------------------------
+def report_stats(reports: list) -> dict:
+    """Aggregate newton/ministep/timing counts from simulation reports."""
+    stats = {
+        "steps": len(reports),
+        "ministeps": 0,
+        "newtons": 0,
+        "wasted_newtons": 0,
+        "failed_ministeps": 0,
+        "wall_time": 0.0,
+        "linear_iterations": 0,
+    }
+    for rep in reports:
+        for m in rep.get("ministeps", []):
+            stats["ministeps"] += 1
+            its = int(m.get("iterations", 0))
+            stats["newtons"] += its
+            if not m.get("success", True):
+                stats["failed_ministeps"] += 1
+                stats["wasted_newtons"] += its
+            stats["wall_time"] += float(m.get("wall_time", 0.0))
+            stats["linear_iterations"] += int(m.get("linear_iterations", 0))
+    ok_newtons = stats["newtons"] - stats["wasted_newtons"]
+    stats["newtons_per_ministep"] = (
+        stats["newtons"] / stats["ministeps"] if stats["ministeps"] else 0.0)
+    stats["time_per_newton"] = (
+        stats["wall_time"] / stats["newtons"] if stats["newtons"] else 0.0)
+    return stats
+
+
+def print_stats(reports: list) -> None:
+    s = report_stats(reports)
+    print(
+        f"Simulation: {s['steps']} steps, {s['ministeps']} ministeps "
+        f"({s['failed_ministeps']} failed), {s['newtons']} Newton its "
+        f"({s['wasted_newtons']} wasted), "
+        f"{s['newtons_per_ministep']:.2f} its/ministep, "
+        f"{s['wall_time']:.2f}s total ({s['time_per_newton'] * 1e3:.1f} "
+        "ms/Newton)"
+    )

@@ -1,0 +1,103 @@
+"""Adjoint gradient tests vs finite differences
+(reference: test/adjoints/basic_adjoint.jl:38-74 — adjoint vs
+solve_numerical_sensitivities to tight tolerance)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    JutulCase,
+    PoissonSource,
+    SimulationModel,
+    VariablePoissonSystem,
+    setup_forces,
+    setup_parameters,
+    setup_state,
+    simulate,
+    si_unit,
+)
+from jutul.jl_tpu.adjoint.gradients import (
+    solve_adjoint_sensitivities,
+    solve_numerical_sensitivities,
+)
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def poisson_case(nx=4):
+    sys = VariablePoissonSystem(time_dependent=True)
+    g = CartesianMesh((nx,), (1.0,))
+    domain = DataDomain(g, poisson_coefficient=1.0)
+    model = SimulationModel(domain, sys)
+    state0 = setup_state(model, U=1.0)
+    param = setup_parameters(model)
+    forces = setup_forces(model, sources=[PoissonSource(0, 1.0),
+                                          PoissonSource(nx - 1, -1.0)])
+    return JutulCase(model, [1.0, 2.0], forces, state0=state0,
+                     parameters=param)
+
+
+def test_poisson_adjoint_vs_fd():
+    case = poisson_case()
+    states, reports = simulate(case, info_level=-1)
+
+    def G(model, state, dt, n, forces):
+        U = state["U"]
+        return dt * jnp.sum(U**2)
+
+    adj = solve_adjoint_sensitivities(case, states, case.dt, G)
+    fd = solve_numerical_sensitivities(
+        case.model, states, case.dt, G, case.parameters, case.state0,
+        forces=case.forces, targets=["K"])
+    assert np.allclose(adj["K"], fd["K"], rtol=1e-5, atol=1e-8), (
+        adj["K"], fd["K"])
+
+
+def test_darcy_adjoint_vs_fd():
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        PressureBoundaryCondition,
+        setup_darcy_model,
+    )
+
+    n = 5
+    mesh = CartesianMesh((n,), (10.0,))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                              porosity=0.25)
+    state0 = setup_state(model, Pressure=100 * BAR, Saturations=[0.3, 0.7])
+    params = setup_parameters(model)
+    forces = {
+        "sources": PhaseSourceTerm([0], np.array([[0.01, 0.0]])),
+        "bc": PressureBoundaryCondition(
+            [n - 1], 100 * BAR, 2 * float(params["Transmissibilities"][0])),
+    }
+    dts = [0.2 * DAY, 0.3 * DAY]
+    tight = {"tolerances": {"mass_conservation": 1e-10}}
+    states, reports = simulate(state0, model, dts, forces=forces,
+                               parameters=params, info_level=-1,
+                               max_nonlinear_iterations=30, **tight)
+    assert all(r["success"] for r in reports)
+
+    def G(model_, state, dt, n_, forces_):
+        # produced-water-like objective: weighted saturation + pressure
+        return dt * (jnp.sum(state["Saturations"][:, 0] ** 2)
+                     + 1e-14 * jnp.sum(state["Pressure"]))
+
+    adj = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces)
+    fd = solve_numerical_sensitivities(
+        model, states, dts, G, params, state0, forces=forces,
+        targets=["Transmissibilities", "FluidVolume"], eps_scale=1e-5,
+        max_nonlinear_iterations=30, **tight)
+    for k in ("Transmissibilities", "FluidVolume"):
+        denom = np.maximum(np.abs(fd[k]), np.abs(fd[k]).max() * 1e-3 + 1e-30)
+        rel = np.abs(adj[k] - fd[k]) / denom
+        assert rel.max() < 2e-3, (k, adj[k], fd[k])

@@ -1,0 +1,136 @@
+"""AMG and CPR preconditioner tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimpleHeatSystem,
+    SimulationModel,
+    compile_model,
+    setup_parameters,
+    setup_state,
+    si_unit,
+)
+from jutul.jl_tpu.linsolve.amg import AMGHierarchy, AMGPreconditioner
+from jutul.jl_tpu.linsolve.cpr import CPRPreconditioner
+from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+from jutul.jl_tpu.linsolve.precond import (
+    ILU0Preconditioner,
+    JacobiPreconditioner,
+)
+from jutul.jl_tpu.ops.blockell import BlockELL, ell_to_dense
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def heat_system(nx, ny):
+    g = CartesianMesh((nx, ny), (1.0, 1.0))
+    model = SimulationModel(DataDomain(g), SimpleHeatSystem())
+    comp = compile_model(model)
+    n = nx * ny
+    state = {**setup_state(model, T=np.random.default_rng(0).normal(size=n)),
+             **setup_parameters(model)}
+    state = comp.evaluate_secondaries(state)
+    dt = 1e-2
+    r = comp.residual(state, {**state, "T": jnp.zeros(n)}, dt)
+    blocks = comp.jacobian_blocks(state, state, dt)
+    return comp, BlockELL(comp.ell, blocks), r
+
+
+def test_amg_hierarchy_coarsens():
+    comp, J, r = heat_system(32, 32)
+    h = AMGHierarchy(J.structure, min_coarse=16)
+    sizes = [lvl.structure.n_rows for lvl in h.levels]
+    assert sizes[0] == 1024
+    assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1))
+    assert sizes[-1] <= 64
+    # aggregates form a partition
+    for lvl in h.levels[:-1]:
+        assert lvl.agg.min() == 0
+        assert lvl.agg.max() + 1 == lvl.n_coarse
+
+
+def test_amg_beats_jacobi_on_diffusion():
+    comp, J, r = heat_system(32, 32)
+    its = {}
+    for name, p in [("jacobi", JacobiPreconditioner()),
+                    ("amg", AMGPreconditioner())]:
+        solver = GenericKrylov("gmres", preconditioner=p, rtol=1e-10,
+                               max_iterations=400)
+        du, stats = solver.solve(J, r)
+        assert bool(stats["converged"]), (name, stats)
+        its[name] = int(stats["iterations"])
+    assert its["amg"] < its["jacobi"]
+    # AMG should be close to mesh-independent: few tens of iterations
+    assert its["amg"] < 60
+
+
+def test_amg_accuracy():
+    comp, J, r = heat_system(16, 16)
+    dense = np.asarray(ell_to_dense(J.blocks, J.structure.cols))
+    expected = np.linalg.solve(dense, -np.asarray(r).reshape(-1))
+    solver = GenericKrylov("gmres", preconditioner=AMGPreconditioner(),
+                           rtol=1e-12, max_iterations=200)
+    du, stats = solver.solve(J, r)
+    assert np.allclose(np.asarray(du).reshape(-1), expected, atol=1e-8)
+
+
+def darcy_jacobian(nx=12, ny=12, nz=4):
+    from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+    from jutul.jl_tpu.models.setup import merge_state
+
+    nc = nx * ny * nz
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny, nz), (10.0, 10.0, 5.0))
+    model = setup_darcy_model(
+        mesh, ImmiscibleFluid(viscosities=(1e-3, 5e-3)),
+        permeability=rng.lognormal(0, 1, nc) * 0.1 * DARCY,
+        porosity=0.2, gravity=False)
+    sw = rng.uniform(0.1, 0.9, nc)
+    state0 = setup_state(model, Pressure=200 * BAR + rng.uniform(-1, 1, nc) * BAR,
+                         Saturations=np.stack([sw, 1 - sw], 1))
+    params = setup_parameters(model)
+    comp = compile_model(model)
+    full = comp.evaluate_secondaries(merge_state(
+        {k: jnp.asarray(v) for k, v in state0.items()},
+        {k: jnp.asarray(v) for k, v in params.items()}))
+    dt = 30 * DAY
+    # state0 shifted so the residual is nonzero
+    full0 = dict(full)
+    full0["Saturations"] = jnp.roll(full["Saturations"], 1, axis=0)
+    full0 = comp.evaluate_secondaries(full0)
+    r = comp.residual(full, full0, dt)
+    blocks = comp.jacobian_blocks(full, full0, dt)
+    return comp, BlockELL(comp.ell, blocks), r
+
+
+def test_cpr_converges_and_beats_ilu0():
+    comp, J, r = darcy_jacobian()
+    its = {}
+    for name, p in [("ilu0", ILU0Preconditioner()),
+                    ("cpr", CPRPreconditioner())]:
+        solver = GenericKrylov("gmres", preconditioner=p, rtol=1e-8,
+                               max_iterations=400)
+        du, stats = solver.solve(J, r)
+        assert bool(stats["converged"]), (name, stats)
+        its[name] = int(stats["iterations"])
+    # CPR's pressure stage should cut iterations vs plain ILU(0) on a
+    # stiff heterogeneous pressure system
+    assert its["cpr"] <= its["ilu0"], its
+
+
+def test_cpr_accuracy():
+    comp, J, r = darcy_jacobian(6, 6, 2)
+    dense = np.asarray(ell_to_dense(J.blocks, J.structure.cols))
+    expected = np.linalg.solve(dense, -np.asarray(r).reshape(-1))
+    solver = GenericKrylov("gmres", preconditioner=CPRPreconditioner(),
+                           rtol=1e-12, max_iterations=300)
+    du, stats = solver.solve(J, r)
+    got = np.asarray(du).reshape(-1)
+    scale = np.abs(expected).max()
+    assert np.allclose(got, expected, rtol=1e-4, atol=1e-6 * scale)

@@ -1,0 +1,84 @@
+"""Output/restart tests (reference test/test_systems/io.jl: write to
+tempdir, restart mid-schedule, compare states)."""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimpleHeatSystem,
+    SimulationModel,
+    Simulator,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.simulator.io import (
+    load_step,
+    print_stats,
+    read_results,
+    report_stats,
+    store_output,
+    valid_restart_indices,
+)
+
+
+def heat_case(n=12):
+    g = CartesianMesh((n,), (1.0,))
+    model = SimulationModel(DataDomain(g), SimpleHeatSystem())
+    x = (np.arange(n) + 0.5) / n
+    state0 = setup_state(model, T=np.cos(np.pi * x))
+    return model, state0
+
+
+def test_store_and_read_roundtrip(tmp_path):
+    model, state0 = heat_case()
+    dts = [1e-3] * 4
+    states, reports = simulate(state0, model, dts, info_level=-1,
+                               output_path=str(tmp_path))
+    assert valid_restart_indices(tmp_path) == [0, 1, 2, 3]
+    stored_states, stored_reports = read_results(tmp_path)
+    assert len(stored_states) == 4
+    for a, b in zip(states, stored_states):
+        assert np.allclose(a["T"], b["T"])
+    assert stored_reports[0]["ministeps"][0]["success"] is True
+
+
+def test_restart_matches_uninterrupted(tmp_path):
+    model, state0 = heat_case()
+    dts = [1e-3] * 6
+    full_states, _ = simulate(state0, model, dts, info_level=-1)
+
+    # run only the first 3 steps with output
+    p = str(tmp_path)
+    sim = Simulator(model, state0=state0)
+    sim.simulate(dts[:3], info_level=-1, output_path=p)
+    # resume from disk for the remaining schedule
+    sim2 = Simulator(model, state0=state0)
+    states2, reports2 = sim2.simulate(dts, info_level=-1, output_path=p,
+                                      restart=True)
+    # the resumed run stores steps 4..6; final state matches uninterrupted
+    assert np.allclose(states2[-1]["T"], full_states[-1]["T"], atol=1e-12)
+    assert valid_restart_indices(p) == [0, 1, 2, 3, 4, 5]
+
+
+def test_report_stats(capsys):
+    model, state0 = heat_case()
+    states, reports = simulate(state0, model, [1e-3] * 3, info_level=-1)
+    s = report_stats(reports)
+    assert s["steps"] == 3
+    assert s["ministeps"] >= 3
+    assert s["newtons"] >= 3
+    print_stats(reports)
+    out = capsys.readouterr().out
+    assert "Newton" in out
+
+
+def test_store_output_nested_substates(tmp_path):
+    model, state0 = heat_case()
+    states, reports = simulate(state0, model, [4e-3], info_level=-1,
+                               max_timestep=1e-3, output_substates=True,
+                               output_path=str(tmp_path))
+    st, rep = load_step(tmp_path, 0)
+    assert "substates" in st
+    assert "T" in st["substates"]["0"]

@@ -1,0 +1,87 @@
+"""MultiModel tests (reference test/test_systems/multimodel.jl:4-54:
+two coupled scalar models -> ±1/3 equilibrium; GenericKrylov path)."""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    GenericKrylov,
+    ScalarTestDomain,
+    ScalarTestForce,
+    ScalarTestSystem,
+    SimulationModel,
+    Simulator,
+    setup_forces,
+    setup_state,
+)
+from jutul.jl_tpu.linsolve.precond import (
+    BlockJacobiPreconditioner,
+    GroupWisePreconditioner,
+    TrivialPreconditioner,
+)
+from jutul.jl_tpu.models.test_systems import ScalarTestCrossTerm
+from jutul.jl_tpu.multimodel.core import MultiModel
+
+
+def build_multi():
+    sys = ScalarTestSystem()
+    modelA = SimulationModel(ScalarTestDomain(), sys)
+    modelB = SimulationModel(ScalarTestDomain(), sys)
+    mm = MultiModel({"A": modelA, "B": modelB})
+    mm.add_cross_term(ScalarTestCrossTerm(), target="A", source="B",
+                      equation="test_equation")
+    state0 = setup_state(mm,
+                         A=setup_state(modelA, XVar=0.0),
+                         B=setup_state(modelB, XVar=0.0))
+    forces = setup_forces(mm,
+                          A=setup_forces(modelA, sources=ScalarTestForce(1.0)),
+                          B=setup_forces(modelB, sources=ScalarTestForce(-1.0)))
+    return mm, state0, forces
+
+
+def test_multimodel_scalar_equilibrium_direct():
+    mm, state0, forces = build_multi()
+    sim = Simulator(mm, state0=state0)
+    states, reports = sim.simulate([1.0], forces=forces, info_level=-1)
+    XA = states[-1]["A"]["XVar"][0]
+    XB = states[-1]["B"]["XVar"][0]
+    assert np.isclose(XA, 1.0 / 3.0, atol=1e-10)
+    assert np.isclose(XB, -1.0 / 3.0, atol=1e-10)
+
+
+def test_multimodel_scalar_equilibrium_krylov():
+    mm, state0, forces = build_multi()
+    sim = Simulator(mm, state0=state0)
+    states, reports = sim.simulate(
+        [1.0], forces=forces, info_level=-1,
+        linear_solver=GenericKrylov("gmres", rtol=1e-12))
+    assert np.isclose(states[-1]["A"]["XVar"][0], 1.0 / 3.0, atol=1e-8)
+    assert np.isclose(states[-1]["B"]["XVar"][0], -1.0 / 3.0, atol=1e-8)
+
+
+def test_multimodel_groupwise_preconditioner():
+    mm, state0, forces = build_multi()
+    solver = GenericKrylov(
+        "gmres", rtol=1e-12,
+        preconditioner=GroupWisePreconditioner(
+            {"A": BlockJacobiPreconditioner(),
+             "B": BlockJacobiPreconditioner()}))
+    sim = Simulator(mm, state0=state0)
+    states, _ = sim.simulate([1.0], forces=forces, info_level=-1,
+                             linear_solver=solver)
+    assert np.isclose(states[-1]["A"]["XVar"][0], 1.0 / 3.0, atol=1e-8)
+
+
+def test_multimodel_transient_sequence():
+    """Multiple steps march both models while staying coupled."""
+    mm, state0, forces = build_multi()
+    sim = Simulator(mm, state0=state0)
+    states, reports = sim.simulate([0.5, 0.5, 1.0], forces=forces,
+                                   info_level=-1)
+    assert len(states) == 3
+    XA = [s["A"]["XVar"][0] for s in states]
+    XB = [s["B"]["XVar"][0] for s in states]
+    # conservation: XA + XB = 0 exactly (skew-symmetric coupling)
+    assert np.allclose(np.array(XA) + np.array(XB), 0.0, atol=1e-12)
+    # A relaxes monotonically toward the continuous limit 1/2 from below
+    assert XA[0] < XA[1] < XA[2] < 0.5

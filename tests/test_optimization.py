@@ -1,0 +1,110 @@
+"""Optimization stack tests (reference: test/adjoints/lbfgs.jl —
+optimizer convergence on small inverse problems; optimization-interface
+gradients incl. scaling, basic_adjoint.jl:75+)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    JutulCase,
+    PoissonSource,
+    SimulationModel,
+    VariablePoissonSystem,
+    setup_forces,
+    setup_parameters,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.adjoint.dict_opt import DictParameters
+from jutul.jl_tpu.adjoint.lbfgs import unit_box_bfgs
+from jutul.jl_tpu.adjoint.optimization import setup_parameter_optimization
+
+
+def test_unit_box_bfgs_quadratic():
+    """Minimize ||x - c||^2 with c inside the box: exact recovery."""
+    c = np.array([0.3, 0.7, 0.5, 0.9])
+
+    def f_and_g(x):
+        return float(np.sum((x - c) ** 2)), 2 * (x - c)
+
+    v, x, hist = unit_box_bfgs(np.full(4, 0.1), f_and_g, max_iterations=100)
+    assert np.allclose(x, c, atol=1e-6)
+    assert v < 1e-12
+
+
+def test_unit_box_bfgs_active_bounds():
+    """Minimum outside the box lands on the boundary."""
+    c = np.array([-0.5, 1.5])
+
+    def f_and_g(x):
+        return float(np.sum((x - c) ** 2)), 2 * (x - c)
+
+    v, x, hist = unit_box_bfgs(np.array([0.5, 0.5]), f_and_g)
+    assert np.allclose(x, [0.0, 1.0], atol=1e-8)
+
+
+def _poisson_case(K_field=None, nx=6):
+    sys = VariablePoissonSystem(time_dependent=True)
+    g = CartesianMesh((nx,), (1.0,))
+    domain = DataDomain(g, poisson_coefficient=1.0)
+    model = SimulationModel(domain, sys)
+    state0 = setup_state(model, U=0.0)
+    param = setup_parameters(model)
+    if K_field is not None:
+        param["K"] = np.asarray(K_field, dtype=np.float64)
+    forces = setup_forces(model, sources=[PoissonSource(0, 1.0),
+                                          PoissonSource(nx - 1, -1.0)])
+    return JutulCase(model, [0.5, 0.5], forces, state0=state0,
+                     parameters=param)
+
+
+def test_parameter_optimization_gradient_consistency():
+    """F_and_dF gradient matches finite differences in the unit box."""
+    case = _poisson_case()
+    truth_case = _poisson_case(K_field=np.linspace(3.0, 6.0,
+                                                   case.parameters["K"].size))
+    obs_states, _ = simulate(truth_case, info_level=-1)
+    obs = [jnp.asarray(s["U"]) for s in obs_states]
+
+    def G(model, state, dt, n, forces):
+        return dt * jnp.sum((state["U"] - obs[n]) ** 2)
+
+    opt = setup_parameter_optimization(case, G, targets=["K"])
+    x0 = opt.x0()
+    v0, g0 = opt.F_and_dF(x0)
+    # FD in unit space
+    for i in [0, 2, 4]:
+        h = 1e-6
+        xp = x0.copy(); xp[i] += h
+        xm = x0.copy(); xm[i] -= h
+        fd = (opt.F(xp) - opt.F(xm)) / (2 * h)
+        assert np.isclose(g0[i], fd, rtol=2e-4, atol=1e-9), (i, g0[i], fd)
+
+
+def test_inverse_problem_recovers_coefficient():
+    """Recover a homogeneous-in-truth K field from observations."""
+    nx = 6
+    case = _poisson_case(nx=nx)
+    truth = np.full(case.parameters["K"].size, 4.0)
+    truth_case = _poisson_case(K_field=truth, nx=nx)
+    obs_states, _ = simulate(truth_case, info_level=-1)
+    obs = [jnp.asarray(s["U"]) for s in obs_states]
+
+    def G(model, state, dt, n, forces):
+        return dt * jnp.sum((state["U"] - obs[n]) ** 2)
+
+    def setup(params):
+        c = _poisson_case(nx=nx)
+        c.parameters["K"] = np.asarray(params["K"])
+        return c
+
+    dopt = DictParameters({"K": case.parameters["K"]}, setup, verbose=False)
+    dopt.free_optimization_parameter("K", abs_min=0.5, abs_max=20.0,
+                                     scaler="log")
+    best = dopt.optimize(G, max_iterations=40)
+    # objective decreased by orders of magnitude
+    assert dopt.history.values[-1] < 1e-8 * max(dopt.history.values[0], 1e-30)
+    assert np.allclose(best["K"], truth, rtol=0.05)

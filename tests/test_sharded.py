@@ -1,0 +1,102 @@
+"""Distributed (shard_map) Newton tests on the 8-fake-device CPU mesh.
+
+The reference has NO distributed tests in-repo (SURVEY.md §4); this rig is
+the multi-device conformance the reference lacks: the SPMD slab-sharded
+Newton step must match the single-device solve to solver tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    SimulationModel,
+    Simulator,
+    compile_model,
+    setup_parameters,
+    setup_state,
+    si_unit,
+)
+from jutul.jl_tpu.core.domains import DataDomain
+from jutul.jl_tpu.linsolve.direct import DirectSolver
+from jutul.jl_tpu.models.darcy import ImmiscibleFluid, ImmiscibleSystem
+from jutul.jl_tpu.parallel.sharded import DistributedSimulator
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def build_case(nx=4, ny=3, nz=8):
+    mesh = CartesianMesh((nx, ny, nz), (10.0, 10.0, 10.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    system = ImmiscibleSystem(fluid, gravity=False)
+    nc = nx * ny * nz
+    rng = np.random.default_rng(0)
+    perm = rng.uniform(0.5, 2.0, nc) * DARCY
+    poro = np.full(nc, 0.25)
+    p0 = 100.0 * BAR + rng.uniform(-1, 1, nc) * BAR
+    sw = rng.uniform(0.2, 0.8, nc)
+    return mesh, system, perm, poro, p0, sw
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_distributed_newton_matches_single(n_dev):
+    require_devices(n_dev)
+    mesh, system, perm, poro, p0, sw = build_case()
+    dmesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+
+    dsim = DistributedSimulator(mesh, system, dmesh,
+                                data_fields={"permeability": perm,
+                                             "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    sharded0 = dsim.shard_state(state0)
+    dt = 0.1 * DAY
+
+    step = dsim.newton_step_fn(rtol=1e-12)
+    new_state, crit, lin_its, lin_res = step(sharded0, sharded0, dt)
+
+    # single-device reference: one Newton iteration with a direct solver
+    gmodel = dsim.global_model
+    sim = Simulator(gmodel, state0=state0)
+    sim._solver = DirectSolver()
+    ref_state, ref_crit, _ = sim._iteration_jit(
+        {k: jnp.asarray(v) for k, v in state0.items()},
+        {k: jnp.asarray(v) for k, v in state0.items()},
+        sim.parameters, dt, None, 1.0)
+
+    assert np.allclose(np.asarray(new_state["Pressure"]),
+                       np.asarray(ref_state["Pressure"]), rtol=1e-8)
+    assert np.allclose(np.asarray(new_state["Saturations"]),
+                       np.asarray(ref_state["Saturations"]), atol=1e-9)
+    # convergence criteria agree with the single-device assembly
+    for eq, crits in ref_crit.items():
+        for name, v in crits.items():
+            assert np.allclose(np.asarray(crit[eq][name]), np.asarray(v),
+                               rtol=1e-6), (eq, name)
+
+
+def test_distributed_multi_newton_converges():
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_case()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = DistributedSimulator(mesh, system, dmesh,
+                                data_fields={"permeability": perm,
+                                             "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    sharded0 = dsim.shard_state(state0)
+    state, its = dsim.solve_timestep(sharded0, sharded0, 0.05 * DAY)
+    assert its < 12
+    s = np.asarray(state["Saturations"])
+    assert np.all(np.isfinite(np.asarray(state["Pressure"])))
+    assert np.all((s > -1e-9) & (s < 1 + 1e-9))

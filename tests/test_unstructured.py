@@ -1,0 +1,82 @@
+"""Unstructured mesh tests (reference test/mesh.jl geometric invariants:
+volumes, areas, neighbor counts after conversion)."""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimpleHeatSystem,
+    SimulationModel,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.meshes.unstructured import IndirectionMap, UnstructuredMesh
+
+
+def test_indirection_map():
+    im = IndirectionMap.from_lists([[1, 2, 3], [4], [5, 6]])
+    assert len(im) == 3
+    assert list(im[0]) == [1, 2, 3]
+    assert list(im[1]) == [4]
+    padded, mask = im.padded()
+    assert padded.shape == (3, 3)
+    assert list(padded[1]) == [4, 4, 4]
+    assert mask[1].tolist() == [True, False, False]
+
+
+@pytest.mark.parametrize("dims,sizes", [
+    ((4, 3), (2.0, 1.5)),
+    ((3, 2, 4), (1.0, 2.0, 0.5)),
+])
+def test_from_cartesian_geometry_matches(dims, sizes):
+    cm = CartesianMesh(dims, sizes)
+    um = UnstructuredMesh.from_cartesian(cm)
+    g1 = cm.tpfv_geometry()
+    g2 = um.tpfv_geometry()
+    assert um.number_of_cells() == cm.number_of_cells()
+    assert um.number_of_faces() == cm.number_of_faces()
+    assert um.number_of_boundary_faces() == cm.number_of_boundary_faces()
+    assert np.allclose(g1.volumes, g2.volumes)
+    assert np.allclose(g1.areas, g2.areas)
+    assert np.allclose(g1.cell_centroids, g2.cell_centroids)
+    assert np.allclose(g1.face_centroids, g2.face_centroids)
+    assert np.allclose(g1.normals, g2.normals)
+    assert np.array_equal(g1.neighbors, g2.neighbors)
+    assert np.allclose(np.sort(g1.boundary_areas), np.sort(g2.boundary_areas))
+
+
+def test_simulation_matches_on_unstructured():
+    """Same heat problem on Cartesian vs converted unstructured mesh."""
+    dims, sizes = (5, 4), (1.0, 1.0)
+    cm = CartesianMesh(dims, sizes)
+    um = UnstructuredMesh.from_cartesian(cm)
+    n = cm.number_of_cells()
+    rng = np.random.default_rng(0)
+    T0 = rng.normal(size=n)
+    out = {}
+    for name, mesh in (("cart", cm), ("unstruct", um)):
+        model = SimulationModel(DataDomain(mesh), SimpleHeatSystem())
+        state0 = setup_state(model, T=T0)
+        states, _ = simulate(state0, model, [1e-3] * 2, info_level=-1)
+        out[name] = states[-1]["T"]
+    assert np.allclose(out["cart"], out["unstruct"], atol=1e-12)
+
+
+def test_skewed_quad_mesh_volumes():
+    """Hand-built single skewed quad: area and centroid by shoelace."""
+    pts = np.array([[0.0, 0.0], [2.0, 0.0], [2.5, 1.5], [0.5, 1.0]])
+    # one cell, no interior faces, 4 boundary edges
+    um = UnstructuredMesh(
+        pts,
+        face_nodes=[],
+        face_neighbors=np.zeros((0, 2), dtype=int),
+        boundary_face_nodes=[[0, 1], [1, 2], [2, 3], [3, 0]],
+        boundary_face_cells=[0, 0, 0, 0],
+    )
+    g = um.tpfv_geometry()
+    # shoelace area
+    x, y = pts[:, 0], pts[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert np.isclose(g.volumes[0], area, rtol=1e-12)
