@@ -25,11 +25,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
-
-jax.config.update("jax_enable_x64", False)  # f32 benchmarking (see docstring)
-
 import jax.numpy as jnp
 import numpy as np
+
+import jutul.jl_tpu  # noqa: F401  (package import enables x64...)
+
+# ...so disable it AFTER the package import: f32 benchmarking (see docstring)
+jax.config.update("jax_enable_x64", False)
 
 
 def build(nx, ny, nz):
@@ -73,45 +75,67 @@ def main():
         nx, ny, nz = 64, 64, 16  # CPU fallback size (driver runs on TPU)
     nc = nx * ny * nz
 
+    from jutul.jl_tpu.linsolve.amg import AMGPreconditioner
+    from jutul.jl_tpu.linsolve.cpr import CPRPreconditioner
     from jutul.jl_tpu.linsolve.krylov import bicgstab
-    from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+    from jutul.jl_tpu.linsolve.precond import BlockJacobiPreconditioner
     from jutul.jl_tpu.models.setup import merge_state
 
     comp, state0, params = build(nx, ny, nz)
-    precond = ILU0Preconditioner(n_factor_sweeps=3, n_solve_sweeps=4)
+    # CPR (AMG pressure stage + block-Jacobi smoother): the BASELINE's
+    # headline solver; ILU(0)'s transposed-block gathers force padded
+    # layouts at 1M cells (see linsolve/precond.py notes)
+    precond = CPRPreconditioner(smoother=BlockJacobiPreconditioner(),
+                                amg=AMGPreconditioner(n_cycles=1))
 
-    def newton_step(state, state0_d, parameters, dt):
-        full = merge_state(state, parameters)
-        full0 = merge_state(state0_d, parameters)
-        r, J, full_eval = comp.assemble(full, full0, dt)
-        pstate = precond.update(J)
-        n, _, neq, ndof = J.blocks.shape
+    from jutul.jl_tpu.ops import tables as _tbl
 
-        def matvec(x):
-            return J.matvec(x.reshape(n, ndof)).reshape(-1)
+    def newton_step(state, state0_d, parameters, dt, tables):
+        with _tbl.bind(tables):
+            full = merge_state(state, parameters)
+            full0 = merge_state(state0_d, parameters)
+            r, J, full_eval = comp.assemble(full, full0, dt)
+            pstate = precond.update(J)
+            n, _, neq, ndof = J.blocks.shape
 
-        def M(x):
-            return precond.apply(pstate, J, x.reshape(n, neq)).reshape(-1)
+            def matvec(x):
+                return J.matvec(x.reshape(n, ndof)).reshape(-1)
 
-        du, stats = bicgstab(matvec, (-r).reshape(-1), maxiter=n_lin_it,
-                             rtol=1e-6, precond=M)
-        new_state = comp.apply_update(state, du.reshape(n, ndof), 1.0)
-        return new_state, stats["residual"], stats["iterations"]
+            def M(x):
+                return precond.apply(pstate, J, x.reshape(n, neq)).reshape(-1)
 
-    step = jax.jit(newton_step)
+            du, stats = bicgstab(matvec, (-r).reshape(-1), maxiter=n_lin_it,
+                                 rtol=1e-6, precond=M)
+            new_state = comp.apply_update(state, du.reshape(n, ndof), 1.0)
+            return new_state, stats["residual"], stats["iterations"]
+
+    # warm the table registration (trace-time numpy) WITHOUT executing
+    # anything: an abstract eval_shape trace runs the Python registration
+    # code at zero compute cost. The tables then travel as jit ARGUMENTS —
+    # as HLO constants they blow past the remote compiler's request limit.
+    st_a = {k: jnp.asarray(v, jnp.float32) for k, v in state0.items()}
+    pr_a = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    jax.eval_shape(lambda s, p: newton_step(s, s, p, 3600.0, {}),
+                   st_a, pr_a)
+    dev_tables = _tbl.device_tables()
+
+    step = jax.jit(newton_step)  # tables travel as a REAL argument
     st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
     pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
     dt = 3600.0
 
     # compile + warmup
-    out_state, res, its = step(st, st, pr, dt)
+    t0 = time.perf_counter()
+    out_state, res, its = step(st, st, pr, dt, dev_tables)
     jax.block_until_ready(out_state["Pressure"])
+    print(f"# compile+first-step: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     n_rep = 10
     t0 = time.perf_counter()
     cur = st
     for _ in range(n_rep):
-        cur, res, its = step(cur, st, pr, dt)
+        cur, res, its = step(cur, st, pr, dt, dev_tables)
     jax.block_until_ready(cur["Pressure"])
     elapsed = (time.perf_counter() - t0) / n_rep
 

@@ -242,3 +242,72 @@ def _forces_for(forces, n):
 
 def _tree_add(a, b):
     return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
+
+
+def solve_adjoint_forces(model, states, dts, G, parameters, state0,
+                         forces):
+    """Gradient of G with respect to force VALUES (reference:
+    src/ad/force_gradients.jl — vectorize_forces + adjoint; here one
+    jax.vjp through the force-application path replaces the whole module).
+
+    Returns a pytree of the same structure as ``forces`` with gradients in
+    the traced leaves (static fields untouched).
+    """
+    import jax
+
+    storage = AdjointStorage(model, parameters, forces)
+    comp = storage.comp
+    params = storage.parameters
+
+    def dofs_of(state):
+        return comp.get_dofs({k: jnp.asarray(v) for k, v in state.items()
+                              if k in model.primary_variables})
+
+    u0 = dofs_of(state0)
+    us = [dofs_of(s) for s in states]
+    N = len(us)
+    dts = np.atleast_1d(np.asarray(dts, dtype=np.float64))
+
+    def residual_f(u, u_prev, f, dt):
+        return storage._residual_from_dofs(u, u_prev, params, dt, f)
+
+    def g_of(u, f, dt, n):
+        state = merge_state(comp.unpack_dofs(u), params)
+        state = comp.evaluate_secondaries(state)
+        return G(model, state, dt, n, f)
+
+    grad_f = None
+    lam_next = None
+    u_next = None
+    for n in range(N - 1, -1, -1):
+        u_n = us[n]
+        u_prev = us[n - 1] if n > 0 else u0
+        dt_n = float(dts[n])
+        f_n = _forces_for(forces, n)
+
+        rhs = -jax.grad(g_of, argnums=0)(u_n, f_n, dt_n, n)
+        gf_direct = jax.grad(g_of, argnums=1, allow_int=True)(
+            u_n, f_n, dt_n, n)
+        if lam_next is not None:
+            dt_np1 = float(dts[n + 1])
+            f_np1 = _forces_for(forces, n + 1)
+            du0_bar, _ = storage._vjp_u0_p(u_next, u_n, params, dt_np1,
+                                           f_np1, lam_next)
+            rhs = rhs - du0_bar
+        blocks = storage._jac_blocks(u_n, u_prev, params, dt_n, f_n)
+        lam = storage.solve_transposed(blocks, rhs)
+
+        _, pull = jax.vjp(lambda f_: residual_f(u_n, u_prev, f_, dt_n), f_n)
+        (df_bar,) = pull(lam)
+        step_grad = jax.tree_util.tree_map(lambda a, b: a + b, df_bar,
+                                           gf_direct)
+        if isinstance(forces, list):
+            if grad_f is None:
+                grad_f = [None] * N
+            grad_f[n] = step_grad
+        else:
+            grad_f = step_grad if grad_f is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, grad_f, step_grad)
+        lam_next = lam
+        u_next = u_n
+    return grad_f

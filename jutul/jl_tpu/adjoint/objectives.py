@@ -1,0 +1,73 @@
+"""Objective functions for adjoints/optimization.
+
+Counterpart of the reference objectives layer (reference:
+src/core_types/core_types.jl:1582-1649 ``AbstractSumObjective`` (sum over
+steps of G(model, state, dt, step_info, forces)) vs
+``AbstractGlobalObjective``; auto-wrapping in src/ad/objectives.jl).
+
+The canonical callable signature throughout this framework is the
+sum-objective form: ``G(model, state, dt, step_no, forces) -> scalar``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SumObjective:
+    """Σ_n g(model, state_n, dt_n, n, forces) (reference core_types.jl:1582).
+
+    Wraps a per-step callable; instances are directly usable wherever a
+    ``G`` is expected.
+    """
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def __call__(self, model, state, dt, step_no, forces):
+        return self.fn(model, state, dt, step_no, forces)
+
+    def evaluate(self, model, states, dts, forces=None) -> float:
+        tot = 0.0
+        for n, st in enumerate(states):
+            f = forces[n] if isinstance(forces, list) else forces
+            tot += float(self(model, {k: jnp.asarray(v)
+                                      for k, v in st.items()},
+                              float(dts[n]), n, f))
+        return tot
+
+
+class GlobalObjective(SumObjective):
+    """G evaluated on the FINAL state only (a common global-objective case;
+    reference AbstractGlobalObjective). The per-step view returns zero
+    except at the last step."""
+
+    def __init__(self, fn: Callable, n_steps: int):
+        self.fn = fn
+        self.n_steps = int(n_steps)
+
+    def __call__(self, model, state, dt, step_no, forces):
+        if step_no != self.n_steps - 1:
+            return jnp.asarray(0.0)
+        return self.fn(model, state, dt, step_no, forces)
+
+
+def l2_misfit_objective(observations: dict, weights: dict | None = None):
+    """Σ_n dt Σ_k w_k ||x_k - obs_k||² — the standard history-match misfit.
+
+    ``observations``: name -> list over steps of arrays.
+    """
+    weights = weights or {}
+
+    def G(model, state, dt, step_no, forces):
+        tot = 0.0
+        for name, obs in observations.items():
+            w = weights.get(name, 1.0)
+            d = state[name] - jnp.asarray(obs[step_no])
+            tot = tot + w * jnp.sum(d * d)
+        return dt * tot
+
+    return SumObjective(G)

@@ -1,0 +1,137 @@
+"""WENO face interpolation on unstructured meshes.
+
+Counterpart of the reference WENO module (reference: src/WENO/WENO.jl:4-456
+— per-cell gradient stencils, per-face ``WENOFaceDiscretization{D,N,R}``
+with left/right half-face discretizations, smoothness-weighted
+interpolation ``weno_upwind``/``interpolate_weno``; ``weno_discretize``
+:66).
+
+Scheme: for each face side, candidate stencils are dim-subsets of the
+cell's neighbors forming well-conditioned simplices. Each candidate's
+planar reconstruction is precomputed at build time:
+    u_f = u_c + gamma . (u_nb - u_c),   gamma = G^{-T} (x_f - x_c)
+with G the (dim x dim) matrix of neighbor offset vectors — exact for linear
+fields (second order). The candidates combine with the classic WENO
+nonlinear weights w_s ∝ 1/(eps + beta_s)^2, beta_s = |G^{-1} du|^2 (squared
+gradient), collapsing to the smoothest one-sided plane at discontinuities.
+
+All stencil data is static build-time numpy; the face interpolation is an
+elementwise closure compatible with the vmap/jacfwd assembly engine
+(wider-stencil FaceFluxContribution).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..meshes.geometry import TwoPointFiniteVolumeGeometry
+
+WENO_EPS = 1e-10
+
+
+def weno_discretize(geo: TwoPointFiniteVolumeGeometry, max_neighbors=None,
+                    cond_limit: float = 1e-8):
+    """Build WENO stencil data (reference weno_discretize, WENO.jl:66).
+
+    Returns a dict with (Ns = #candidate stencils per side, Dm = max
+    neighbors, dim = space dimension, K = stencil width):
+      - ``stencil`` (nf, K) int: [left, right, nbrs(L)..., nbrs(R)...]
+      - per side s in {l, r}:
+        ``memb_{s}``  (nf, Ns, dim) int: LOCAL stencil slots of candidates
+        ``gamma_{s}`` (nf, Ns, dim): reconstruction coefficients
+        ``ginv_{s}``  (nf, Ns, dim, dim): gradient operator (smoothness)
+        ``mask_{s}``  (nf, Ns)
+    """
+    nb = geo.neighbors
+    nf = nb.shape[0]
+    n = geo.n_cells
+    dim = geo.dim
+    adj = [[] for _ in range(n)]
+    for f in range(nf):
+        l, r = nb[f]
+        adj[l].append(r)
+        adj[r].append(l)
+    Dm = max_neighbors or max((len(a) for a in adj), default=1)
+    Ns = Dm  # cyclic dim-subsets of the neighbor list
+
+    K = 2 + 2 * Dm
+    stencil = np.zeros((nf, K), dtype=np.int32)
+    memb = np.zeros((2, nf, Ns, dim), dtype=np.int32)
+    gamma = np.zeros((2, nf, Ns, dim))
+    ginv = np.zeros((2, nf, Ns, dim, dim))
+    mask = np.zeros((2, nf, Ns))
+
+    cc = geo.cell_centroids
+    fc = geo.face_centroids
+    for f in range(nf):
+        l, r = nb[f]
+        stencil[f, 0] = l
+        stencil[f, 1] = r
+        for side, c in ((0, l), (1, r)):
+            nbrs = adj[c][:Dm]
+            deg = len(nbrs)
+            base = 2 + side * Dm
+            for j in range(Dm):
+                stencil[f, base + j] = nbrs[j] if j < deg else c
+            if deg < dim:
+                continue
+            x0 = cc[c]
+            scale = np.max(np.abs(cc[nbrs] - x0)) or 1.0
+            for s in range(min(Ns, deg)):
+                js = [(s + t) % deg for t in range(dim)]
+                if len(set(js)) < dim:
+                    continue
+                G = cc[[nbrs[j] for j in js]] - x0  # (dim, dim)
+                det = np.linalg.det(G)
+                if abs(det) < cond_limit * scale**dim:
+                    continue
+                Gi = np.linalg.inv(G)
+                memb[side, f, s] = [base + j for j in js]
+                gamma[side, f, s] = Gi.T @ (fc[f] - x0)
+                ginv[side, f, s] = Gi
+                mask[side, f, s] = 1.0
+    return {
+        "stencil": stencil,
+        "K": K,
+        "Dm": Dm,
+        "Ns": Ns,
+        "dim": dim,
+        "memb_l": memb[0], "memb_r": memb[1],
+        "gamma_l": gamma[0], "gamma_r": gamma[1],
+        "ginv_l": ginv[0], "ginv_r": ginv[1],
+        "mask_l": mask[0], "mask_r": mask[1],
+    }
+
+
+def weno_face_value(u_stencil, fd: dict, side: str):
+    """Interpolate one side's face value from one face's stencil.
+
+    ``u_stencil``: (K,) gathered cell values; ``fd``: per-face slices of
+    the weno_discretize arrays (memb (Ns, dim), gamma (Ns, dim), ginv
+    (Ns, dim, dim), mask (Ns,)). Elementwise / jax-differentiable.
+    Reference: interpolate_weno / weno_upwind (WENO.jl:300-456).
+    """
+    u_c = u_stencil[0] if side == "l" else u_stencil[1]
+    memb = fd[f"memb_{side}"]
+    gamma = fd[f"gamma_{side}"]
+    ginv = fd[f"ginv_{side}"]
+    m = fd[f"mask_{side}"]
+    du = u_stencil[memb] - u_c  # (Ns, dim)
+    cand = u_c + jnp.sum(gamma * du, axis=-1)  # (Ns,)
+    grad = jnp.sum(ginv * du[:, None, :], axis=-1)  # (Ns, dim)
+    beta = jnp.sum(grad * grad, axis=-1)
+    w = m / (WENO_EPS + beta) ** 2
+    wsum = jnp.sum(w)
+    safe = wsum > 0
+    val = jnp.sum(w * cand) / jnp.where(safe, wsum, 1.0)
+    return jnp.where(safe, val, u_c)
+
+
+def weno_upwind(u_stencil, fd: dict, flag):
+    """Upwinded WENO face value: ``flag`` True takes the left side
+    (reference weno_upwind)."""
+    vl = weno_face_value(u_stencil, fd, "l")
+    vr = weno_face_value(u_stencil, fd, "r")
+    return jnp.where(flag, vl, vr)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import tables as _tbl
 from ..ops.blockell import BlockELL, ELLStructure, ell_matvec
 from .precond import Preconditioner
 
@@ -71,13 +72,19 @@ class AMGLevel:
     scatter_idx: np.ndarray | None  # (n*S,) flat coarse (row*S_c + slot)
     scatter_valid: np.ndarray | None
     n_coarse: int = 0
+    agg_key: str | None = None
+    scatter_key: str | None = None
 
 
 class AMGHierarchy:
     """Static multilevel structure for a given fine ELLStructure."""
 
+    _uid = [0]
+
     def __init__(self, structure: ELLStructure, min_coarse: int = 64,
                  max_levels: int = 10):
+        AMGHierarchy._uid[0] += 1
+        self.uid = AMGHierarchy._uid[0]
         self.levels: list[AMGLevel] = []
         cur = structure
         for _ in range(max_levels):
@@ -100,6 +107,15 @@ class AMGHierarchy:
                                         None, n_c))
             cur = cstruct
         self.levels.append(AMGLevel(cur, None, None, None, 0))
+        # register big static arrays so jit users can pass them as args
+        for i, lvl in enumerate(self.levels):
+            pre = f"amg{self.uid}/L{i}"
+            if lvl.structure.cols_key is None:
+                lvl.structure.register_cols(pre + "/cols")
+            if lvl.agg is not None:
+                lvl.agg_key = _tbl.register(pre + "/agg", lvl.agg)
+                lvl.scatter_key = _tbl.register(pre + "/scatter",
+                                                lvl.scatter_idx)
 
     @property
     def n_levels(self) -> int:
@@ -142,7 +158,8 @@ class AMGPreconditioner(Preconditioner):
             n_c = lvl.n_coarse
             # coarse values: segment-sum of fine entries into coarse slots
             cstruct = hier.levels[li + 1].structure
-            flat = jnp.asarray(lvl.scatter_idx)
+            flat = jnp.asarray(_tbl.table(lvl.scatter_key)
+                               if lvl.scatter_key else lvl.scatter_idx)
             coarse_flat = jax.ops.segment_sum(
                 vals.reshape(-1), flat, num_segments=n_c * cstruct.n_slots
             )
@@ -153,7 +170,7 @@ class AMGPreconditioner(Preconditioner):
         nb = bottom.n_rows
         dense = jnp.zeros((nb, nb), vals.dtype)
         rows = jnp.repeat(jnp.arange(nb), bottom.n_slots)
-        colsb = jnp.asarray(bottom.cols).reshape(-1)
+        colsb = jnp.asarray(bottom.cols_t()).reshape(-1)
         dense = dense.at[rows, colsb].add(vals.reshape(-1))
         return (ops, dense)
 
@@ -165,7 +182,7 @@ class AMGPreconditioner(Preconditioner):
         def vcycle(level: int, rhs):
             lvl = hier.levels[level]
             A = ops[level]
-            cols = jnp.asarray(lvl.structure.cols)
+            cols = jnp.asarray(lvl.structure.cols_t())
             diag = A[:, 0]
             dinv = 1.0 / diag
 
@@ -177,7 +194,8 @@ class AMGPreconditioner(Preconditioner):
                 r = rhs - _scalar_matvec(A, cols, u)
                 u = u + self.omega * dinv * r
             r = rhs - _scalar_matvec(A, cols, u)
-            agg = jnp.asarray(lvl.agg)
+            agg = jnp.asarray(_tbl.table(lvl.agg_key)
+                              if lvl.agg_key else lvl.agg)
             r_c = jax.ops.segment_sum(r, agg, num_segments=lvl.n_coarse)
             e_c = vcycle(level + 1, r_c)
             u = u + e_c[agg]
@@ -189,7 +207,7 @@ class AMGPreconditioner(Preconditioner):
         u = jnp.zeros_like(b)
         for _ in range(self.n_cycles):
             r = b - _scalar_matvec(ops[0], jnp.asarray(
-                hier.levels[0].structure.cols), u)
+                hier.levels[0].structure.cols_t()), u)
             u = u + vcycle(0, r)
         return u[:, None] if x.ndim == 2 else u
 

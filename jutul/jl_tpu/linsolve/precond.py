@@ -115,31 +115,38 @@ class ILU0Preconditioner(Preconditioner):
     def update(self, J: BlockELL):
         import numpy as np
 
+        from ..ops import tables as _tbl
+
         cols_np = np.asarray(J.structure.cols)  # (n, S)
         n, S = cols_np.shape
-        rows_np = np.broadcast_to(np.arange(n)[:, None], (n, S))
-        lower_mask = jnp.asarray(cols_np < rows_np)
-        upper_mask = jnp.asarray(cols_np > rows_np)
-        # transposed-partner index: stored (i,j) -> location of block (j,i)
-        # (FV sparsity is structurally symmetric, so the partner exists).
-        # All gathers use FLAT 1D indices: 4D gathers constrain layouts to
-        # tile the tiny block dims (64x padding at scale on TPU).
-        partner_slot = J.structure.slots_for(cols_np, rows_np)
+        # transposed-partner slot: stored (i,j) -> slot of block (j,i) in
+        # row j (FV sparsity is structurally symmetric). Registered as a
+        # table so it can travel as a jit argument; the flat gather indices
+        # are derived IN-GRAPH (4D gathers constrain layouts to tile the
+        # tiny block dims — 64x padding at scale on TPU).
+        pkey = f"ilu0/{J.structure.cols_key or id(J.structure)}/partner"
+        if not _tbl.has(pkey):
+            rows_np = np.broadcast_to(np.arange(n)[:, None], (n, S))
+            _tbl.register(pkey, J.structure.slots_for(cols_np, rows_np)
+                          .astype(np.int32))
+        partner_slot = jnp.asarray(_tbl.table(pkey))
 
         A = J.blocks  # (n, S, b, b)
         n_, S_, b_, _ = A.shape
-        cols = jnp.asarray(cols_np)
+        cols = jnp.asarray(J.structure.cols_t())
+        rows_t = jax.lax.broadcasted_iota(cols.dtype, (n_, S_), 0)
+        lower_mask = cols < rows_t
+        upper_mask = cols > rows_t
         lm = lower_mask[..., None, None]
         um = upper_mask[..., None, None]
-        elem = np.arange(b_ * b_, dtype=np.int64)
-        partner_flat = ((cols_np.astype(np.int64) * S_ + partner_slot)
-                        [:, :, None] * (b_ * b_) + elem).reshape(-1)
-        A_T_partner = A.reshape(-1)[jnp.asarray(partner_flat)].reshape(A.shape)
+        elem = jnp.arange(b_ * b_, dtype=cols.dtype)
+        partner_flat = ((cols * S_ + partner_slot)[:, :, None]
+                        * (b_ * b_) + elem).reshape(-1)
+        A_T_partner = A.reshape(-1)[partner_flat].reshape(A.shape)
 
         def gather_diag_at_cols(Dinv):
-            idx = (cols_np.astype(np.int64)[:, :, None] * (b_ * b_)
-                   + elem).reshape(-1)
-            return Dinv.reshape(-1)[jnp.asarray(idx)].reshape(n_, S_, b_, b_)
+            idx = (cols[:, :, None] * (b_ * b_) + elem).reshape(-1)
+            return Dinv.reshape(-1)[idx].reshape(n_, S_, b_, b_)
 
         # For two-point FV stencils, neighbors i and j share no third stored
         # column, so ILU(0) collapses to
@@ -164,7 +171,7 @@ class ILU0Preconditioner(Preconditioner):
 
     def apply(self, state, J: BlockELL, x):
         L_off, U_off, Udiag_inv, lower_mask, upper_mask = state
-        cols = jnp.asarray(J.structure.cols)
+        cols = jnp.asarray(J.structure.cols_t())
 
         # y = L^{-1} x, L unit-diagonal: y = x - L_off y (Jacobi sweeps)
         def lsweep(y, _):

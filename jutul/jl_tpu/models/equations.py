@@ -121,12 +121,15 @@ class ConservationLaw(JutulEquation):
     """
 
     def __init__(self, flux_fn, mass_fn=None, neq: int = 1, scale_fn=None,
-                 flow_discretization=None):
+                 flow_discretization=None, stencil=None):
         self.flux_fn = flux_fn
         self.mass_fn = mass_fn
         self.neq = int(neq)
         self.scale_fn = scale_fn
         self.flow_discretization = flow_discretization
+        # optional wider flux stencil (nf, K), cols 0/1 = left/right —
+        # used by WENO/NFVM discretizations (reference: flux.jl ad=:generic)
+        self.stencil = stencil
 
     def number_of_equations_per_entity(self, model) -> int:
         return self.neq
@@ -142,13 +145,14 @@ class ConservationLaw(JutulEquation):
             out.append(AccumulationContribution(acc, name="accumulation"))
         geo = model.domain.geometry
         if self.flux_fn is not None and geo is not None and geo.n_faces > 0:
-            neighbors = geo.neighbors
+            st = self.stencil if self.stencil is not None else geo.neighbors
+            st = np.asarray(st)
             out.append(
                 FaceFluxContribution(
                     fn=self.flux_fn,
-                    stencil=neighbors,
-                    plus=neighbors[:, 0],
-                    minus=neighbors[:, 1],
+                    stencil=st,
+                    plus=st[:, 0],
+                    minus=st[:, 1],
                     name="flux",
                 )
             )

@@ -1,0 +1,126 @@
+"""Scalar convection(-diffusion) transport system with SPU or WENO faces.
+
+The BASELINE config-2 physics (2D convection-diffusion with WENO face
+discretization). Counterpart of the reference usage of SPU upwinding
+(flux.jl:35) and WENO face discretizations (src/WENO/) inside a
+ConservationLaw.
+
+  dC/dt * V + div(v * C_face) - div(D * grad C) = q
+
+``FaceVelocity`` (volumetric rate through each face, left -> right sign)
+and ``Diffusion`` (face transmissibility-weighted coefficient) are face
+parameters; C_face is single-point upwind or WENO-interpolated.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.entities import CELLS, FACES
+from ..discretization.weno import weno_discretize, weno_upwind
+from .equations import ConservationLaw
+from .system import JutulSystem
+from .variables import JutulParameter, ScalarVariable
+
+
+class Concentration(ScalarVariable):
+    def minimum_value(self, model=None):
+        return None
+
+
+class FaceVelocity(JutulParameter):
+    def __init__(self):
+        super().__init__(default=0.0, entity=FACES)
+
+
+class FaceDiffusion(JutulParameter):
+    def __init__(self):
+        super().__init__(default=0.0, entity=FACES, minimum=0.0)
+
+
+class CellVolumeParam(JutulParameter):
+    def __init__(self):
+        super().__init__(default=1.0, entity=CELLS, minimum=0.0)
+
+    def initialize_parameter(self, model, n):
+        return model.data_domain["volumes"]
+
+
+class _WenoFaceData(JutulParameter):
+    """Static per-face WENO arrays delivered through the parameter path."""
+
+    def __init__(self, values, per_face):
+        super().__init__(default=0.0, entity=FACES,
+                         values_per_entity=per_face)
+        self._values = values
+
+    def initialize_parameter(self, model, n):
+        return self._values
+
+
+class TransportSystem(JutulSystem):
+    """Convection-diffusion with selectable face scheme
+    (scheme in {"spu", "weno"})."""
+
+    def __init__(self, scheme: str = "spu"):
+        if scheme not in ("spu", "weno"):
+            raise ValueError(scheme)
+        self.scheme = scheme
+
+    def select_primary_variables(self, model):
+        return OrderedDict(C=Concentration())
+
+    def select_parameters(self, model):
+        out = OrderedDict(
+            FaceVelocity=FaceVelocity(),
+            FaceDiffusion=FaceDiffusion(),
+            Volume=CellVolumeParam(),
+        )
+        if self.scheme == "weno":
+            fd = weno_discretize(model.domain.geometry)
+            self._weno = fd
+            for key in ("memb_l", "memb_r", "gamma_l", "gamma_r",
+                        "ginv_l", "ginv_r", "mask_l", "mask_r"):
+                out[f"weno_{key}"] = _WenoFaceData(fd[key], fd[key].shape[1])
+        return out
+
+    def select_equations(self, model):
+        scheme = self.scheme
+
+        def mass(model_, cs):
+            return jnp.reshape(cs["Volume"] * cs["C"], (1,))
+
+        if scheme == "spu":
+            def flux(model_, cs, fs):
+                v = fs["FaceVelocity"]
+                D = fs["FaceDiffusion"]
+                C = cs["C"]
+                c_face = jnp.where(v >= 0, C[0], C[1])
+                return jnp.reshape(v * c_face - D * (C[1] - C[0]), (1,))
+
+            eq = ConservationLaw(flux_fn=flux, mass_fn=mass, neq=1)
+        else:
+            fd_static = self._weno
+
+            def flux(model_, cs, fs):
+                v = fs["FaceVelocity"]
+                D = fs["FaceDiffusion"]
+                C = cs["C"]  # (K,)
+                fd = {k: fs[f"weno_{k}"] for k in
+                      ("memb_l", "memb_r", "gamma_l", "gamma_r",
+                       "ginv_l", "ginv_r", "mask_l", "mask_r")}
+                c_face = weno_upwind(C, fd, v >= 0)
+                return jnp.reshape(v * c_face - D * (C[1] - C[0]), (1,))
+
+            eq = ConservationLaw(flux_fn=flux, mass_fn=mass, neq=1,
+                                 stencil=fd_static["stencil"])
+        return OrderedDict(transport=eq)
+
+
+def uniform_face_velocity(geo, velocity):
+    """Per-face volumetric rate v . n A for a constant velocity field."""
+    velocity = np.asarray(velocity, dtype=np.float64)
+    return (geo.normals @ velocity) * geo.areas

@@ -1,0 +1,117 @@
+"""Variable/parameter vectorization.
+
+Counterpart of the reference vectorization utilities (reference:
+src/variables/vectorization.jl — ``vectorize_variables[!]`` :19,
+``devectorize_variables!``, lumping & scaling :208; data-domain
+vectorization :281) and scalarization (variables/scalarization.jl:23-53,
+used by the reference for MPI ghost sync — here the SPMD halo exchange in
+parallel/sharded.py plays that role, so scalarize maps to the packed dof
+matrix).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class VariableMapper:
+    """Mapping between named (state/parameter) dicts and a flat vector
+    (reference's mapper from vectorize_variables)."""
+
+    def __init__(self, model, targets=None, group: str = "parameters"):
+        if group == "parameters":
+            variables = model.parameters
+        elif group == "primary":
+            variables = model.primary_variables
+        else:
+            raise ValueError(group)
+        self.model = model
+        names = targets if targets is not None else list(variables)
+        self.entries = []
+        ofs = 0
+        for name in names:
+            var = variables[name]
+            n = model.count_entities(var.associated_entity(model))
+            m = var.values_per_entity(model)
+            size = n * m
+            shape = (n,) if m == 1 else (n, m)
+            scale = var.variable_scale(model) or 1.0
+            self.entries.append((name, slice(ofs, ofs + size), shape, scale))
+            ofs += size
+        self.n = ofs
+
+    def vectorize(self, data: dict) -> np.ndarray:
+        x = np.zeros(self.n)
+        for name, sl, shape, scale in self.entries:
+            x[sl] = np.asarray(data[name], dtype=np.float64).reshape(-1) / scale
+        return x
+
+    def devectorize(self, x, template: dict | None = None) -> dict:
+        out = dict(template or {})
+        for name, sl, shape, scale in self.entries:
+            out[name] = np.asarray(x[sl], dtype=np.float64).reshape(shape) * scale
+        return out
+
+
+def vectorize_variables(model, data: dict, targets=None,
+                        group: str = "parameters"):
+    """(vector, mapper) for the selected variables
+    (reference vectorization.jl:19)."""
+    mapper = VariableMapper(model, targets, group)
+    return mapper.vectorize(data), mapper
+
+
+def devectorize_variables(model, x, mapper: VariableMapper,
+                          template: dict | None = None) -> dict:
+    return mapper.devectorize(x, template)
+
+
+def vectorize_data_domain(data_domain) -> np.ndarray:
+    """Flatten every numeric field of a DataDomain
+    (reference vectorize_data_domain, vectorization.jl:281)."""
+    parts = []
+    for name, (entity, arr) in data_domain.items():
+        if np.issubdtype(np.asarray(arr).dtype, np.floating):
+            parts.append(np.asarray(arr, dtype=np.float64).reshape(-1))
+    return np.concatenate(parts) if parts else np.zeros(0)
+
+
+def devectorize_data_domain(data_domain, x):
+    """Rebuild a DataDomain with fields taken from the flat vector."""
+    from ..core.domains import DataDomain
+
+    out = DataDomain(data_domain.mesh, populate=False,
+                     entities=data_domain.entities())
+    ofs = 0
+    for name, (entity, arr) in data_domain.items():
+        arr = np.asarray(arr)
+        if np.issubdtype(arr.dtype, np.floating):
+            sz = arr.size
+            out.set(name, np.asarray(x[ofs:ofs + sz],
+                                     dtype=np.float64).reshape(arr.shape),
+                    entity)
+            ofs += sz
+        else:
+            out.set(name, arr.copy(), entity)
+    return out
+
+
+def scalarize_primary_variables(model, state: dict) -> np.ndarray:
+    """Primary variables -> packed (n_cells, ndof) matrix (reference
+    variables/scalarization.jl:23; used there for MPI ghost buffers)."""
+    from ..ops.assembly import compile_model
+
+    comp = compile_model(model)
+    import jax.numpy as jnp
+
+    return np.asarray(comp.get_dofs({k: jnp.asarray(v)
+                                     for k, v in state.items()}))
+
+
+def descalarize_primary_variables(model, packed) -> dict:
+    from ..ops.assembly import compile_model
+    import jax.numpy as jnp
+
+    comp = compile_model(model)
+    out = comp.unpack_dofs(jnp.asarray(packed))
+    return {k: np.asarray(v) for k, v in out.items()}

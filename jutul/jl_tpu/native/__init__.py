@@ -1,0 +1,100 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference leans on native libraries for partitioning (Metis/KaHyPar)
+and AMG (HYPRE/AMGCL); the TPU compute path here is XLA, but host-side
+graph work (partitioning, RCM reordering) stays native C++ for speed at
+1M+ cells. Build is on-demand (g++ -O3) with a pure-numpy fallback if no
+compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_LIB = None
+_TRIED = False
+
+
+def _build() -> Path | None:
+    src = _HERE / "partitioner.cpp"
+    out = _HERE / "libjutul_native.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", str(out), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return out
+    except Exception:
+        return None
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        path = _build()
+        if path is not None:
+            lib = ctypes.CDLL(str(path))
+            lib.jutul_partition.restype = ctypes.c_int
+            lib.jutul_partition.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.jutul_rcm.restype = ctypes.c_int
+            lib.jutul_rcm.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ]
+            _LIB = lib
+    return _LIB
+
+
+def native_partition(neighbors, n_cells: int, n_blocks: int,
+                     weights=None) -> np.ndarray | None:
+    """C++ graph partition; None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nb = np.ascontiguousarray(np.asarray(neighbors, dtype=np.int64))
+    out = np.zeros(n_cells, dtype=np.int64)
+    wptr = None
+    if weights is not None:
+        w = np.ascontiguousarray(np.asarray(weights, dtype=np.float64))
+        wptr = w.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    rc = lib.jutul_partition(
+        nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nb.shape[0], n_cells, n_blocks, wptr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def native_rcm(neighbors, n_cells: int) -> np.ndarray | None:
+    """Reverse Cuthill-McKee permutation (new->old), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nb = np.ascontiguousarray(np.asarray(neighbors, dtype=np.int64))
+    out = np.zeros(n_cells, dtype=np.int64)
+    rc = lib.jutul_rcm(
+        nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nb.shape[0], n_cells,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out

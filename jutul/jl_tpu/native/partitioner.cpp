@@ -1,0 +1,242 @@
+// Native graph partitioner: the framework's replacement for the Metis /
+// KaHyPar C/C++ libraries the reference delegates to (reference:
+// src/partitioning.jl MetisPartitioner :29, hypergraph partitioning
+// :244-500; ext KaHyPar usage). Used for domain decomposition and for the
+// thread/block-partitioned preconditioners.
+//
+// Algorithm: BFS region growing from farthest-point seeds (weighted
+// balance) followed by boundary Kernighan-Lin-style refinement sweeps that
+// reduce edge cut under a balance constraint. Deterministic.
+//
+// C ABI (ctypes):
+//   int jutul_partition(const long long* face_neighbors, long long n_faces,
+//                       long long n_cells, long long n_blocks,
+//                       const double* cell_weights /*nullable*/,
+//                       long long* out_part);
+// Returns 0 on success.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace {
+
+struct CSR {
+  std::vector<int64_t> start;
+  std::vector<int64_t> adj;
+};
+
+CSR build_csr(const int64_t* nb, int64_t n_faces, int64_t n_cells) {
+  std::vector<int64_t> deg(n_cells, 0);
+  for (int64_t f = 0; f < n_faces; ++f) {
+    ++deg[nb[2 * f]];
+    ++deg[nb[2 * f + 1]];
+  }
+  CSR g;
+  g.start.assign(n_cells + 1, 0);
+  for (int64_t c = 0; c < n_cells; ++c) g.start[c + 1] = g.start[c] + deg[c];
+  g.adj.assign(g.start[n_cells], 0);
+  std::vector<int64_t> fill(n_cells, 0);
+  for (int64_t f = 0; f < n_faces; ++f) {
+    int64_t a = nb[2 * f], b = nb[2 * f + 1];
+    g.adj[g.start[a] + fill[a]++] = b;
+    g.adj[g.start[b] + fill[b]++] = a;
+  }
+  return g;
+}
+
+// BFS distance from a seed (unweighted), used for farthest-point seeding.
+int64_t farthest_from(const CSR& g, int64_t n_cells, int64_t seed,
+                      std::vector<int64_t>& dist) {
+  dist.assign(n_cells, -1);
+  std::queue<int64_t> q;
+  q.push(seed);
+  dist[seed] = 0;
+  int64_t far = seed;
+  while (!q.empty()) {
+    int64_t c = q.front();
+    q.pop();
+    if (dist[c] > dist[far]) far = c;
+    for (int64_t i = g.start[c]; i < g.start[c + 1]; ++i) {
+      int64_t j = g.adj[i];
+      if (dist[j] < 0) {
+        dist[j] = dist[c] + 1;
+        q.push(j);
+      }
+    }
+  }
+  return far;
+}
+
+}  // namespace
+
+extern "C" int jutul_partition(const int64_t* face_neighbors, int64_t n_faces,
+                               int64_t n_cells, int64_t n_blocks,
+                               const double* cell_weights,
+                               int64_t* out_part) {
+  if (n_cells <= 0 || n_blocks <= 0) return 1;
+  if (n_blocks == 1) {
+    std::memset(out_part, 0, sizeof(int64_t) * n_cells);
+    return 0;
+  }
+  CSR g = build_csr(face_neighbors, n_faces, n_cells);
+  std::vector<double> w(n_cells, 1.0);
+  double total = n_cells;
+  if (cell_weights) {
+    total = 0;
+    for (int64_t c = 0; c < n_cells; ++c) {
+      w[c] = cell_weights[c];
+      total += w[c];
+    }
+  }
+  const double target = total / static_cast<double>(n_blocks);
+
+  std::vector<int64_t> part(n_cells, -1);
+  std::vector<double> block_w(n_blocks, 0.0);
+
+  // farthest-point seed for the first block, then grow blocks one by one,
+  // reseeding each from the unassigned cell farthest from assigned mass.
+  std::vector<int64_t> dist;
+  int64_t seed = farthest_from(g, n_cells, 0, dist);
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    // find an unassigned seed: farthest unassigned from previous block
+    if (part[seed] >= 0) {
+      int64_t cand = -1;
+      for (int64_t c = 0; c < n_cells; ++c)
+        if (part[c] < 0) {
+          cand = c;
+          break;
+        }
+      if (cand < 0) break;
+      seed = cand;
+    }
+    std::queue<int64_t> q;
+    q.push(seed);
+    while (!q.empty() && block_w[b] < target) {
+      int64_t c = q.front();
+      q.pop();
+      if (part[c] >= 0) continue;
+      part[c] = b;
+      block_w[b] += w[c];
+      for (int64_t i = g.start[c]; i < g.start[c + 1]; ++i)
+        if (part[g.adj[i]] < 0) q.push(g.adj[i]);
+    }
+    // next seed: any frontier cell left in queue, else linear scan
+    seed = -1;
+    while (!q.empty()) {
+      int64_t c = q.front();
+      q.pop();
+      if (part[c] < 0) {
+        seed = c;
+        break;
+      }
+    }
+    if (seed < 0) {
+      for (int64_t c = 0; c < n_cells; ++c)
+        if (part[c] < 0) {
+          seed = c;
+          break;
+        }
+      if (seed < 0) break;
+    }
+  }
+  // sweep leftovers into the last block (disconnected graphs)
+  for (int64_t c = 0; c < n_cells; ++c)
+    if (part[c] < 0) {
+      part[c] = n_blocks - 1;
+      block_w[n_blocks - 1] += w[c];
+    }
+
+  // KL-style boundary refinement: move boundary cells to the neighboring
+  // block with the largest gain while keeping balance within 10%.
+  const double max_w = 1.10 * target;
+  for (int pass = 0; pass < 8; ++pass) {
+    int64_t moved = 0;
+    for (int64_t c = 0; c < n_cells; ++c) {
+      int64_t pb = part[c];
+      // count adjacency per block
+      int64_t best_b = pb;
+      int64_t same = 0;
+      // small local map over neighbor blocks
+      std::vector<std::pair<int64_t, int64_t>> counts;
+      for (int64_t i = g.start[c]; i < g.start[c + 1]; ++i) {
+        int64_t ob = part[g.adj[i]];
+        if (ob == pb) {
+          ++same;
+          continue;
+        }
+        bool found = false;
+        for (auto& pr : counts)
+          if (pr.first == ob) {
+            ++pr.second;
+            found = true;
+            break;
+          }
+        if (!found) counts.emplace_back(ob, 1);
+      }
+      int64_t best_gain = 0;
+      for (auto& pr : counts) {
+        int64_t gain = pr.second - same;
+        if (gain > best_gain && block_w[pr.first] + w[c] <= max_w) {
+          best_gain = gain;
+          best_b = pr.first;
+        }
+      }
+      if (best_b != pb) {
+        part[c] = best_b;
+        block_w[pb] -= w[c];
+        block_w[best_b] += w[c];
+        ++moved;
+      }
+    }
+    if (moved == 0) break;
+  }
+
+  std::memcpy(out_part, part.data(), sizeof(int64_t) * n_cells);
+  return 0;
+}
+
+// Reverse Cuthill-McKee ordering for bandwidth reduction — the reference
+// uses SymRCM for cache locality (SURVEY.md hard parts (c)); on TPU the
+// same ordering improves gather locality of the cell axis.
+extern "C" int jutul_rcm(const int64_t* face_neighbors, int64_t n_faces,
+                         int64_t n_cells, int64_t* out_perm) {
+  CSR g = build_csr(face_neighbors, n_faces, n_cells);
+  std::vector<int64_t> order;
+  order.reserve(n_cells);
+  std::vector<char> seen(n_cells, 0);
+  std::vector<int64_t> dist;
+  for (int64_t root = 0; root < n_cells; ++root) {
+    if (seen[root]) continue;
+    // peripheral-ish start
+    int64_t s = farthest_from(g, n_cells, root, dist);
+    std::queue<int64_t> q;
+    if (seen[s]) s = root;
+    q.push(s);
+    seen[s] = 1;
+    while (!q.empty()) {
+      int64_t c = q.front();
+      q.pop();
+      order.push_back(c);
+      // visit neighbors in degree order
+      std::vector<std::pair<int64_t, int64_t>> nb;
+      for (int64_t i = g.start[c]; i < g.start[c + 1]; ++i) {
+        int64_t j = g.adj[i];
+        if (!seen[j]) nb.emplace_back(g.start[j + 1] - g.start[j], j);
+      }
+      std::sort(nb.begin(), nb.end());
+      for (auto& pr : nb) {
+        if (!seen[pr.second]) {
+          seen[pr.second] = 1;
+          q.push(pr.second);
+        }
+      }
+    }
+  }
+  // reverse
+  for (int64_t i = 0; i < n_cells; ++i)
+    out_perm[i] = order[n_cells - 1 - i];
+  return 0;
+}

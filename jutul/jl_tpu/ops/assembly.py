@@ -39,6 +39,7 @@ from ..models.equations import (
     CellTermContribution,
     FaceFluxContribution,
 )
+from . import tables as _tbl
 from .blockell import BlockELL, ELLStructure
 
 
@@ -61,7 +62,11 @@ class CompiledModel:
       - convergence(r, state, dt)
     """
 
+    _uid_counter = [0]
+
     def __init__(self, model):
+        CompiledModel._uid_counter[0] += 1
+        self._uid = CompiledModel._uid_counter[0]
         self.model = model
         model.validate()
         self.layout = model.dof_layout()
@@ -113,6 +118,7 @@ class CompiledModel:
 
         all_edges = np.concatenate(edges, axis=0) if edges else np.zeros((0, 2), int)
         self.ell = ELLStructure.build(self.n_cells, all_edges)
+        self.ell.register_cols(f"cm{self._uid}/ell_cols")
         # precompute scatter slots for each face-flux contribution
         for info, con, meta in self.contribs:
             if isinstance(con, FaceFluxContribution):
@@ -124,6 +130,87 @@ class CompiledModel:
                 meta["minus_slots"] = np.stack(
                     [self.ell.slots_for(minus, st[:, k]) for k in range(K)], axis=1
                 )
+                self._build_gather_tables(meta)
+
+    def _build_gather_tables(self, meta: dict) -> None:
+        """Invert the scatter: for every (row, slot) of the ELL matrix,
+        which (face, stencil-k, sign) contributions land there.
+
+        This converts assembly from scatter-add (slow, layout-hostile on
+        TPU) to pure gathers — the TPU dual of the reference's half-face
+        CSR maps (src/domains.jl:101, conservation.jl conn_pos/conn_data).
+        Off-diagonal slots of a two-point-style stencil receive at most P
+        entries; diagonal rows receive up to the vertex degree.
+        """
+        n, S = self.n_cells, self.ell.n_slots
+        st, plus, minus = meta["stencil"], meta["plus"], meta["minus"]
+        K = meta["K"]
+        nf = st.shape[0]
+        rows, slots, faces, ks, signs = [], [], [], [], []
+        for k in range(K):
+            for rr, ss, sign in ((plus, meta["plus_slots"][:, k], 1.0),
+                                 (minus, meta["minus_slots"][:, k], -1.0)):
+                rows.append(rr.astype(np.int64))
+                slots.append(ss.astype(np.int64))
+                faces.append(np.arange(nf, dtype=np.int64))
+                ks.append(np.full(nf, k, dtype=np.int64))
+                signs.append(np.full(nf, sign))
+        rows = np.concatenate(rows)
+        slots = np.concatenate(slots)
+        faces = np.concatenate(faces)
+        ks = np.concatenate(ks)
+        signs = np.concatenate(signs)
+
+        def table(sel, width, W):
+            """(rows[sel], width[sel]) -> padded (n, W, P) gather tables."""
+            r_, w_, f_, k_, s_ = (rows[sel], width[sel], faces[sel], ks[sel],
+                                  signs[sel])
+            key = r_ * W + w_
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            starts = np.searchsorted(key_s, key_s)
+            rank = np.arange(key_s.shape[0]) - starts
+            P = int(rank.max()) + 1 if rank.size else 1
+            facek = np.zeros((n * W, P), dtype=np.int32)
+            sign = np.zeros((n * W, P), dtype=np.float64)
+            face = np.zeros((n * W, P), dtype=np.int32)
+            facek[key_s, rank] = (f_[order] * K + k_[order]).astype(np.int32)
+            face[key_s, rank] = f_[order].astype(np.int32)
+            sign[key_s, rank] = s_[order]
+            return (facek.reshape(n, W, P), face.reshape(n, W, P),
+                    sign.reshape(n, W, P), P)
+
+        is_diag = slots == 0
+        d_facek, d_face, d_sign, Pd = table(is_diag, np.zeros_like(slots), 1)
+        o_facek, o_face, o_sign, Po = table(~is_diag,
+                                            np.maximum(slots - 1, 0),
+                                            max(S - 1, 1))
+        pre = f"cm{self._uid}/c{id(meta)}"
+        meta["k_stencil"] = _tbl.register(pre + "/stencil", meta["stencil"])
+        meta["k_diag_facek"] = _tbl.register(pre + "/dfk", d_facek[:, 0])
+        meta["k_diag_sign"] = _tbl.register(pre + "/dsg",
+                                            d_sign[:, 0].astype(np.int8))
+        meta["k_off_facek"] = _tbl.register(pre + "/ofk", o_facek)
+        meta["k_off_sign"] = _tbl.register(pre + "/osg",
+                                           o_sign.astype(np.int8))
+        # residual half-face table (the reference's half_face_map,
+        # src/domains.jl:101): built from plus/minus directly — the jacobian
+        # diagonal entries would multi-count faces for wide (K>2) stencils
+        # where a row appears at several stencil positions.
+        hf_rows = np.concatenate([plus, minus]).astype(np.int64)
+        hf_face = np.concatenate([np.arange(nf), np.arange(nf)])
+        hf_sign = np.concatenate([np.ones(nf), -np.ones(nf)])
+        order = np.argsort(hf_rows, kind="stable")
+        rr, ff, ss = hf_rows[order], hf_face[order], hf_sign[order]
+        starts = np.searchsorted(rr, rr)
+        rank = np.arange(rr.shape[0]) - starts
+        Pr = int(rank.max()) + 1 if rank.size else 1
+        r_face = np.zeros((n, Pr), dtype=np.int32)
+        r_sign = np.zeros((n, Pr))
+        r_face[rr, rank] = ff.astype(np.int32)
+        r_sign[rr, rank] = ss
+        meta["k_r_face"] = _tbl.register(pre + "/rf", r_face)
+        meta["k_r_sign"] = _tbl.register(pre + "/rs", r_sign.astype(np.int8))
 
     # ------------------------------------------------------------------
     # state helpers
@@ -210,46 +297,49 @@ class CompiledModel:
     def residual(self, state: dict, state0: dict, dt, forces=None):
         """(n_cells, neq_total) residual. States must already contain
         secondary variables (call evaluate_secondaries first or use
-        assemble())."""
+        assemble()).
+
+        Assembly is 100% gather-based: per-face fluxes are computed once,
+        then each cell row SUMS its incident faces via the precomputed
+        half-face tables (meta['r_face']/['r_sign']) — no scatter-adds in
+        the hot path (TPU scatters are slow and constrain layouts).
+        """
         model = self.model
         n = self.n_cells
-        neqT = self.neq_total
-        r = jnp.zeros(n * neqT)  # flat accumulation (layout-proof scatters)
         cell_state = self._cell_entries(state)
         cell_state0 = self._cell_entries(state0)
         face_state = self._face_entries(state)
 
+        per_eq: dict[str, list] = {info.name: [] for info in self.equations}
         for info, con, meta in self.contribs:
-            sl = info.row_slice
-            eqs = np.arange(sl.start, sl.stop)
             if isinstance(con, (AccumulationContribution, CellTermContribution)):
                 fn = lambda cs, cs0, _con=con: _con.fn(model, cs, cs0, dt)
                 vals = jax.vmap(fn)(cell_state, cell_state0)  # (n, neq)
-                idx = meta.setdefault("_r_cell_idx", (
-                    np.arange(n, dtype=np.int64)[:, None] * neqT + eqs
-                ).reshape(-1))
-                r = r.at[idx].add(vals.reshape(-1))
+                per_eq[info.name].append(vals)
             elif isinstance(con, FaceFluxContribution):
-                st = meta["stencil"]
+                st = _tbl.table(meta["k_stencil"])
                 local = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[st],
                                                cell_state)
                 fs = jax.tree_util.tree_map(lambda a: jnp.asarray(a), face_state)
                 fn = lambda cs, f, _con=con: _con.fn(model, cs, f)
                 flux = jax.vmap(fn)(local, fs)  # (nf, neq)
-                if "_r_flux_idx" not in meta:
-                    meta["_r_flux_idx"] = (
-                        (meta["plus"].astype(np.int64)[:, None] * neqT
-                         + eqs).reshape(-1),
-                        (meta["minus"].astype(np.int64)[:, None] * neqT
-                         + eqs).reshape(-1),
-                    )
-                ip, im = meta["_r_flux_idx"]
-                r = r.at[ip].add(flux.reshape(-1))
-                r = r.at[im].add(-flux.reshape(-1))
+                rf = _tbl.table(meta["k_r_face"])
+                rs = jnp.asarray(_tbl.table(meta["k_r_sign"]), flux.dtype)
+                gf = flux[rf.reshape(-1)].reshape(
+                    rf.shape + flux.shape[1:])  # (n, Pd, neq)
+                vals = jnp.sum(gf * rs[..., None], axis=1)
+                per_eq[info.name].append(vals)
             else:
                 raise TypeError(f"Unknown contribution {type(con)}")
 
-        r = r.reshape(n, neqT)
+        pieces = []
+        for info in self.equations:
+            parts = per_eq[info.name]
+            tot = parts[0]
+            for p in parts[1:]:
+                tot = tot + p
+            pieces.append(tot)
+        r = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
         if forces:
             r = self._apply_forces(r, state, dt, forces)
         return r
@@ -290,19 +380,28 @@ class CompiledModel:
     def jacobian_blocks(self, state: dict, state0: dict, dt, forces=None):
         """BlockELL blocks (n, S, neq_total, ndof) — the vmap(jacfwd)
         counterpart of fill_equation_entries! (reference ad/generic.jl:53).
-        Accumulation happens in flat 1D index space (see _flat_block_index).
+
+        Pure gather-based: per-face jacfwd blocks are gathered into their
+        (row, slot) destinations via the precomputed tables (the inverse of
+        the reference's injective scatter alignment, ad/ad.jl:107) — no
+        scatter-adds, no layout-constrained operands.
         """
         model = self.model
         n, S = self.n_cells, self.ell.n_slots
-        flat = jnp.zeros(n * S * self.neq_total * self.ndof)
+        ndof = self.ndof
 
         params_cell = self._cell_entries(state, include=("parameter", "extra"))
         cell_state0 = self._cell_entries(state0)
         face_state = self._face_entries(state)
         U_all = self.get_dofs(state)  # (n, ndof)
 
+        # per equation: [diag parts (n, neq_e, ndof)], [off parts
+        # (n, S-1, neq_e, ndof)]
+        diag_eq: dict[str, list] = {i.name: [] for i in self.equations}
+        off_eq: dict[str, list] = {i.name: [] for i in self.equations}
+
         for info, con, meta in self.contribs:
-            sl = info.row_slice
+            neq_e = info.neq
             if isinstance(con, (AccumulationContribution, CellTermContribution)):
                 def local_fn(u_c, p_c, cs0, _con=con):
                     local = dict(p_c)
@@ -313,11 +412,9 @@ class CompiledModel:
                 jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
                     U_all, params_cell, cell_state0
                 )  # (n, neq, ndof)
-                idx = meta.setdefault("_diag_idx", self._flat_block_index(
-                    np.arange(n), np.zeros(n, dtype=np.int64), sl))
-                flat = flat.at[idx].add(jac.reshape(-1))
+                diag_eq[info.name].append(jac)
             elif isinstance(con, FaceFluxContribution):
-                st = meta["stencil"]
+                st = _tbl.table(meta["k_stencil"])
                 p_st = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[st],
                                               params_cell)  # (nf, K, ...)
                 U_st = U_all[st]  # (nf, K, ndof)
@@ -332,20 +429,43 @@ class CompiledModel:
                     U_st, p_st, face_state
                 )  # (nf, neq, K, ndof)
                 K = meta["K"]
-                if "_flux_idx" not in meta:
-                    idx_p = [self._flat_block_index(
-                        meta["plus"], meta["plus_slots"][:, k], sl)
-                        for k in range(K)]
-                    idx_m = [self._flat_block_index(
-                        meta["minus"], meta["minus_slots"][:, k], sl)
-                        for k in range(K)]
-                    meta["_flux_idx"] = (idx_p, idx_m)
-                idx_p, idx_m = meta["_flux_idx"]
-                for k in range(K):
-                    jk = jac[:, :, k, :].reshape(-1)
-                    flat = flat.at[idx_p[k]].add(jk)
-                    flat = flat.at[idx_m[k]].add(-jk)
-        blocks = flat.reshape(n, S, self.neq_total, self.ndof)
+                # flat storage indexed by face*K + k
+                jac_fk = jnp.swapaxes(jac, 1, 2).reshape(
+                    st.shape[0] * K, neq_e * ndof)
+                dfk = _tbl.table(meta["k_diag_facek"])  # (n, Pd)
+                dsg = jnp.asarray(_tbl.table(meta["k_diag_sign"]),
+                                  jac_fk.dtype)
+                dpart = jac_fk[dfk.reshape(-1)].reshape(
+                    dfk.shape + (neq_e, ndof))
+                diag_eq[info.name].append(
+                    jnp.sum(dpart * dsg[..., None, None], axis=1))
+                ofk = _tbl.table(meta["k_off_facek"])  # (n, S-1, Po)
+                osg = jnp.asarray(_tbl.table(meta["k_off_sign"]),
+                                  jac_fk.dtype)
+                opart = jac_fk[ofk.reshape(-1)].reshape(
+                    ofk.shape + (neq_e, ndof))
+                off_eq[info.name].append(
+                    jnp.sum(opart * osg[..., None, None], axis=2))
+
+        def _sum(parts, zero_shape):
+            if not parts:
+                return jnp.zeros(zero_shape)
+            tot = parts[0]
+            for p in parts[1:]:
+                tot = tot + p
+            return tot
+
+        diag_all = jnp.concatenate(
+            [_sum(diag_eq[i.name], (n, i.neq, ndof)) for i in self.equations],
+            axis=1) if len(self.equations) > 1 else _sum(
+                diag_eq[self.equations[0].name],
+                (n, self.neq_total, ndof))
+        off_all = jnp.concatenate(
+            [_sum(off_eq[i.name], (n, S - 1, i.neq, ndof))
+             for i in self.equations], axis=2) if len(self.equations) > 1 \
+            else _sum(off_eq[self.equations[0].name],
+                      (n, S - 1, self.neq_total, ndof))
+        blocks = jnp.concatenate([diag_all[:, None], off_all], axis=1)
         if forces:
             blocks = self._apply_force_jacobians(blocks, state, dt, forces)
         return blocks

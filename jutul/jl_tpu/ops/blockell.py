@@ -35,6 +35,37 @@ class ELLStructure:
     # sorted (row*n + col) keys and their slots, for vectorized lookup
     _keys: np.ndarray = None
     _slots: np.ndarray = None
+    # optional tables-registry key for cols (set via register_cols) so jit
+    # users can pass cols as an argument instead of an HLO constant
+    cols_key: str = None
+
+    def register_cols(self, key: str) -> None:
+        from . import tables as _tbl
+
+        _tbl.register(key, self.cols)
+        object.__setattr__(self, "cols_key", key)
+
+    def cols_t(self):
+        """cols for traced code: bound table if registered, else numpy."""
+        if self.cols_key is not None:
+            from . import tables as _tbl
+
+            return _tbl.table(self.cols_key)
+        return self.cols
+
+    def matvec_idx(self, ndof: int):
+        """Flat gather index for SpMV, precomputed on host: idx[(i,s,j)] =
+        cols[i,s]*ndof + j. Computing this in-graph materializes a
+        (n, S, ndof) iota temp whose tiny trailing dims tile-pad 64x on
+        TPU (measured 4 GB at 1M cells); as a host table it is 56 MB."""
+        from . import tables as _tbl
+
+        key = f"{self.cols_key or id(self)}/mvidx{ndof}"
+        if not _tbl.has(key):
+            idx = (np.asarray(self.cols, dtype=np.int32)[:, :, None] * ndof
+                   + np.arange(ndof, dtype=np.int32)).reshape(-1)
+            _tbl.register(key, idx)
+        return _tbl.table(key)
 
     @staticmethod
     def build(n_rows: int, edges: np.ndarray) -> "ELLStructure":
@@ -99,11 +130,14 @@ class BlockELL:
 
     def matvec(self, x):
         """y = A @ x with x (n, ndof) -> y (n, neq)."""
-        return ell_matvec(self.blocks, self.structure.cols, x)
+        n, S, neq, ndof = self.blocks.shape
+        idx = self.structure.matvec_idx(ndof)
+        xg = x.reshape(-1)[jnp.asarray(idx)].reshape(n, S, ndof)
+        return jnp.sum(self.blocks * xg[:, :, None, :], axis=(1, 3))
 
     def rmatvec(self, y):
         """x = A^T @ y with y (n, neq) -> x (n, ndof)."""
-        return ell_rmatvec(self.blocks, self.structure.cols, y)
+        return ell_rmatvec(self.blocks, self.structure.cols_t(), y)
 
     def to_dense(self):
         return ell_to_dense(self.blocks, self.structure.cols)
@@ -119,8 +153,10 @@ def ell_matvec(blocks, cols, x):
     """
     n, S, neq, ndof = blocks.shape
     cols = jnp.asarray(cols)
-    idx = (cols[:, :, None] * ndof
-           + jnp.arange(ndof, dtype=cols.dtype)).reshape(-1)
+    # build the flat gather index with 1D ops only — a (n, S, ndof) iota
+    # temp would tile-pad 64x on TPU
+    idx = (jnp.repeat(cols.reshape(-1) * ndof, ndof)
+           + jnp.tile(jnp.arange(ndof, dtype=cols.dtype), n * S))
     xg = x.reshape(-1)[idx].reshape(n, S, ndof)
     return jnp.sum(blocks * xg[:, :, None, :], axis=(1, 3))
 

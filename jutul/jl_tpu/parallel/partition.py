@@ -1,0 +1,128 @@
+"""Mesh/graph partitioning.
+
+Counterpart of the reference partitioning layer (reference:
+src/partitioning.jl — ``LinearPartitioner`` :2, ``MetisPartitioner`` :29,
+hypergraph partitioning with forced groups & weights :244-500). The
+reference delegates to Metis/KaHyPar (native C/C++); here the default is a
+pure-numpy BFS/greedy grower with group contraction, and a C++ multilevel
+partitioner (native/partitioner.cpp, loaded via ctypes) accelerates large
+graphs when built — the TPU-native replacement for those libraries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class LinearPartitioner:
+    """Contiguous index blocks (reference partitioning.jl:2)."""
+
+    def partition(self, neighbors: np.ndarray, n_cells: int,
+                  n_blocks: int, weights=None, groups=None) -> np.ndarray:
+        bounds = np.linspace(0, n_cells, n_blocks + 1).astype(np.int64)
+        out = np.zeros(n_cells, dtype=np.int64)
+        for b in range(n_blocks):
+            out[bounds[b]:bounds[b + 1]] = b
+        if groups:
+            out = _force_groups(out, groups)
+        return out
+
+
+class GreedyGraphPartitioner:
+    """BFS region-growing partitioner (MetisPartitioner stand-in,
+    reference partitioning.jl:29). Grows blocks of (weighted) equal size
+    from spread seeds; good-quality interfaces for FV meshes. Honors
+    forced-together cell groups by contraction."""
+
+    def partition(self, neighbors: np.ndarray, n_cells: int,
+                  n_blocks: int, weights=None, groups=None) -> np.ndarray:
+        # try the native C++ partitioner first
+        try:
+            from ..native import native_partition
+
+            p = native_partition(neighbors, n_cells, n_blocks, weights)
+            if p is not None:
+                if groups:
+                    p = _force_groups(p, groups)
+                return p
+        except Exception:
+            pass
+        return self._python_partition(neighbors, n_cells, n_blocks, weights,
+                                      groups)
+
+    def _python_partition(self, neighbors, n_cells, n_blocks, weights,
+                          groups):
+        if weights is None:
+            weights = np.ones(n_cells)
+        weights = np.asarray(weights, dtype=np.float64)
+        # adjacency CSR
+        nb = np.asarray(neighbors, dtype=np.int64)
+        src = np.concatenate([nb[:, 0], nb[:, 1]])
+        dst = np.concatenate([nb[:, 1], nb[:, 0]])
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        start = np.searchsorted(src_s, np.arange(n_cells + 1))
+
+        target = weights.sum() / n_blocks
+        part = np.full(n_cells, -1, dtype=np.int64)
+        from collections import deque
+
+        seed = 0
+        for b in range(n_blocks):
+            # find an unassigned seed (first unassigned cell)
+            while seed < n_cells and part[seed] >= 0:
+                seed += 1
+            if seed >= n_cells:
+                break
+            q = deque([seed])
+            acc = 0.0
+            while q and acc < target:
+                c = q.popleft()
+                if part[c] >= 0:
+                    continue
+                part[c] = b
+                acc += weights[c]
+                for j in dst_s[start[c]:start[c + 1]]:
+                    if part[j] < 0:
+                        q.append(j)
+        part[part < 0] = n_blocks - 1
+        if groups:
+            part = _force_groups(part, groups)
+        return part
+
+
+class MetisPartitioner(GreedyGraphPartitioner):
+    """API-compatible alias: the reference's Metis role is filled by the
+    native/greedy partitioner."""
+
+
+def _force_groups(part: np.ndarray, groups) -> np.ndarray:
+    """Force each group of cells into a single block (majority vote) —
+    the reference's well-group constraint (partitioning.jl:244)."""
+    part = part.copy()
+    for g in groups:
+        g = np.asarray(g, dtype=np.int64)
+        vals, counts = np.unique(part[g], return_counts=True)
+        part[g] = vals[np.argmax(counts)]
+    return part
+
+
+def partition_to_groups(part: np.ndarray) -> list[np.ndarray]:
+    out = []
+    for b in range(int(part.max()) + 1):
+        out.append(np.where(part == b)[0])
+    return out
+
+
+def load_balance(part: np.ndarray, weights=None) -> float:
+    """max/mean block weight (1.0 = perfect)."""
+    n_blocks = int(part.max()) + 1
+    if weights is None:
+        weights = np.ones_like(part, dtype=np.float64)
+    sizes = np.bincount(part, weights=weights, minlength=n_blocks)
+    return float(sizes.max() / sizes.mean())
+
+
+def edge_cut(part: np.ndarray, neighbors: np.ndarray) -> int:
+    nb = np.asarray(neighbors)
+    return int(np.sum(part[nb[:, 0]] != part[nb[:, 1]]))

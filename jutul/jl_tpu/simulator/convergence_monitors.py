@@ -1,0 +1,99 @@
+"""Convergence monitors: contraction-factor based early cutting/relaxation.
+
+Counterpart of the reference ConvergenceMonitors module (reference:
+src/ConvergenceMonitors/ — distance functions over scaled residuals
+distance_functions.jl:8, ``compute_contraction_factor``
+contraction_factors.jl:10, oscillation detection,
+``ConvergenceMonitorCuttingCriterion`` hooking into cutting_criterion
+cutting_criterions.jl:57, ``ConvergenceMonitorRelaxation`` relaxation.jl:1).
+
+The monitor watches the scaled-error history of the Newton loop and
+(a) aborts a ministep early when the contraction factor predicts the
+remaining iterations cannot converge, (b) adapts the relaxation factor when
+errors oscillate. Plugs into the simulator via the ``cutting_criterion``
+config option.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from .relaxation import NonLinearRelaxation
+
+
+def compute_contraction_factor(errors: list[float], window: int = 3) -> float:
+    """Geometric-mean contraction over the recent error history
+    (reference contraction_factors.jl:10)."""
+    es = [e for e in errors[-(window + 1):] if e > 0]
+    if len(es) < 2:
+        return 0.0
+    ratios = [es[i + 1] / es[i] for i in range(len(es) - 1)]
+    prod = 1.0
+    for r in ratios:
+        prod *= max(r, 1e-12)
+    return prod ** (1.0 / len(ratios))
+
+
+def detect_oscillation(errors: list[float], window: int = 4) -> bool:
+    """Sign-alternation of consecutive error changes."""
+    es = errors[-(window + 1):]
+    if len(es) < 4:
+        return False
+    diffs = [es[i + 1] - es[i] for i in range(len(es) - 1)]
+    flips = sum(1 for a, b in zip(diffs, diffs[1:]) if a * b < 0)
+    return flips >= len(diffs) - 1
+
+
+class ConvergenceMonitorCuttingCriterion:
+    """Early-abort criterion (reference cutting_criterions.jl:57).
+
+    ``__call__(errors, it, max_it) -> True`` requests an immediate timestep
+    cut. The ministep is declared hopeless when the extrapolated iteration
+    count ``log(target/e) / log(theta)`` exceeds the remaining budget by
+    ``slack``.
+    """
+
+    def __init__(self, min_iterations: int = 4, slack: float = 1.5,
+                 max_contraction: float = 0.95):
+        self.min_iterations = min_iterations
+        self.slack = slack
+        self.max_contraction = max_contraction
+
+    def __call__(self, errors: list[float], it: int, max_it: int) -> bool:
+        if it < self.min_iterations or not errors:
+            return False
+        theta = compute_contraction_factor(errors)
+        e = errors[-1]
+        if e <= 1.0:
+            return False
+        if theta >= 1.0:
+            return True  # diverging
+        if theta <= 0.0:
+            return False
+        remaining = max_it - it
+        if theta > self.max_contraction:
+            return True
+        needed = math.log(1.0 / e) / math.log(theta)
+        return needed > self.slack * remaining
+
+
+class ConvergenceMonitorRelaxation(NonLinearRelaxation):
+    """Oscillation-aware relaxation (reference ConvergenceMonitors
+    relaxation.jl:1): reduce omega under oscillation, recover on contraction.
+    """
+
+    def __init__(self, w_min: float = 0.2, w_max: float = 1.0,
+                 decrease: float = 0.5, increase: float = 0.2):
+        self.w_min = w_min
+        self.w_max = w_max
+        self.decrease = decrease
+        self.increase = increase
+
+    def select_relaxation(self, omega: float, errors: list[float]) -> float:
+        if detect_oscillation(errors):
+            return max(self.w_min, omega * self.decrease)
+        theta = compute_contraction_factor(errors)
+        if 0 < theta < 1:
+            return min(self.w_max, omega + self.increase)
+        return omega

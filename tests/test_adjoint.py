@@ -101,3 +101,65 @@ def test_darcy_adjoint_vs_fd():
         denom = np.maximum(np.abs(fd[k]), np.abs(fd[k]).max() * 1e-3 + 1e-30)
         rel = np.abs(adj[k] - fd[k]) / denom
         assert rel.max() < 2e-3, (k, adj[k], fd[k])
+
+
+def test_force_gradient_vs_fd():
+    """d(objective)/d(source value) via adjoint matches FD
+    (reference src/ad/force_gradients.jl behavior)."""
+    from jutul.jl_tpu import (
+        ScalarTestDomain,
+        ScalarTestForce,
+        ScalarTestSystem,
+        SimulationModel,
+        setup_forces,
+        setup_parameters,
+        setup_state,
+    )
+    from jutul.jl_tpu.adjoint.gradients import solve_adjoint_forces
+
+    model = SimulationModel(ScalarTestDomain(), ScalarTestSystem())
+    state0 = setup_state(model, XVar=0.0)
+    params = setup_parameters(model)
+
+    def run(value):
+        forces = setup_forces(model, sources=ScalarTestForce(value))
+        states, _ = simulate(dict(state0), model, [1.0, 1.0], forces=forces,
+                             parameters=params, info_level=-1)
+        return states, forces
+
+    def G(model_, state, dt, n, forces_):
+        return dt * jnp.sum(state["XVar"] ** 2)
+
+    states, forces = run(1.5)
+    grads = solve_adjoint_forces(model, states, [1.0, 1.0], G, params,
+                                 state0, forces)
+    g_adj = float(np.asarray(grads["sources"].value))
+
+    # FD
+    h = 1e-6
+    sp, _ = run(1.5 + h)
+    sm, _ = run(1.5 - h)
+    def total(sts):
+        return sum(float(G(model, {k: jnp.asarray(v) for k, v in s.items()},
+                           1.0, i, None)) for i, s in enumerate(sts))
+    fd = (total(sp) - total(sm)) / (2 * h)
+    assert np.isclose(g_adj, fd, rtol=1e-6), (g_adj, fd)
+
+
+def test_objectives_api():
+    from jutul.jl_tpu.adjoint.objectives import (
+        GlobalObjective,
+        SumObjective,
+        l2_misfit_objective,
+    )
+
+    case = poisson_case()
+    states, _ = simulate(case, info_level=-1)
+    G = SumObjective(lambda m, s, dt, n, f: dt * jnp.sum(s["U"] ** 2))
+    v = G.evaluate(case.model, states, case.dt)
+    assert v > 0
+    Gg = GlobalObjective(lambda m, s, dt, n, f: jnp.sum(s["U"]), len(case.dt))
+    assert float(Gg(case.model, {"U": jnp.ones(3)}, 1.0, 0, None)) == 0.0
+    obs = {"U": [np.asarray(s["U"]) for s in states]}
+    Gm = l2_misfit_objective(obs)
+    assert np.isclose(Gm.evaluate(case.model, states, case.dt), 0.0)

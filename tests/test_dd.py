@@ -1,0 +1,75 @@
+"""Domain-decomposition submodel tests (reference dd/ submodel behavior:
+per-block solves on subdomains with ghost overlap)."""
+
+import numpy as np
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimpleHeatSystem,
+    SimulationModel,
+    setup_parameters,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.parallel.dd import (
+    subcells_with_overlap,
+    subdomain,
+    subforces,
+    submodel,
+    substate,
+)
+from jutul.jl_tpu.parallel.partition import LinearPartitioner
+
+
+def test_subcells_overlap_rings():
+    m = CartesianMesh((6,), (1.0,))
+    nb = m.neighborship()
+    cells, ghost = subcells_with_overlap(nb, np.array([0, 1, 2]), buffer=1)
+    assert list(cells) == [0, 1, 2, 3]
+    assert list(ghost) == [False, False, False, True]
+    cells2, ghost2 = subcells_with_overlap(nb, np.array([0, 1, 2]), buffer=2)
+    assert list(cells2) == [0, 1, 2, 3, 4]
+
+
+def test_submodel_runs_and_matches_interior():
+    """Single-block submodel with enough overlap reproduces the global
+    solution on its owned interior cells for a short step."""
+    n = 16
+    m = CartesianMesh((n,), (1.0,))
+    model = SimulationModel(DataDomain(m), SimpleHeatSystem())
+    T0 = np.cos(np.pi * (np.arange(n) + 0.5) / n)
+    state0 = setup_state(model, T=T0)
+    states, _ = simulate(state0, model, [1e-5], info_level=-1)
+
+    part = LinearPartitioner().partition(m.neighborship(), n, 2)
+    sub = submodel(model, part, block=0, buffer=3)
+    gmap = sub.extra["global_map"]
+    sub_state0 = substate(state0, model, sub)
+    sub_states, _ = simulate(sub_state0, sub, [1e-5], info_level=-1)
+    # interior owned cells (away from the artificial subdomain boundary)
+    owned = ~gmap.cell_is_ghost
+    interior = owned.copy()
+    interior[-6:] = False  # cells near the cut see different BCs
+    got = sub_states[-1]["T"][interior]
+    want = states[-1]["T"][gmap.cells[interior]]
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_subforces_remap():
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    n = 10
+    m = CartesianMesh((n,), (1.0,))
+    model = SimulationModel(DataDomain(m), SimpleHeatSystem())
+    part = np.array([0] * 5 + [1] * 5)
+    sub = submodel(model, part, block=1, buffer=1)
+    f = {"sources": PhaseSourceTerm([7, 2], np.array([[1.0, 0.0],
+                                                      [2.0, 0.0]]))}
+    fsub = subforces(f, sub)
+    src = fsub["sources"]
+    gmap = sub.extra["global_map"]
+    # only cell 7 is inside block 1's subdomain (5..9 + ghost 4)
+    assert len(src.cells) == 1
+    assert gmap.cells[src.cells[0]] == 7
+    assert np.allclose(src.values, [[1.0, 0.0]])

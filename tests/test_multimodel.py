@@ -85,3 +85,48 @@ def test_multimodel_transient_sequence():
     assert np.allclose(np.array(XA) + np.array(XB), 0.0, atol=1e-12)
     # A relaxes monotonically toward the continuous limit 1/2 from below
     assert XA[0] < XA[1] < XA[2] < 0.5
+
+
+def test_schur_complement_matches_direct():
+    """Schur elimination of model B matches the full coupled direct solve
+    (reference linsolve/multimodel.jl:17)."""
+    from jutul.jl_tpu.linsolve.schur import SchurComplementSolver
+
+    mm, state0, forces = build_multi()
+    sim = Simulator(mm, state0=state0)
+    states_d, _ = sim.simulate([1.0], forces=forces, info_level=-1)
+
+    sim2 = Simulator(mm, state0=state0)
+    solver = SchurComplementSolver(
+        inner=GenericKrylov("gmres", rtol=1e-13), elim_models=["B"])
+    states_s, _ = sim2.simulate([1.0], forces=forces, info_level=-1,
+                                linear_solver=solver)
+    assert np.isclose(states_s[-1]["A"]["XVar"][0],
+                      states_d[-1]["A"]["XVar"][0], atol=1e-9)
+    assert np.isclose(states_s[-1]["B"]["XVar"][0],
+                      states_d[-1]["B"]["XVar"][0], atol=1e-9)
+
+
+def test_reporting_utilities():
+    from jutul.jl_tpu.simulator.reporting import (
+        EndTimeTerminationCriterion,
+        SolveRecorder,
+        convergence_table,
+        progress_bar,
+    )
+
+    rec = SolveRecorder()
+    rec.update(1.0, 3, True)
+    rec.update(0.5, 2, False)
+    assert rec.step == 2 and rec.iterations == 5 and rec.failed == 2
+    assert "50.0%" in progress_bar(0.5)
+    tab = convergence_table({"eq": {"Max": np.array([1e-3])}})
+    assert "eq" in tab and "Max" in tab
+
+    # termination mid-schedule
+    mm, state0, forces = build_multi()
+    sim = Simulator(mm, state0=state0)
+    states, reports = sim.simulate(
+        [1.0] * 5, forces=forces, info_level=-1,
+        termination_criterion=EndTimeTerminationCriterion(2.0))
+    assert len(states) == 2

@@ -1,0 +1,95 @@
+"""NFVM tests (reference test/nfvm.jl: decomposition correctness, TPFA
+consistency on K-orthogonal grids)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import CartesianMesh, compute_face_trans
+from jutul.jl_tpu.discretization.nfvm import (
+    _decompose,
+    nfvm_discretize,
+    nfvm_flux,
+)
+
+
+def test_decompose_positive_combination():
+    dirs = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]])
+    w = np.array([2.0, 3.0])
+    subset, alpha = _decompose(w, dirs)
+    rec = sum(a * dirs[j] for j, a in zip(subset, alpha))
+    assert np.allclose(rec, w)
+    assert np.all(alpha >= 0)
+    # w pointing left requires the third direction
+    w2 = np.array([-1.0, 0.5])
+    subset2, alpha2 = _decompose(w2, dirs)
+    rec2 = sum(a * dirs[j] for j, a in zip(subset2, alpha2))
+    assert np.allclose(rec2, w2)
+    assert np.all(alpha2 >= 0)
+
+
+def test_ntpfa_reduces_to_tpfa_on_orthogonal_grid():
+    """On a K-orthogonal Cartesian grid both NFVM variants must equal the
+    two-point flux exactly for any cell values."""
+    g = CartesianMesh((4, 3), (2.0, 1.5))
+    geo = g.tpfv_geometry()
+    n = g.number_of_cells()
+    perm = np.full(n, 2.0)
+    fd = nfvm_discretize(geo, perm)
+    T = compute_face_trans(geo, perm)
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=n)
+    st = fd["stencil"]
+    for f in [0, 3, 8, 12]:
+        u_st = jnp.asarray(u[st[f]])
+        fs = {k: jnp.asarray(fd[k][f]) for k in
+              ("alpha_l", "alpha_r", "tsum_l", "tsum_r")}
+        l, r = geo.neighbors[f]
+        expected = T[f] * (u[l] - u[r])
+        for scheme in ("avgmpfa", "ntpfa"):
+            got = float(nfvm_flux(u_st, fs, scheme))
+            # half-trans here since perm constant: T_face == half-trans/2
+            assert np.isclose(got, expected, rtol=1e-10), (scheme, got, expected)
+
+
+def test_ntpfa_exact_for_linear_field_anisotropic():
+    """Linear pressure field: NFVM flux must equal the exact flux
+    -A (K grad u) . n even for a full-tensor permeability."""
+    g = CartesianMesh((5, 4), (1.0, 1.0))
+    geo = g.tpfv_geometry()
+    n = g.number_of_cells()
+    Kten = np.tile(np.array([2.0, 0.5, 1.0]), (n, 1))  # Kxx Kxy Kyy
+    fd = nfvm_discretize(geo, Kten)
+    a = np.array([1.3, -0.7])
+    u = geo.cell_centroids @ a
+    Kmat = np.array([[2.0, 0.5], [0.5, 1.0]])
+    st = fd["stencil"]
+    cc = geo.cell_centroids
+    Dm = fd["Dm"]
+
+    def decomposition_exact(f, side):
+        """True when sum alpha_j (x_j - x_c) reproduces the conormal —
+        boundary-adjacent cells fall back to two-point and are inexact."""
+        c = geo.neighbors[f, side]
+        sgn = 1.0 if side == 0 else -1.0
+        w = sgn * geo.areas[f] * (Kmat @ geo.normals[f])
+        base = 2 + side * Dm
+        key = "alpha_l" if side == 0 else "alpha_r"
+        rec = np.zeros(2)
+        for j in range(Dm):
+            m = st[f, base + j]
+            rec += fd[key][f, j] * (cc[m] - cc[c])
+        return np.allclose(rec, w, atol=1e-10)
+
+    checked = 0
+    for f in range(geo.n_faces):
+        if not (decomposition_exact(f, 0) and decomposition_exact(f, 1)):
+            continue
+        u_st = jnp.asarray(u[st[f]])
+        fs = {k: jnp.asarray(fd[k][f]) for k in
+              ("alpha_l", "alpha_r", "tsum_l", "tsum_r")}
+        exact = -geo.areas[f] * float((Kmat @ a) @ geo.normals[f])
+        got = float(nfvm_flux(u_st, fs, "avgmpfa"))
+        assert np.isclose(got, exact, rtol=1e-8), (f, got, exact)
+        checked += 1
+    assert checked > 0

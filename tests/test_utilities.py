@@ -1,0 +1,149 @@
+"""Tests for partitioning, convergence monitors, helper simulator,
+vectorization (reference test/partitioning.jl, test/utils.jl patterns)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimpleHeatSystem,
+    SimulationModel,
+    setup_parameters,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.models.helper import HelperSimulator
+from jutul.jl_tpu.models.vectorization import (
+    devectorize_variables,
+    scalarize_primary_variables,
+    vectorize_data_domain,
+    devectorize_data_domain,
+    vectorize_variables,
+)
+from jutul.jl_tpu.parallel.partition import (
+    GreedyGraphPartitioner,
+    LinearPartitioner,
+    MetisPartitioner,
+    edge_cut,
+    load_balance,
+)
+from jutul.jl_tpu.simulator.convergence_monitors import (
+    ConvergenceMonitorCuttingCriterion,
+    ConvergenceMonitorRelaxation,
+    compute_contraction_factor,
+    detect_oscillation,
+)
+
+
+def test_partitioners_validity():
+    m = CartesianMesh((12, 10), (1.0, 1.0))
+    nb = m.neighborship()
+    n = m.number_of_cells()
+    for P in (LinearPartitioner(), GreedyGraphPartitioner(),
+              MetisPartitioner()):
+        p = P.partition(nb, n, 4)
+        assert p.shape == (n,)
+        assert set(np.unique(p)) == {0, 1, 2, 3}
+        assert load_balance(p) < 1.6
+
+
+def test_partition_respects_groups():
+    m = CartesianMesh((10, 1), (1.0, 1.0))
+    nb = m.neighborship()
+    p = GreedyGraphPartitioner().partition(nb, 10, 2, groups=[[0, 9]])
+    assert p[0] == p[9]
+
+
+def test_graph_beats_linear_on_stripes():
+    """A graph-aware partition should not cut more edges than a naive
+    linear split on an anisotropic mesh."""
+    m = CartesianMesh((64, 8), (1.0, 1.0))
+    nb = m.neighborship()
+    n = m.number_of_cells()
+    pg = GreedyGraphPartitioner().partition(nb, n, 4)
+    pl = LinearPartitioner().partition(nb, n, 4)
+    assert edge_cut(pg, nb) <= edge_cut(pl, nb)
+
+
+def test_contraction_factor_and_oscillation():
+    assert 0.09 < compute_contraction_factor([100, 10, 1, 0.1]) < 0.11
+    assert detect_oscillation([1.0, 2.0, 1.1, 2.1, 1.2])
+    assert not detect_oscillation([10.0, 5.0, 2.0, 1.0, 0.5])
+
+
+def test_cutting_criterion_aborts_stagnation():
+    crit = ConvergenceMonitorCuttingCriterion(min_iterations=3)
+    stagnant = [100.0, 99.0, 98.5, 98.0, 97.9]
+    assert crit(stagnant, 5, 15)
+    converging = [100.0, 10.0, 1.5, 1.05]
+    assert not crit(converging, 4, 15)
+
+
+def test_monitor_relaxation():
+    r = ConvergenceMonitorRelaxation()
+    w = r.select_relaxation(1.0, [1.0, 2.0, 1.1, 2.1, 1.2])
+    assert w < 1.0
+
+
+def heat_model(n=10):
+    g = CartesianMesh((n,), (1.0,))
+    model = SimulationModel(DataDomain(g), SimpleHeatSystem())
+    return model
+
+
+def test_helper_simulator_residual_and_jacobian():
+    model = heat_model(6)
+    h = HelperSimulator(model)
+    x = jnp.asarray(np.linspace(0, 1, 6))
+    r = h.model_residual(x, x0=jnp.zeros(6), dt=0.1)
+    assert r.shape == (6,)
+    # residual equals (T - T0)*vol/dt part + diffusion: check jacobian is
+    # the compiled block matrix
+    J = h.jacobian(x, x0=jnp.zeros(6), dt=0.1)
+    assert J.shape == (6, 6)
+    # structurally tridiagonal
+    assert np.allclose(np.triu(np.asarray(J), 2), 0)
+    acc = h.model_accumulation(x)
+    assert acc.shape == (6, 1)
+
+
+def test_vectorize_variables_roundtrip():
+    model = heat_model(5)
+    params = setup_parameters(model)
+    x, mapper = vectorize_variables(model, params)
+    back = devectorize_variables(model, x, mapper)
+    for k in params:
+        assert np.allclose(back[k], params[k])
+
+
+def test_scalarize_roundtrip():
+    model = heat_model(5)
+    state = setup_state(model, T=np.linspace(0, 1, 5))
+    packed = scalarize_primary_variables(model, state)
+    assert packed.shape == (5, 1)
+    from jutul.jl_tpu.models.vectorization import descalarize_primary_variables
+    back = descalarize_primary_variables(model, packed)
+    assert np.allclose(back["T"], state["T"])
+
+
+def test_data_domain_vectorization_roundtrip():
+    g = CartesianMesh((4, 3), (1.0, 1.0))
+    dd = DataDomain(g, poisson_coefficient=np.linspace(1, 2, 12))
+    x = vectorize_data_domain(dd)
+    d2 = devectorize_data_domain(dd, x)
+    for name, (ent, arr) in dd.items():
+        v2 = d2[name]
+        assert v2.shape == arr.shape
+        if np.issubdtype(arr.dtype, np.floating):
+            assert np.allclose(v2, arr)
+
+
+def test_simulation_with_cutting_criterion():
+    model = heat_model(8)
+    state0 = setup_state(model, T=np.linspace(0, 1, 8))
+    crit = ConvergenceMonitorCuttingCriterion()
+    states, reports = simulate(state0, model, [1e-3], info_level=-1,
+                               cutting_criterion=crit)
+    assert reports[-1]["success"]

@@ -1,0 +1,27 @@
+"""VTK export tests (reference ext/JutulWriteVTKExt behavior)."""
+
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh, DataDomain, SimpleHeatSystem, \
+    SimulationModel, setup_state, simulate
+from jutul.jl_tpu.utils.vtk import export_mesh_vtu, export_time_series_pvd
+
+
+def test_export_vtu(tmp_path):
+    m = CartesianMesh((3, 2), (1.0, 1.0))
+    fn = export_mesh_vtu(tmp_path / "mesh", m,
+                         {"poro": np.linspace(0, 1, 6)})
+    text = open(fn).read()
+    assert "UnstructuredGrid" in text
+    assert 'Name="poro"' in text
+    assert text.count("9") >= 6  # quad cell types
+
+
+def test_export_pvd_series(tmp_path):
+    m = CartesianMesh((4,), (1.0,))
+    model = SimulationModel(DataDomain(m), SimpleHeatSystem())
+    state0 = setup_state(model, T=np.linspace(0, 1, 4))
+    states, _ = simulate(state0, model, [1e-3] * 2, info_level=-1)
+    pvd = export_time_series_pvd(tmp_path / "out", m, states, [1e-3] * 2)
+    text = open(pvd).read()
+    assert "Collection" in text and "out_0001.vtu" in text
