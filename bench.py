@@ -127,16 +127,20 @@ def main():
     # compile + warmup
     t0 = time.perf_counter()
     out_state, res, its = step(st, st, pr, dt, dev_tables)
-    jax.block_until_ready(out_state["Pressure"])
-    print(f"# compile+first-step: {time.perf_counter() - t0:.1f}s",
+    res0 = float(np.asarray(res))  # full device->host sync, not
+    # block_until_ready (unreliable on the experimental axon platform)
+    print(f"# compile+first-step: {time.perf_counter() - t0:.1f}s "
+          f"lin_res={res0:.3e} lin_its={int(np.asarray(its))}",
           file=sys.stderr)
+    dp = np.asarray(out_state["Pressure"]) - np.asarray(st["Pressure"])
+    assert np.all(np.isfinite(dp)) and np.abs(dp).max() > 0, "no-op step?"
 
-    n_rep = 10
+    n_rep = 5
     t0 = time.perf_counter()
     cur = st
     for _ in range(n_rep):
         cur, res, its = step(cur, st, pr, dt, dev_tables)
-    jax.block_until_ready(cur["Pressure"])
+        _sync = float(np.asarray(res))  # hard sync every step
     elapsed = (time.perf_counter() - t0) / n_rep
 
     cells_per_sec = nc / elapsed

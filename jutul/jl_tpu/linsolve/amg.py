@@ -39,6 +39,14 @@ def greedy_aggregate(cols: np.ndarray, n: int) -> np.ndarray:
     Pass 2: attach remaining nodes to an adjacent aggregate.
     Returns (n,) aggregate ids in [0, n_agg).
     """
+    try:
+        from ..native import native_aggregate
+
+        out = native_aggregate(cols, n)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     agg = np.full(n, -1, dtype=np.int64)
     n_agg = 0
     S = cols.shape[1]

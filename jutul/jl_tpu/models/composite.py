@@ -1,0 +1,69 @@
+"""Composite systems: several physics subsystems sharing one domain.
+
+Counterpart of the reference composite module (reference: src/composite/ —
+``CompositeSystem`` core_types.jl:859; equations/variables namespaced by
+``Pair{label, name}`` in composite/system.jl, variables.jl,
+conservation.jl). Variables live in a SHARED namespace (a variable selected
+by several subsystems must be identical); equations are namespaced
+``label.name``. The assembly engine already stacks multiple equations per
+cell, so a composite model is simply the merged declaration.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from .system import JutulSystem
+
+
+class CompositeSystem(JutulSystem):
+    def __init__(self, **subsystems):
+        if not subsystems:
+            raise ValueError("CompositeSystem needs at least one subsystem")
+        self.subsystems = OrderedDict(subsystems)
+
+    def _merge(self, select: str, model) -> OrderedDict:
+        out: OrderedDict = OrderedDict()
+        for label, sys in self.subsystems.items():
+            sub = getattr(sys, select)(model)
+            for name, var in sub.items():
+                if name in out:
+                    # shared variable: both subsystems must agree on type
+                    if type(out[name]) is not type(var):
+                        raise ValueError(
+                            f"composite variable {name!r} declared with "
+                            f"conflicting types by {label!r}"
+                        )
+                    continue
+                out[name] = var
+        return out
+
+    def select_primary_variables(self, model):
+        return self._merge("select_primary_variables", model)
+
+    def select_secondary_variables(self, model):
+        return self._merge("select_secondary_variables", model)
+
+    def select_parameters(self, model):
+        return self._merge("select_parameters", model)
+
+    def select_equations(self, model):
+        out = OrderedDict()
+        for label, sys in self.subsystems.items():
+            for name, eq in sys.select_equations(model).items():
+                out[f"{label}.{name}"] = eq
+        return out
+
+    def select_output_variables(self, model):
+        seen = []
+        for sys in self.subsystems.values():
+            for v in sys.select_output_variables(model):
+                if v not in seen:
+                    seen.append(v)
+        return seen
+
+    def __getitem__(self, label: str) -> JutulSystem:
+        return self.subsystems[label]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"CompositeSystem({list(self.subsystems)})"

@@ -98,3 +98,27 @@ def native_rcm(neighbors, n_cells: int) -> np.ndarray | None:
     if rc != 0:
         return None
     return out
+
+
+def native_aggregate(ell_cols, n: int) -> np.ndarray | None:
+    """C++ greedy aggregation over an ELL sparsity; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jutul_aggregate"):
+        return None
+    cols = np.ascontiguousarray(np.asarray(ell_cols, dtype=np.int64))
+    out = np.zeros(n, dtype=np.int64)
+    lib.jutul_aggregate.restype = ctypes.c_int64
+    lib.jutul_aggregate.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    n_agg = lib.jutul_aggregate(
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, cols.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n_agg <= 0:
+        return None
+    return out

@@ -240,3 +240,41 @@ extern "C" int jutul_rcm(const int64_t* face_neighbors, int64_t n_faces,
     out_perm[i] = order[n_cells - 1 - i];
   return 0;
 }
+
+// Vanek-style greedy aggregation for AMG (counterpart of the aggregation
+// step inside the reference's AlgebraicMultigrid/AMGCL native engines).
+// Pass 1 seeds aggregates from nodes with untouched neighborhoods; pass 2
+// attaches leftovers to an adjacent aggregate. Returns n_aggregates.
+extern "C" int64_t jutul_aggregate(const int64_t* ell_cols, int64_t n,
+                                   int64_t S, int64_t* out_agg) {
+  for (int64_t i = 0; i < n; ++i) out_agg[i] = -1;
+  int64_t n_agg = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (out_agg[i] >= 0) continue;
+    bool free_nbhd = true;
+    for (int64_t s = 0; s < S; ++s) {
+      if (out_agg[ell_cols[i * S + s]] >= 0) {
+        free_nbhd = false;
+        break;
+      }
+    }
+    if (free_nbhd) {
+      out_agg[i] = n_agg;
+      for (int64_t s = 0; s < S; ++s) out_agg[ell_cols[i * S + s]] = n_agg;
+      ++n_agg;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (out_agg[i] >= 0) continue;
+    int64_t found = -1;
+    for (int64_t s = 0; s < S; ++s) {
+      int64_t a = out_agg[ell_cols[i * S + s]];
+      if (a >= 0) {
+        found = a;
+        break;
+      }
+    }
+    out_agg[i] = (found >= 0) ? found : n_agg++;
+  }
+  return n_agg;
+}

@@ -1,0 +1,66 @@
+"""Composite system tests (reference src/composite/ behavior)."""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimpleHeatSystem,
+    SimulationModel,
+    setup_parameters,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.models.composite import CompositeSystem
+from jutul.jl_tpu.models.transport import TransportSystem, uniform_face_velocity
+
+
+def test_composite_heat_plus_transport():
+    """Two decoupled physics on one domain solve simultaneously and match
+    the individual solutions."""
+    n = 12
+    g = CartesianMesh((n,), (1.0,))
+    geo = g.tpfv_geometry()
+    comp_sys = CompositeSystem(heat=SimpleHeatSystem(),
+                               tracer=TransportSystem("spu"))
+    model = SimulationModel(DataDomain(g), comp_sys)
+    assert set(model.primary_variables) == {"T", "C"}
+    assert set(model.equations) == {"heat.heat", "tracer.transport"}
+
+    rng = np.random.default_rng(0)
+    T0 = np.cos(np.pi * (np.arange(n) + 0.5) / n)
+    C0 = rng.uniform(0, 1, n)
+    state0 = setup_state(model, T=T0, C=C0)
+    params = setup_parameters(model)
+    params["FaceVelocity"] = uniform_face_velocity(geo, [0.5])
+    dts = [1e-3] * 3
+    states, reports = simulate(state0, model, dts, parameters=params,
+                               info_level=-1)
+    assert all(r["success"] for r in reports)
+
+    # compare against standalone runs
+    mh = SimulationModel(DataDomain(g), SimpleHeatSystem())
+    sh, _ = simulate(setup_state(mh, T=T0), mh, dts, info_level=-1)
+    mt = SimulationModel(DataDomain(g), TransportSystem("spu"))
+    pt = setup_parameters(mt)
+    pt["FaceVelocity"] = uniform_face_velocity(geo, [0.5])
+    st_, _ = simulate(setup_state(mt, C=C0), mt, dts, parameters=pt,
+                      info_level=-1)
+    assert np.allclose(states[-1]["T"], sh[-1]["T"], atol=1e-10)
+    assert np.allclose(states[-1]["C"], st_[-1]["C"], atol=1e-10)
+
+
+def test_composite_conflicting_variable_raises():
+    class BadHeat(SimpleHeatSystem):
+        def select_primary_variables(self, model):
+            from collections import OrderedDict
+
+            from jutul.jl_tpu.models.transport import Concentration
+
+            return OrderedDict(C=Concentration())
+
+    sys1 = CompositeSystem(a=TransportSystem("spu"), b=TransportSystem("spu"))
+    g = CartesianMesh((4,), (1.0,))
+    m = SimulationModel(DataDomain(g), sys1)  # identical duplicates fine
+    assert list(m.primary_variables) == ["C"]
