@@ -1,0 +1,38 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, numpy as np
+import jutul.jl_tpu
+jax.config.update("jax_enable_x64", False)
+import jax.numpy as jnp
+import bench as B
+from jutul.jl_tpu.models.setup import merge_state
+
+which = sys.argv[1]
+comp, state0, params = B.build(32, 32, 16)
+st = {k: jnp.asarray(v, jnp.float32) for k,v in state0.items()}
+pr = {k: jnp.asarray(v, jnp.float32) for k,v in params.items()}
+
+def run(name, fn):
+    t0=time.time()
+    c = jax.jit(fn).lower(st, pr).compile()
+    t1=time.time()
+    out = c(st, pr)
+    v = float(np.asarray(out))
+    t2=time.time()
+    print(f"{name}: compile {t1-t0:.1f}s exec {t2-t1:.1f}s -> {v:.4g}", flush=True)
+
+if which == "sec":
+    def f(s, p):
+        full = comp.evaluate_secondaries(merge_state(s, p))
+        return jnp.sum(full["TotalMasses"])
+    run("secondaries", f)
+elif which == "res":
+    def f(s, p):
+        full = comp.evaluate_secondaries(merge_state(s, p))
+        return jnp.sum(jnp.abs(comp.residual(full, full, 3600.0)))
+    run("residual", f)
+elif which == "jac":
+    def f(s, p):
+        full = comp.evaluate_secondaries(merge_state(s, p))
+        return jnp.sum(comp.jacobian_blocks(full, full, 3600.0))
+    run("jacobian", f)

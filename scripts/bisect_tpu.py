@@ -1,0 +1,49 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, numpy as np
+import jutul.jl_tpu
+jax.config.update("jax_enable_x64", False)
+import jax.numpy as jnp
+import bench as B
+from jutul.jl_tpu.linsolve.amg import AMGPreconditioner
+from jutul.jl_tpu.linsolve.cpr import CPRPreconditioner
+from jutul.jl_tpu.linsolve.precond import BlockJacobiPreconditioner
+from jutul.jl_tpu.linsolve.krylov import bicgstab
+from jutul.jl_tpu.models.setup import merge_state
+
+which = sys.argv[1]
+comp, state0, params = B.build(32, 32, 16)
+st = {k: jnp.asarray(v, jnp.float32) for k,v in state0.items()}
+pr = {k: jnp.asarray(v, jnp.float32) for k,v in params.items()}
+
+def run(name, fn):
+    t0=time.time()
+    out = jax.jit(fn)(st, pr)
+    v = float(np.asarray(out))
+    print(f"{name}: {time.time()-t0:.1f}s -> {v:.4g}", flush=True)
+
+if which == "assemble":
+    def f(s, p):
+        full = merge_state(s, p)
+        r, J, fe = comp.assemble(full, full, 3600.0)
+        return jnp.sum(jnp.abs(r)) + jnp.sum(J.blocks)
+    run("assemble", f)
+elif which == "precond":
+    precond = CPRPreconditioner(smoother=BlockJacobiPreconditioner(),
+                                amg=AMGPreconditioner(n_cycles=1))
+    def f(s, p):
+        full = merge_state(s, p)
+        r, J, fe = comp.assemble(full, full, 3600.0)
+        ps = precond.update(J)
+        du = precond.apply(ps, J, r)
+        return jnp.sum(du)
+    run("precond_apply", f)
+elif which == "bicg":
+    def f(s, p):
+        full = merge_state(s, p)
+        r, J, fe = comp.assemble(full, full, 3600.0)
+        n, _, neq, ndof = J.blocks.shape
+        mv = lambda x: J.matvec(x.reshape(n, ndof)).reshape(-1)
+        du, stt = bicgstab(mv, (-r).reshape(-1), maxiter=5, rtol=1e-6)
+        return stt["residual"]
+    run("bicgstab5_noprecond", f)

@@ -1,0 +1,32 @@
+"""Radial/spiral mesh tests (reference RadialMeshes)."""
+
+import numpy as np
+
+from jutul.jl_tpu.meshes.radial import radial_mesh, spiral_mesh
+
+
+def test_radial_mesh_geometry():
+    radii = [0.1, 0.2, 0.4, 0.8]
+    m = radial_mesh(radii, 16)
+    assert m.number_of_cells() == 3 * 16
+    g = m.tpfv_geometry()
+    # total area ~= annulus area (polygonal underestimate)
+    exact = np.pi * (0.8**2 - 0.1**2)
+    assert 0.9 * exact < g.volumes.sum() < exact
+    assert np.all(g.volumes > 0)
+    # each cell has 4 faces (interior+boundary): check neighbor counts
+    cnt = np.zeros(m.number_of_cells())
+    for a, b in g.neighbors:
+        cnt[a] += 1; cnt[b] += 1
+    for c in m.boundary_face_cells:
+        cnt[c] += 1
+    assert np.all(cnt == 4)
+
+
+def test_spiral_mesh_runs():
+    m = spiral_mesh(0.5, 0.2, n_turns=2.0, n_per_turn=24)
+    g = m.tpfv_geometry()
+    assert m.number_of_cells() == 48
+    assert np.all(g.volumes > 0)
+    # consecutive cells are connected in a chain
+    assert g.n_faces == 47

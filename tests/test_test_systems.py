@@ -121,3 +121,26 @@ def test_newton_converges_in_one_iteration_for_linear():
         m["iterations"] for r in reports for m in r["ministeps"]
     )
     assert total_its <= 2  # linear problem: 1 Newton + convergence check
+
+
+def test_jit_ministep_matches_python_loop():
+    """jit_ministep (whole Newton loop in lax.while_loop) gives the same
+    states as the Python-driven loop."""
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid, PhaseSourceTerm, setup_darcy_model)
+    from jutul.jl_tpu import setup_parameters, si_unit
+
+    BAR, DARCY, DAY = si_unit("bar"), si_unit("darcy"), si_unit("day")
+    mesh = CartesianMesh((8,), (8.0,))
+    model = setup_darcy_model(mesh, ImmiscibleFluid(viscosities=(1e-3, 2e-3)),
+                              permeability=1.0 * DARCY, porosity=0.25)
+    state0 = setup_state(model, Pressure=100 * BAR, Saturations=[0.3, 0.7])
+    forces = {"sources": PhaseSourceTerm([0], np.array([[0.005, 0.0]]))}
+    dts = [0.2 * DAY] * 3
+    s_py, r_py = simulate(state0, model, dts, forces=forces, info_level=-1)
+    s_jit, r_jit = simulate(state0, model, dts, forces=forces, info_level=-1,
+                            jit_ministep=True)
+    assert all(r["success"] for r in r_jit)
+    assert np.allclose(s_py[-1]["Pressure"], s_jit[-1]["Pressure"], rtol=1e-10)
+    assert np.allclose(s_py[-1]["Saturations"], s_jit[-1]["Saturations"],
+                       atol=1e-12)
