@@ -1,0 +1,99 @@
+"""Generic adjoints through arbitrary setup functions.
+
+Counterpart of the reference AdjointsDI module (reference:
+src/ad/AdjointsDI/adjoints.jl — ``solve_adjoint_generic`` :4,
+``setup_adjoint_storage_generic`` :149,
+``evaluate_residual_and_jacobian_for_state_pair`` :518; used by
+DictParameters.optimize when parameters enter through case setup rather
+than as model parameters).
+
+The reference needs DifferentiationInterface + SparseConnectivityTracer +
+matrix coloring to differentiate through arbitrary setup code. Here the
+setup map ``x -> (state0, parameters)`` is a jax-traceable function, so its
+exact reverse-mode pullback is ONE ``jax.vjp`` — composed with the discrete
+adjoint's parameter and initial-state gradients.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.setup import merge_state
+from .gradients import AdjointStorage, _forces_for, _tree_add
+
+
+def solve_adjoint_generic(
+    x,
+    setup_fn: Callable,
+    model,
+    dts,
+    G: Callable,
+    forces=None,
+    states: list | None = None,
+    sim_kwargs: dict | None = None,
+):
+    """∇_x G where (state0, parameters) = setup_fn(x)
+    (reference solve_adjoint_generic, AdjointsDI/adjoints.jl:4).
+
+    ``setup_fn`` must be jax-traceable from the pytree ``x`` to the pair
+    ``(state0_dict, parameters_dict)``. If ``states`` is None the forward
+    simulation is run first. Returns (objective value, gradient pytree like
+    ``x``).
+    """
+    from ..simulator.simulator import simulate
+
+    x = jax.tree_util.tree_map(jnp.asarray, x)
+    state0, parameters = setup_fn(x)
+    state0_np = {k: np.asarray(v) for k, v in state0.items()}
+    params_np = {k: np.asarray(v) for k, v in parameters.items()}
+    dts = np.atleast_1d(np.asarray(dts, dtype=np.float64))
+    if states is None:
+        states, reports = simulate(dict(state0_np), model, dts, forces=forces,
+                                   parameters=params_np, info_level=-1,
+                                   **(sim_kwargs or {}))
+
+    # total objective
+    total = 0.0
+    for n, st in enumerate(states):
+        f = _forces_for(forces, n)
+        total += float(G(model, {k: jnp.asarray(v) for k, v in st.items()},
+                         float(dts[n]), n, f))
+
+    # standard adjoint: gradients wrt parameters and state0 dofs
+    from .gradients import solve_adjoint_sensitivities
+
+    adj = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params_np, state0=state0_np,
+        forces=forces, include_state0=True)
+    dstate0_dofs = jnp.asarray(adj.pop("state0"))
+    dparams = {k: jnp.asarray(v) for k, v in adj.items()}
+
+    # map the dof-space state0 cotangent back to state-dict cotangents
+    storage = AdjointStorage(model, params_np, forces)
+    comp = storage.comp
+
+    def dofs_of_state(s):
+        prim = {k: s[k] for k in model.primary_variables}
+        return comp.get_dofs(prim)
+
+    _, pull_state0 = jax.vjp(dofs_of_state, state0)
+    (dstate0,) = pull_state0(dstate0_dofs)
+
+    # pull everything back through the setup map
+    def setup_pair(x_):
+        s0, p = setup_fn(x_)
+        # only differentiate entries the adjoint produced cotangents for
+        s0 = {k: s0[k] for k in dstate0 if k in s0}
+        p = {k: p[k] for k in dparams if k in p}
+        return s0, p
+
+    _, pull = jax.vjp(setup_pair, x)
+    cot_s0 = {k: jnp.asarray(v) for k, v in dstate0.items()
+              if k in state0}
+    cot_p = {k: dparams[k] for k in dparams if k in parameters}
+    (dx,) = pull((cot_s0, cot_p))
+    return total, jax.tree_util.tree_map(np.asarray, dx)

@@ -163,3 +163,54 @@ def test_objectives_api():
     obs = {"U": [np.asarray(s["U"]) for s in states]}
     Gm = l2_misfit_objective(obs)
     assert np.isclose(Gm.evaluate(case.model, states, case.dt), 0.0)
+
+
+def test_generic_adjoint_through_setup_fn():
+    """solve_adjoint_generic: gradient through a nonlinear x -> parameters
+    setup map (reference AdjointsDI solve_adjoint_generic) vs FD."""
+    from jutul.jl_tpu import setup_parameters, setup_state
+    from jutul.jl_tpu.adjoint.generic import solve_adjoint_generic
+    from jutul.jl_tpu.models.test_systems import VariablePoissonSystem
+    from jutul.jl_tpu import (CartesianMesh, DataDomain, PoissonSource,
+                              SimulationModel, setup_forces)
+
+    nx = 4
+    sys = VariablePoissonSystem(time_dependent=True)
+    g = CartesianMesh((nx,), (1.0,))
+    model = SimulationModel(DataDomain(g, poisson_coefficient=1.0), sys)
+    base_params = setup_parameters(model)
+    forces = setup_forces(model, sources=[PoissonSource(0, 1.0),
+                                          PoissonSource(nx - 1, -1.0)])
+    dts = [0.3, 0.7]
+
+    def setup_fn(x):
+        # x: log-coefficients; K = exp(x); U0 = 0.1 * x[0] everywhere
+        params = {k: jnp.asarray(v) for k, v in base_params.items()}
+        params["K"] = jnp.exp(x)
+        state0 = {"U": jnp.full(nx, 0.1) * x[0]}
+        return state0, params
+
+    def G(model_, state, dt, n, f):
+        return dt * jnp.sum(state["U"] ** 2)
+
+    x0 = np.log(np.linspace(2.0, 3.0, nx - 1))
+    v, dx = solve_adjoint_generic(x0, setup_fn, model, dts, G, forces=forces)
+    assert v > 0
+    # FD check
+    from jutul.jl_tpu import simulate
+
+    def total(xq):
+        s0, p = setup_fn(jnp.asarray(xq))
+        s0 = {k: np.asarray(v_) for k, v_ in s0.items()}
+        p = {k: np.asarray(v_) for k, v_ in p.items()}
+        states, _ = simulate(s0, model, dts, forces=forces, parameters=p,
+                             info_level=-1)
+        return sum(float(G(model, {k: jnp.asarray(vv) for k, vv in s.items()},
+                           dts[i], i, None)) for i, s in enumerate(states))
+
+    for i in range(nx - 1):
+        h = 1e-6
+        xp = x0.copy(); xp[i] += h
+        xm = x0.copy(); xm[i] -= h
+        fd = (total(xp) - total(xm)) / (2 * h)
+        assert np.isclose(dx[i], fd, rtol=1e-4, atol=1e-10), (i, dx[i], fd)

@@ -1,0 +1,73 @@
+"""Gmsh import tests (reference ext/JutulGmshExt mesh_from_gmsh)."""
+
+import numpy as np
+
+from jutul.jl_tpu.utils.gmsh import mesh_from_gmsh
+
+
+MSH2_QUADS = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+9
+1 0 0 0
+2 1 0 0
+3 2 0 0
+4 0 1 0
+5 1 1 0
+6 2 1 0
+7 0 2 0
+8 1 2 0
+9 2 2 0
+$EndNodes
+$Elements
+4
+1 3 2 0 1 1 2 5 4
+2 3 2 0 1 2 3 6 5
+3 3 2 0 1 4 5 8 7
+4 3 2 0 1 5 6 9 8
+$EndElements
+"""
+
+
+def test_msh2_quad_grid(tmp_path):
+    fn = tmp_path / "grid.msh"
+    fn.write_text(MSH2_QUADS)
+    m = mesh_from_gmsh(fn)
+    assert m.number_of_cells() == 4
+    assert m.number_of_faces() == 4  # 2x2 quad grid interior faces
+    assert m.number_of_boundary_faces() == 8
+    g = m.tpfv_geometry()
+    assert np.allclose(g.volumes, 1.0)
+    assert np.isclose(g.volumes.sum(), 4.0)
+
+
+MSH2_TETS = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+5
+1 0 0 0
+2 1 0 0
+3 0 1 0
+4 0 0 1
+5 1 1 1
+$EndNodes
+$Elements
+2
+1 4 2 0 1 1 2 3 4
+2 4 2 0 1 2 3 4 5
+$EndElements
+"""
+
+
+def test_msh2_tets(tmp_path):
+    fn = tmp_path / "tets.msh"
+    fn.write_text(MSH2_TETS)
+    m = mesh_from_gmsh(fn)
+    assert m.number_of_cells() == 2
+    assert m.number_of_faces() == 1  # shared facet (2,3,4)
+    assert m.number_of_boundary_faces() == 6
+    g = m.tpfv_geometry()
+    assert np.isclose(g.volumes[0], 1.0 / 6.0, rtol=1e-12)
+    assert np.all(g.volumes > 0)

@@ -1,0 +1,44 @@
+"""MRST grid import tests (reference MRSTWrapMesh)."""
+
+import numpy as np
+from scipy.io import savemat
+
+from jutul.jl_tpu.utils.mrst import mesh_from_mat
+
+
+def test_mrst_roundtrip_2x1_grid(tmp_path):
+    """Hand-built MRST-style G struct for a 2x1 quad grid."""
+    # nodes: 6 points of two unit squares
+    coords = np.array([[0., 0], [1, 0], [2, 0], [0, 1], [1, 1], [2, 1]])
+    # faces (node pairs, 1-based), neighbors (0 = boundary)
+    face_nodes = []
+    node_pos = [1]
+    nbrs = []
+    def add_face(nodes, l, r):
+        face_nodes.extend(nodes)
+        node_pos.append(node_pos[-1] + len(nodes))
+        nbrs.append([l, r])
+    add_face([2, 5], 1, 2)   # interior face between cell 1 and 2
+    add_face([1, 4], 0, 1)   # left boundary
+    add_face([3, 6], 2, 0)   # right boundary
+    add_face([1, 2], 0, 1)
+    add_face([2, 3], 0, 2)
+    add_face([4, 5], 1, 0)
+    add_face([5, 6], 2, 0)
+    G = {
+        "nodes": {"coords": coords, "num": 6},
+        "faces": {"nodes": np.asarray(face_nodes),
+                  "nodePos": np.asarray(node_pos),
+                  "neighbors": np.asarray(nbrs), "num": len(nbrs)},
+        "cells": {"num": 2},
+        "griddim": 2,
+    }
+    fn = tmp_path / "grid.mat"
+    savemat(fn, {"G": G})
+    m = mesh_from_mat(fn)
+    assert m.number_of_cells() == 2
+    assert m.number_of_faces() == 1
+    assert m.number_of_boundary_faces() == 6
+    g = m.tpfv_geometry()
+    assert np.allclose(g.volumes, 1.0)
+    assert np.allclose(g.areas, 1.0)
