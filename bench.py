@@ -104,8 +104,10 @@ def main():
             def M(x):
                 return precond.apply(pstate, J, x.reshape(n, neq)).reshape(-1)
 
+            # rtol=0 pins the work at exactly n_lin_it iterations for a
+            # deterministic per-step workload
             du, stats = bicgstab(matvec, (-r).reshape(-1), maxiter=n_lin_it,
-                                 rtol=1e-6, precond=M)
+                                 rtol=0.0, precond=M)
             new_state = comp.apply_update(state, du.reshape(n, ndof), 1.0)
             return new_state, stats["residual"], stats["iterations"]
 
@@ -119,34 +121,55 @@ def main():
                    st_a, pr_a)
     dev_tables = _tbl.device_tables()
 
-    step = jax.jit(newton_step)  # tables travel as a REAL argument
     st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
     pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
     dt = 3600.0
+    n_rep = 10
 
-    # compile + warmup
+    # The tunnel to the TPU has a LARGE fixed per-execution overhead
+    # (measured ~50 s per device call regardless of size), so all repeats
+    # run inside ONE device program via lax.fori_loop and the overhead is
+    # calibrated out with a null program.
+    def multi_step(state, state0_d, parameters, dt_, tables, n):
+        def body(_, carry):
+            s, _res, _its = carry
+            return newton_step(s, state0_d, parameters, dt_, tables)
+
+        zero = jnp.asarray(0.0, jnp.float32)
+        s, res, its = jax.lax.fori_loop(
+            0, n, body, (state, zero, jnp.asarray(0)))
+        return s, res, its
+
+    run = jax.jit(multi_step)  # n traced -> ONE compilation for all reps
+
     t0 = time.perf_counter()
-    out_state, res, its = step(st, st, pr, dt, dev_tables)
-    res0 = float(np.asarray(res))  # full device->host sync, not
-    # block_until_ready (unreliable on the experimental axon platform)
-    print(f"# compile+first-step: {time.perf_counter() - t0:.1f}s "
-          f"lin_res={res0:.3e} lin_its={int(np.asarray(its))}",
-          file=sys.stderr)
-    dp = np.asarray(out_state["Pressure"]) - np.asarray(st["Pressure"])
+    out1, res1, its1 = run(st, st, pr, dt, dev_tables, jnp.asarray(1))
+    res0 = float(np.asarray(res1))  # full device->host sync
+    t_one = time.perf_counter() - t0
+    print(f"# compile+1-step call: {t_one:.1f}s lin_res={res0:.3e} "
+          f"lin_its={int(np.asarray(its1))}", file=sys.stderr)
+    dp = np.asarray(out1["Pressure"]) - np.asarray(st["Pressure"])
     assert np.all(np.isfinite(dp)) and np.abs(dp).max() > 0, "no-op step?"
 
-    n_rep = 5
+    # calibrate fixed per-call overhead with the same executable at n=1
     t0 = time.perf_counter()
-    cur = st
-    for _ in range(n_rep):
-        cur, res, its = step(cur, st, pr, dt, dev_tables)
-        _sync = float(np.asarray(res))  # hard sync every step
-    elapsed = (time.perf_counter() - t0) / n_rep
+    _o, r_, _i = run(st, st, pr, dt, dev_tables, jnp.asarray(1))
+    float(np.asarray(r_))
+    t_call1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cur, res, its = run(st, st, pr, dt, dev_tables, jnp.asarray(1 + n_rep))
+    float(np.asarray(res))
+    t_calln = time.perf_counter() - t0
+    # marginal cost per Newton step, overhead removed
+    elapsed = max((t_calln - t_call1) / n_rep, 1e-9)
+    print(f"# call(1)={t_call1:.2f}s call({1 + n_rep})={t_calln:.2f}s",
+          file=sys.stderr)
 
     cells_per_sec = nc / elapsed
     print(json.dumps({
         "metric": f"{nc}-cell two-phase Darcy Newton step "
-                  f"(vmap/jacfwd assembly + ILU0-BiCGStab {n_lin_it} its, "
+                  f"(vmap/jacfwd assembly + CPR(AMG)-BiCGStab {n_lin_it} its, "
                   f"f32, {jax.default_backend()})",
         "value": round(cells_per_sec, 1),
         "unit": "cells/sec per Newton step",

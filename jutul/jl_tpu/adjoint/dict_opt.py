@@ -174,14 +174,17 @@ class DictParameters:
     # -- optimize ------------------------------------------------------
     def optimize(self, objective, setup_function: Callable | None = None,
                  max_iterations: int = 25, maximize: bool = False,
-                 grad_tol: float = 1e-8, sim_kwargs: dict | None = None):
-        """Run unit-box LBFGS (reference interface.jl:102 ``optimize``).
+                 grad_tol: float = 1e-8, sim_kwargs: dict | None = None,
+                 optimizer: str = "lbfgs"):
+        """Run unit-box LBFGS (reference interface.jl:102 ``optimize``;
+        ``optimizer="lbfgsb"`` selects the scipy L-BFGS-B binding — the
+        reference's LBFGSB extension).
 
         ``setup_function(parameters_dict) -> JutulCase``;
         ``objective(model, state, dt, step_no, forces) -> scalar``.
         Returns the optimized nested parameter dict (and stores history).
         """
-        from .lbfgs import unit_box_bfgs
+        from .lbfgs import lbfgsb_optimize, unit_box_bfgs
         from .optimization import _case_objective_and_gradient
 
         setup_function = setup_function or self.setup_function
@@ -197,7 +200,8 @@ class DictParameters:
             return v, self.gradient_to_unit(grads, x)
 
         x0 = self.vectorize()
-        v, x, hist = unit_box_bfgs(
+        opt_fn = {"lbfgs": unit_box_bfgs, "lbfgsb": lbfgsb_optimize}[optimizer]
+        v, x, hist = opt_fn(
             x0, f_and_g, maximize=maximize, max_iterations=max_iterations,
             grad_tol=grad_tol, verbose=self.verbose)
         self.history = hist

@@ -129,3 +129,30 @@ def unit_box_bfgs(x0, f_and_g, maximize: bool = False,
         if obj_change <= obj_change_tol * max(abs(v), 1e-300):
             break
     return sign * v, x, hist
+
+
+def lbfgsb_optimize(x0, f_and_g, maximize: bool = False,
+                    max_iterations: int = 100, grad_tol: float = 1e-8,
+                    verbose: bool = False):
+    """Box-constrained L-BFGS-B on [0,1]^n via scipy (the counterpart of the
+    reference's LBFGSB extension binding the Fortran L-BFGS-B —
+    ext/JutulLBFGSBExt, src/ext/lbfgsb_ext.jl). Same return convention as
+    :func:`unit_box_bfgs`."""
+    import numpy as np
+    from scipy.optimize import minimize
+
+    sign = -1.0 if maximize else 1.0
+    hist = OptimizationHistory()
+
+    def fun(x):
+        v, g = f_and_g(x)
+        hist.values.append(float(v))
+        hist.grad_norms.append(float(np.max(np.abs(g))) if np.size(g) else 0.0)
+        return sign * float(v), sign * np.asarray(g, dtype=np.float64)
+
+    res = minimize(fun, np.clip(np.asarray(x0, dtype=np.float64), 0, 1),
+                   jac=True, method="L-BFGS-B",
+                   bounds=[(0.0, 1.0)] * np.size(x0),
+                   options={"maxiter": max_iterations, "gtol": grad_tol,
+                            "disp": verbose})
+    return sign * float(res.fun), np.asarray(res.x), hist

@@ -1,0 +1,155 @@
+"""Extruded (2.5D) meshes and mesh quality control.
+
+Counterparts of the reference extrusion and quality modules (reference:
+src/meshes/extruded.jl — 2.5D extrusion of a 2D mesh into layers;
+src/meshes/MeshQualityControl/ — face planarity checks/fixes;
+src/meshes/fast_assembly.jl — FastAssemblyData precomputed geometry SoA,
+whose role here is played by the precompiled gather tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .unstructured import IndirectionMap, UnstructuredMesh
+
+
+def extrude_mesh(mesh2d: UnstructuredMesh, layer_z) -> UnstructuredMesh:
+    """Extrude a 2D mesh into prisms along z (reference extruded.jl).
+
+    ``layer_z``: strictly increasing z-coordinates of the layer interfaces
+    (n_layers + 1 values). Cell numbering: layer-major (all cells of layer
+    0, then layer 1, ...), matching the slab-decomposition convention.
+    """
+    if mesh2d.dim != 2:
+        raise ValueError("extrude_mesh expects a 2D mesh")
+    z = np.asarray(layer_z, dtype=np.float64)
+    if np.any(np.diff(z) <= 0):
+        raise ValueError("layer_z must be strictly increasing")
+    nl = len(z) - 1
+    pts2 = mesh2d.points
+    nn = pts2.shape[0]
+    nc2 = mesh2d.number_of_cells()
+
+    pts = np.concatenate([
+        np.concatenate([pts2, np.full((nn, 1), zz)], axis=1) for zz in z
+    ])
+
+    def nid(node2, layer):
+        return node2 + nn * layer
+
+    def cid(cell2, layer):
+        return cell2 + nc2 * layer
+
+    face_nodes, neighbors = [], []
+    bnd_nodes, bnd_cells = [], []
+
+    # vertical (lateral) faces from 2D edges
+    nb2 = mesh2d.face_neighbors
+    for f in range(mesh2d.number_of_faces()):
+        a, b = mesh2d.face_nodes[f]
+        l2, r2 = nb2[f]
+        for k in range(nl):
+            face_nodes.append([nid(a, k), nid(b, k), nid(b, k + 1),
+                               nid(a, k + 1)])
+            neighbors.append([cid(l2, k), cid(r2, k)])
+    for f in range(mesh2d.number_of_boundary_faces()):
+        a, b = mesh2d.boundary_face_nodes[f]
+        c2 = mesh2d.boundary_face_cells[f]
+        for k in range(nl):
+            bnd_nodes.append([nid(a, k), nid(b, k), nid(b, k + 1),
+                              nid(a, k + 1)])
+            bnd_cells.append(cid(c2, k))
+
+    # horizontal faces from 2D cell polygons (need each cell's node loop):
+    # reconstruct cell->nodes by walking its faces
+    cell_nodes = _cell_node_loops(mesh2d)
+    for c2, loop in enumerate(cell_nodes):
+        for k in range(1, nl):  # interior horizontal faces
+            face_nodes.append([nid(p, k) for p in loop])
+            neighbors.append([cid(c2, k - 1), cid(c2, k)])
+        bnd_nodes.append([nid(p, 0) for p in loop])
+        bnd_cells.append(cid(c2, 0))
+        bnd_nodes.append([nid(p, nl) for p in loop])
+        bnd_cells.append(cid(c2, nl - 1))
+
+    return UnstructuredMesh(pts, face_nodes,
+                            np.asarray(neighbors, dtype=np.int64).reshape(-1, 2),
+                            bnd_nodes, bnd_cells)
+
+
+def _cell_node_loops(mesh2d: UnstructuredMesh) -> list[list[int]]:
+    """Ordered node loop per 2D cell, stitched from its edges."""
+    from collections import defaultdict
+
+    cell_edges = defaultdict(list)
+    nb = mesh2d.face_neighbors
+    for f in range(mesh2d.number_of_faces()):
+        a, b = mesh2d.face_nodes[f]
+        for c in nb[f]:
+            cell_edges[int(c)].append((int(a), int(b)))
+    for f in range(mesh2d.number_of_boundary_faces()):
+        a, b = mesh2d.boundary_face_nodes[f]
+        cell_edges[int(mesh2d.boundary_face_cells[f])].append((int(a), int(b)))
+
+    loops = []
+    for c in range(mesh2d.number_of_cells()):
+        edges = cell_edges[c]
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+            adj[b].append(a)
+        start = edges[0][0]
+        loop = [start]
+        prev = None
+        cur = start
+        while True:
+            nxts = [x for x in adj[cur] if x != prev]
+            nxt = nxts[0]
+            if nxt == start:
+                break
+            loop.append(nxt)
+            prev, cur = cur, nxt
+        # orient counter-clockwise (positive shoelace)
+        P = mesh2d.points[loop]
+        area2 = np.dot(P[:, 0], np.roll(P[:, 1], -1)) - np.dot(
+            P[:, 1], np.roll(P[:, 0], -1))
+        if area2 < 0:
+            loop = loop[::-1]
+        loops.append(loop)
+    return loops
+
+
+# ---------------------------------------------------------------------------
+# mesh quality control (reference MeshQualityControl: face planarity)
+# ---------------------------------------------------------------------------
+def face_planarity(mesh: UnstructuredMesh) -> np.ndarray:
+    """Max node deviation from each face's best-fit plane, normalized by
+    the face diameter (0 = planar). Reference MeshQualityControl checks."""
+    out = np.zeros(mesh.number_of_faces())
+    for f in range(mesh.number_of_faces()):
+        P = mesh.points[mesh.face_nodes[f]]
+        if P.shape[0] <= 3 or mesh.dim == 2:
+            continue
+        c = P.mean(axis=0)
+        Q = P - c
+        _, s, vt = np.linalg.svd(Q, full_matrices=False)
+        normal = vt[-1]
+        dev = np.abs(Q @ normal).max()
+        diam = np.linalg.norm(Q, axis=1).max() * 2
+        out[f] = dev / max(diam, 1e-300)
+    return out
+
+
+def check_mesh_quality(mesh: UnstructuredMesh, planarity_tol: float = 0.05):
+    """Return dict of quality metrics + list of offending faces
+    (reference MeshQualityControl report)."""
+    geo = mesh.tpfv_geometry()
+    plan = face_planarity(mesh)
+    bad = np.where(plan > planarity_tol)[0]
+    return {
+        "min_volume": float(geo.volumes.min()) if geo.n_cells else 0.0,
+        "max_planarity_deviation": float(plan.max()) if plan.size else 0.0,
+        "nonplanar_faces": bad,
+        "negative_volume_cells": np.where(geo.volumes <= 0)[0],
+    }

@@ -1,0 +1,49 @@
+"""Well trajectories: polyline-cell intersection.
+
+Counterpart of the reference trajectories module (reference:
+src/meshes/trajectories.jl — ``find_enclosing_cells`` :43: which cells a
+well polyline passes through, used to place well perforations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def find_enclosing_cells(mesh_or_geo, trajectory, n_samples_per_segment: int = 25):
+    """Cells traversed by the polyline (reference trajectories.jl:43).
+
+    Sampling-based: each segment is sampled densely and samples are located
+    by nearest-centroid with an inside-radius check — robust for convex
+    cells and the standard approach for well paths. Returns unique cell
+    indices in traversal order.
+    """
+    geo = mesh_or_geo.tpfv_geometry() if hasattr(mesh_or_geo, "tpfv_geometry") \
+        else mesh_or_geo
+    cc = geo.cell_centroids
+    traj = np.asarray(trajectory, dtype=np.float64)
+    if traj.ndim != 2 or traj.shape[1] != cc.shape[1]:
+        raise ValueError(f"trajectory must be (n, {cc.shape[1]})")
+    # effective cell radius from volume (inside check tolerance)
+    dim = cc.shape[1]
+    radius = (geo.volumes ** (1.0 / dim)) * (np.sqrt(dim) / 2.0) * 1.05
+
+    found: list[int] = []
+    for a, b in zip(traj[:-1], traj[1:]):
+        ts = np.linspace(0.0, 1.0, n_samples_per_segment)
+        pts = a[None, :] + ts[:, None] * (b - a)[None, :]
+        # nearest centroid per sample (chunked for memory)
+        d2 = np.sum((pts[:, None, :] - cc[None, :, :]) ** 2, axis=2)
+        nearest = np.argmin(d2, axis=1)
+        dist = np.sqrt(d2[np.arange(len(ts)), nearest])
+        for c, d in zip(nearest, dist):
+            if d <= radius[c] and (not found or found[-1] != c):
+                found.append(int(c))
+    # deduplicate preserving order
+    seen = set()
+    out = []
+    for c in found:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return np.asarray(out, dtype=np.int64)

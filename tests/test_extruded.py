@@ -1,0 +1,35 @@
+"""Extrusion + mesh quality tests (reference extruded.jl,
+MeshQualityControl)."""
+
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh
+from jutul.jl_tpu.meshes.extruded import (
+    check_mesh_quality,
+    extrude_mesh,
+    face_planarity,
+)
+from jutul.jl_tpu.meshes.unstructured import UnstructuredMesh
+
+
+def test_extrude_square_matches_3d_cartesian():
+    cm2 = CartesianMesh((3, 2), (3.0, 2.0))
+    um2 = UnstructuredMesh.from_cartesian(cm2)
+    m3 = extrude_mesh(um2, [0.0, 0.5, 1.0])
+    assert m3.number_of_cells() == 12
+    g3 = m3.tpfv_geometry()
+    ref = CartesianMesh((3, 2, 2), (3.0, 2.0, 1.0)).tpfv_geometry()
+    assert np.isclose(g3.volumes.sum(), ref.volumes.sum())
+    assert np.allclose(np.sort(g3.volumes), np.sort(ref.volumes))
+    assert m3.number_of_faces() == ref.n_faces
+    assert m3.number_of_boundary_faces() == ref.n_boundary_faces
+
+
+def test_quality_report():
+    cm2 = CartesianMesh((2, 2), (1.0, 1.0))
+    m3 = extrude_mesh(UnstructuredMesh.from_cartesian(cm2), [0.0, 1.0])
+    rep = check_mesh_quality(m3)
+    assert rep["min_volume"] > 0
+    assert rep["max_planarity_deviation"] < 1e-12
+    assert len(rep["nonplanar_faces"]) == 0
+    assert len(rep["negative_volume_cells"]) == 0

@@ -1,0 +1,45 @@
+"""Entity tags + trajectories tests (reference core_types tags,
+trajectories.jl find_enclosing_cells)."""
+
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh
+from jutul.jl_tpu.core.entities import CELLS, FACES
+from jutul.jl_tpu.meshes.tags import (
+    get_mesh_entity_tag,
+    set_mesh_entity_tag,
+)
+from jutul.jl_tpu.meshes.trajectories import find_enclosing_cells
+
+
+def test_entity_tags_roundtrip():
+    m = CartesianMesh((4, 4), (1.0, 1.0))
+    set_mesh_entity_tag(m, CELLS, "regions", "top", [12, 13, 14, 15])
+    set_mesh_entity_tag(m, CELLS, "regions", "bottom", [0, 1, 2, 3])
+    got = get_mesh_entity_tag(m, CELLS, "regions", "top")
+    assert list(got) == [12, 13, 14, 15]
+    groups = get_mesh_entity_tag(m, CELLS, "regions")
+    assert set(groups) == {"top", "bottom"}
+    try:
+        set_mesh_entity_tag(m, CELLS, "regions", "bad", [99])
+        assert False
+    except IndexError:
+        pass
+
+
+def test_find_enclosing_cells_straight_well():
+    m = CartesianMesh((5, 5, 5), (5.0, 5.0, 5.0))
+    # vertical well through the column at (i=2, j=2)
+    traj = np.array([[2.5, 2.5, 0.2], [2.5, 2.5, 4.8]])
+    cells = find_enclosing_cells(m, traj)
+    expected = [2 + 5 * 2 + 25 * k for k in range(5)]
+    assert list(cells) == expected
+
+
+def test_find_enclosing_cells_diagonal():
+    m = CartesianMesh((4, 4), (4.0, 4.0))
+    traj = np.array([[0.5, 0.5], [3.5, 3.5]])
+    cells = find_enclosing_cells(m, traj)
+    # diagonal passes at least through the 4 diagonal cells
+    diag = {i + 4 * i for i in range(4)}
+    assert diag.issubset(set(cells.tolist()))

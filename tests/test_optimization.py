@@ -108,3 +108,40 @@ def test_inverse_problem_recovers_coefficient():
     # objective decreased by orders of magnitude
     assert dopt.history.values[-1] < 1e-8 * max(dopt.history.values[0], 1e-30)
     assert np.allclose(best["K"], truth, rtol=0.05)
+
+
+def test_lbfgsb_binding_quadratic():
+    from jutul.jl_tpu.adjoint.lbfgs import lbfgsb_optimize
+
+    c = np.array([0.3, 0.7, -0.2])
+
+    def f_and_g(x):
+        return float(np.sum((x - c) ** 2)), 2 * (x - c)
+
+    v, x, hist = lbfgsb_optimize(np.full(3, 0.5), f_and_g)
+    assert np.allclose(x[:2], c[:2], atol=1e-6)
+    assert np.isclose(x[2], 0.0, atol=1e-8)  # clamped at the box
+
+
+def test_dict_parameters_lbfgsb_optimizer():
+    nx = 6
+    case = _poisson_case(nx=nx)
+    truth = np.full(case.parameters["K"].size, 4.0)
+    obs_states, _ = simulate(_poisson_case(K_field=truth, nx=nx),
+                             info_level=-1)
+    obs = [jnp.asarray(s["U"]) for s in obs_states]
+
+    def G(model, state, dt, n, forces):
+        return dt * jnp.sum((state["U"] - obs[n]) ** 2)
+
+    def setup(params):
+        c = _poisson_case(nx=nx)
+        c.parameters["K"] = np.asarray(params["K"])
+        return c
+
+    from jutul.jl_tpu.adjoint.dict_opt import DictParameters
+
+    dopt = DictParameters({"K": case.parameters["K"]}, setup, verbose=False)
+    dopt.free_optimization_parameter("K", abs_min=0.5, abs_max=20.0)
+    best = dopt.optimize(G, max_iterations=30, optimizer="lbfgsb")
+    assert np.allclose(best["K"], truth, rtol=0.05)

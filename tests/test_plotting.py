@@ -1,0 +1,40 @@
+"""Plotting utility tests (reference JutulMakieExt counterpart)."""
+
+import numpy as np
+
+from jutul.jl_tpu import (CartesianMesh, DataDomain, SimpleHeatSystem,
+                          SimulationModel, setup_state, simulate)
+from jutul.jl_tpu.utils.plotting import (
+    model_variable_graph,
+    plot_cell_data,
+    plot_performance,
+    save_figure,
+)
+
+
+def test_plot_cell_data_cartesian(tmp_path):
+    m = CartesianMesh((6, 4), (1.0, 1.0))
+    ax = plot_cell_data(m, np.arange(24.0), title="test")
+    out = save_figure(ax, tmp_path / "cells.png")
+    assert (tmp_path / "cells.png").stat().st_size > 1000
+
+
+def test_plot_performance(tmp_path):
+    m = CartesianMesh((6,), (1.0,))
+    model = SimulationModel(DataDomain(m), SimpleHeatSystem())
+    states, reports = simulate(setup_state(model, T=np.ones(6)), model,
+                               [1e-3] * 2, info_level=-1)
+    ax = plot_performance(reports)
+    save_figure(ax, tmp_path / "perf.png")
+    assert (tmp_path / "perf.png").exists()
+
+
+def test_model_variable_graph():
+    from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+
+    model = setup_darcy_model(CartesianMesh((3,), (1.0,)), ImmiscibleFluid(),
+                              permeability=1e-13)
+    dot = model_variable_graph(model)
+    assert "digraph" in dot
+    assert '"Pressure"' in dot and '"TotalMasses"' in dot
+    assert '"Saturations" -> "RelativePermeabilities"' in dot
