@@ -115,6 +115,25 @@ from .linsolve.precond import (
     SPAI0Preconditioner,
     TrivialPreconditioner,
 )
+from .meshes.coarse import CoarseMesh, coarsen_data_domain
+from .meshes.radial import radial_mesh, spiral_mesh
+from .meshes.tags import (
+    MeshEntityTags,
+    get_mesh_entity_tag,
+    set_mesh_entity_tag,
+)
+from .meshes.trajectories import find_enclosing_cells
+from .meshes.extruded import extrude_mesh
+from .models.composite import CompositeSystem
+from .models.helper import HelperSimulator
+from .models.transport import TransportSystem
+from .models.vectorization import (
+    devectorize_variables,
+    vectorize_variables,
+)
+from .adjoint.generic import solve_adjoint_generic
+from .adjoint.objectives import GlobalObjective, SumObjective
+from .linsolve.schur import SchurComplementSolver
 from .units import convert_from_si, convert_to_si, si_unit, si_units
 
 __version__ = "0.1.0"

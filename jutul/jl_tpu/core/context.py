@@ -1,0 +1,75 @@
+"""Execution contexts.
+
+Counterpart of the reference context system (reference:
+src/core_types/contexts/ — ``DefaultContext`` default.jl:2,
+``ParallelCSRContext`` csr.jl:3, ``SingleCUDAContext`` cuda.jl:2 (vestigial);
+``transfer``/``float_type``/``index_type`` src/context.jl:12-92,
+``select_contexts`` :96; matrix layouts core_types.jl:101-165).
+
+Mapping to this framework:
+- DefaultContext        -> CPUContext (f64, debugging/conformance)
+- ParallelCSRContext    -> CPUContext too — XLA's own threading replaces
+                           Polyester @batch loops (SURVEY §2.8)
+- SingleCUDAContext     -> TPUContext (the whole point of the rebuild)
+- matrix layouts        -> the single BlockELL layout; ``as_adjoint`` maps
+                           to transposed operators (ell_rmatvec)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class JutulContext:
+    float_dtype: object = np.float64
+    index_dtype: object = np.int32
+    platform: str = "cpu"
+
+    def float_type(self):
+        return self.float_dtype
+
+    def index_type(self):
+        return self.index_dtype
+
+    def transfer(self, x):
+        """Move an array to this context's device (reference transfer)."""
+        devs = [d for d in jax.devices() if d.platform == self.platform]
+        arr = jnp.asarray(x, dtype=self.float_dtype
+                          if np.issubdtype(np.asarray(x).dtype, np.floating)
+                          else None)
+        if devs:
+            return jax.device_put(arr, devs[0])
+        return arr
+
+
+@dataclass(frozen=True)
+class DefaultContext(JutulContext):
+    """CPU, float64 — conformance/debug runs (reference DefaultContext)."""
+
+
+@dataclass(frozen=True)
+class CPUContext(JutulContext):
+    pass
+
+
+@dataclass(frozen=True)
+class TPUContext(JutulContext):
+    """TPU, float32 working precision (the reference's aspirational
+    SingleCUDAContext, realized)."""
+
+    float_dtype: object = np.float32
+    platform: str = "tpu"
+
+
+def select_contexts(kind: str = "default") -> JutulContext:
+    """reference select_contexts (src/context.jl:96)."""
+    if kind in ("default", "cpu", "csr"):
+        return DefaultContext()
+    if kind in ("tpu", "cuda", "gpu"):
+        return TPUContext()
+    raise ValueError(f"unknown context kind {kind!r}")
