@@ -133,6 +133,12 @@ def solve_adjoint_sensitivities(
     if parameters is None or state0 is None:
         raise ValueError("parameters and state0 are required")
 
+    from ..multimodel.core import MultiModel
+
+    if isinstance(model, MultiModel):
+        return solve_adjoint_sensitivities_multimodel(
+            model, states, dts, G, parameters, state0, forces)
+
     storage = AdjointStorage(model, parameters, forces)
     comp = storage.comp
     params = storage.parameters
@@ -311,3 +317,95 @@ def solve_adjoint_forces(model, states, dts, G, parameters, state0,
         lam_next = lam
         u_next = u_n
     return grad_f
+
+
+# ---------------------------------------------------------------------------
+# multimodel adjoints (reference: src/multimodel/gradients.jl:2-160)
+# ---------------------------------------------------------------------------
+def solve_adjoint_sensitivities_multimodel(
+    mm, states: list, dts, G, parameters: dict, state0: dict, forces=None,
+    direct_limit: int = 20_000,
+):
+    """Discrete adjoint for MultiModel cases: same backward recursion with
+    the coupled MultiLinearizedSystem transposed (dense for the small
+    coupled systems this targets — wells etc.).
+
+    ``states``/``state0``/``parameters`` are dicts model-name -> dict;
+    ``G(mm, state, dt, n, forces)`` sees the nested state. Returns nested
+    gradients for all parameters.
+    """
+    from ..multimodel.core import compile_multi_model
+
+    comp = compile_multi_model(mm)
+    params = {m: {k: jnp.asarray(v) for k, v in p.items()}
+              for m, p in parameters.items()}
+    dts = np.atleast_1d(np.asarray(dts, dtype=np.float64))
+
+    def dofs_of(state):
+        return {m: comp.comps[m].get_dofs(
+            {k: jnp.asarray(v) for k, v in state[m].items()
+             if k in mm.models[m].primary_variables}) for m in comp.comps}
+
+    def merge_all(u_dict, p_dict):
+        return {m: merge_state(comp.comps[m].unpack_dofs(u_dict[m]),
+                               p_dict[m]) for m in comp.comps}
+
+    def residual_from_dofs(u, u0, p, dt, f):
+        full = comp.evaluate_secondaries(merge_all(u, p))
+        full0 = comp.evaluate_secondaries(merge_all(u0, p))
+        return comp.residual(full, full0, dt, f)
+
+    def g_of(u, p, dt, n):
+        full = comp.evaluate_secondaries(merge_all(u, p))
+        return G(mm, full, dt, n, _forces_for(forces, n))
+
+    u0 = dofs_of(state0)
+    us = [dofs_of(s) for s in states]
+    N = len(us)
+
+    lay = comp.layout
+
+    def flatten_res(rd):
+        return jnp.concatenate([rd[m].reshape(-1) for m in lay.names])
+
+    def unflatten_res(v):
+        return {m: v[lay.res_slices[m][0]].reshape(lay.res_slices[m][1])
+                for m in lay.names}
+
+    def transpose_solve(u_n, u_prev, dt_n, f_n, rhs_dofs):
+        full = comp.evaluate_secondaries(merge_all(u_n, params))
+        full0 = comp.evaluate_secondaries(merge_all(u_prev, params))
+        _r, J, _fe = comp.assemble(full, full0, dt_n, f_n)
+        dense = J.to_dense()
+        rhs = jnp.concatenate([rhs_dofs[m].reshape(-1) for m in lay.names])
+        lam = jnp.linalg.solve(dense.T, rhs)
+        return unflatten_res(lam)
+
+    grad_p = jax.tree_util.tree_map(jnp.zeros_like, params)
+    lam_next = None
+    u_next = None
+    for n in range(N - 1, -1, -1):
+        u_n = us[n]
+        u_prev = us[n - 1] if n > 0 else u0
+        dt_n = float(dts[n])
+        f_n = _forces_for(forces, n)
+        rhs = jax.tree_util.tree_map(
+            lambda a: -a, jax.grad(g_of, argnums=0)(u_n, params, dt_n, n))
+        grad_p = _tree_add(grad_p,
+                           jax.grad(g_of, argnums=1)(u_n, params, dt_n, n))
+        if lam_next is not None:
+            dt_np1 = float(dts[n + 1])
+            f_np1 = _forces_for(forces, n + 1)
+            _, pull = jax.vjp(
+                lambda u0_: residual_from_dofs(u_next, u0_, params, dt_np1,
+                                               f_np1), u_n)
+            (du0_bar,) = pull(lam_next)
+            rhs = jax.tree_util.tree_map(lambda a, b: a - b, rhs, du0_bar)
+        lam = transpose_solve(u_n, u_prev, dt_n, f_n, rhs)
+        _, pull = jax.vjp(
+            lambda p_: residual_from_dofs(u_n, u_prev, p_, dt_n, f_n), params)
+        (dp_bar,) = pull(lam)
+        grad_p = _tree_add(grad_p, dp_bar)
+        lam_next = lam
+        u_next = u_n
+    return jax.tree_util.tree_map(np.asarray, grad_p)

@@ -1,0 +1,89 @@
+"""Multimodel adjoint vs finite differences
+(reference: src/multimodel/gradients.jl behavior)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    PoissonSource,
+    SimulationModel,
+    Simulator,
+    VariablePoissonSystem,
+    setup_forces,
+    setup_parameters,
+    setup_state,
+    solve_adjoint_sensitivities,
+)
+from jutul.jl_tpu.multimodel.core import CrossTerm, MultiModel
+
+
+class UCouplingTerm(CrossTerm):
+    symmetric = True
+
+    def value(self, model_t, model_s, lt, ls, dt):
+        return jnp.reshape(2.0 * (lt["U"] - ls["U"]), (1,))
+
+
+def build_case(KA=None, KB=None, nx=3):
+    sys = VariablePoissonSystem(time_dependent=True)
+    mk = lambda: SimulationModel(
+        DataDomain(CartesianMesh((nx,), (1.0,)), poisson_coefficient=1.0), sys)
+    mA, mB = mk(), mk()
+    mm = MultiModel({"A": mA, "B": mB})
+    mm.add_cross_term(UCouplingTerm(), target="A", source="B",
+                      equation="poisson", target_cells=[nx - 1],
+                      source_cells=[0])
+    state0 = {"A": setup_state(mA, U=0.0), "B": setup_state(mB, U=0.0)}
+    params = {"A": setup_parameters(mA), "B": setup_parameters(mB)}
+    if KA is not None:
+        params["A"]["K"] = np.asarray(KA, dtype=np.float64)
+    if KB is not None:
+        params["B"]["K"] = np.asarray(KB, dtype=np.float64)
+    forces = {"A": setup_forces(mA, sources=[PoissonSource(0, 1.0)]),
+              "B": setup_forces(mB, sources=[PoissonSource(nx - 1, -1.0)])}
+    return mm, state0, params, forces
+
+
+def run(mm, state0, params, forces, dts):
+    sim = Simulator(mm, state0=state0, parameters=params)
+    states, reports = sim.simulate(dts, forces=forces, info_level=-1,
+                                   tolerances={"default": 1e-12},
+                                   max_nonlinear_iterations=20)
+    assert all(r["success"] for r in reports)
+    return states
+
+
+def test_multimodel_adjoint_vs_fd():
+    mm, state0, params, forces = build_case()
+    dts = [0.5, 0.5]
+    states = run(mm, state0, params, forces, dts)
+
+    def G(mm_, state, dt, n, f):
+        return dt * (jnp.sum(state["A"]["U"] ** 2)
+                     + 0.5 * jnp.sum(state["B"]["U"] ** 2))
+
+    adj = solve_adjoint_sensitivities(mm, states, dts, G, parameters=params,
+                                      state0=state0, forces=forces)
+
+    def total(pq):
+        sts = run(mm, state0, pq, forces, dts)
+        return sum(float(G(mm, {m: {k: jnp.asarray(v) for k, v in s.items()}
+                               for m, s in st.items()}, dts[i], i, None))
+                   for i, st in enumerate(sts))
+
+    import copy
+
+    for mname in ("A", "B"):
+        base = np.asarray(params[mname]["K"], dtype=np.float64)
+        for i in range(base.size):
+            h = 1e-6 * max(abs(base[i]), 1.0)
+            pp = copy.deepcopy(params); pp[mname]["K"] = base.copy()
+            pp[mname]["K"][i] += h
+            pm = copy.deepcopy(params); pm[mname]["K"] = base.copy()
+            pm[mname]["K"][i] -= h
+            fd = (total(pp) - total(pm)) / (2 * h)
+            got = adj[mname]["K"][i]
+            assert np.isclose(got, fd, rtol=1e-4, atol=1e-10), (
+                mname, i, got, fd)
