@@ -1,0 +1,324 @@
+"""Cut-cell meshes: plane cuts, mesh gluing, embedding.
+
+Counterpart of the reference CutCellMeshes module (reference:
+src/meshes/CutCellMeshes/*.jl — ``cut_mesh``/``PlaneCut`` (cutting a 3D
+mesh by planes for fault modeling), ``glue_mesh`` (merging two meshes with
+coincident interfaces), ``embed_mesh`` (embedding), exported in
+src/Jutul.jl:156) and EmbeddedMeshes (lower-dimensional meshes embedded in
+a host with FV coupling).
+
+v1 scope:
+- ``PlaneCut`` + ``cut_mesh``: cells crossed by the plane are split into
+  two polygonal (2D) / polyhedral (3D) cells via Sutherland–Hodgman face
+  clipping with a closing cap face.
+- ``glue_mesh``: union of two meshes; coincident boundary faces (same node
+  positions) become interior faces.
+- ``embed_mesh``: connection list between a host mesh and an embedded
+  lower-dimensional mesh (fracture), with transmissibility-style
+  connection indices — consumed as MultiModel cross-terms.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .unstructured import IndirectionMap, UnstructuredMesh
+
+
+@dataclass(frozen=True)
+class PlaneCut:
+    """Plane through ``point`` with ``normal`` (reference PlaneCut)."""
+
+    point: tuple
+    normal: tuple
+
+    def signed_distance(self, pts: np.ndarray) -> np.ndarray:
+        n = np.asarray(self.normal, dtype=np.float64)
+        n = n / np.linalg.norm(n)
+        return (pts - np.asarray(self.point)) @ n
+
+
+class _PointPool:
+    """Deduplicating point registry for cut points."""
+
+    def __init__(self, points: np.ndarray, tol: float = 1e-9):
+        self.pts = [p for p in points]
+        self.tol = tol
+        self._cut_cache: dict[tuple, int] = {}
+
+    def edge_point(self, a: int, b: int, p: np.ndarray) -> int:
+        key = (min(a, b), max(a, b))
+        if key in self._cut_cache:
+            return self._cut_cache[key]
+        idx = len(self.pts)
+        self.pts.append(p)
+        self._cut_cache[key] = idx
+        return idx
+
+    def array(self) -> np.ndarray:
+        return np.asarray(self.pts)
+
+
+def _clip_polygon(loop, d, pool: _PointPool, side: int):
+    """Sutherland–Hodgman: keep the part of node loop with sign*d >= 0.
+
+    Returns (sub_loop, cut_edge_nodes) — the two new nodes on the plane
+    (None if the polygon is not cut).
+    """
+    sgn = 1.0 if side > 0 else -1.0
+    out = []
+    cut_nodes = []
+    m = len(loop)
+    for i in range(m):
+        a, b = loop[i], loop[(i + 1) % m]
+        da, db = sgn * d[a], sgn * d[b]
+        if da >= 0:
+            out.append(a)
+        if (da > 0 and db < 0) or (da < 0 and db > 0):
+            t = da / (da - db)
+            p = pool.pts[a] + t * (pool.pts[b] - pool.pts[a])
+            nid = pool.edge_point(a, b, p)
+            out.append(nid)
+            cut_nodes.append(nid)
+    if len(out) < (2 if len(pool.pts[0]) == 2 else 3):
+        return None, cut_nodes
+    return out, cut_nodes
+
+
+def cut_mesh(mesh: UnstructuredMesh, cut: PlaneCut,
+             tol: float = 1e-9) -> UnstructuredMesh:
+    """Split every cell crossed by the plane into two cells
+    (reference cut_mesh). Cells fully on one side are kept as-is."""
+    dim = mesh.dim
+    pool = _PointPool(np.asarray(mesh.points, dtype=np.float64))
+    d = cut.signed_distance(pool.array())
+    d = np.where(np.abs(d) < tol, 0.0, d)
+
+    # cell -> (face_id, is_boundary, flip) lists
+    from collections import defaultdict
+
+    cell_faces = defaultdict(list)
+    nb = mesh.face_neighbors
+    for f in range(mesh.number_of_faces()):
+        l, r = nb[f]
+        cell_faces[int(l)].append((f, False, False))
+        cell_faces[int(r)].append((f, False, True))
+    for f in range(mesh.number_of_boundary_faces()):
+        cell_faces[int(mesh.boundary_face_cells[f])].append((f, True, False))
+
+    def face_loop(f, boundary):
+        src = mesh.boundary_face_nodes if boundary else mesh.face_nodes
+        return list(src[f])
+
+    nc = mesh.number_of_cells()
+    # new cell ids: side<0 part keeps old id; side>0 part gets a fresh id
+    plus_id = {}
+    next_id = nc
+    cut_cells = []
+    zero_nodes = defaultdict(set)  # mesh nodes lying exactly on the plane
+    for c in range(nc):
+        signs = set()
+        for f, bnd, _ in cell_faces[c]:
+            for node in face_loop(f, bnd):
+                if d[node] > 0:
+                    signs.add(1)
+                elif d[node] < 0:
+                    signs.add(-1)
+                else:
+                    zero_nodes[c].add(node)
+        if signs == {1, -1}:
+            plus_id[c] = next_id
+            next_id += 1
+            cut_cells.append(c)
+
+    def cell_of(c, node_side):
+        if c in plus_id and node_side > 0:
+            return plus_id[c]
+        return c
+
+    new_faces, new_nbrs = [], []
+    new_bnd, new_bnd_cells = [], []
+
+    def emit(loop, l, r):
+        if r is None:
+            new_bnd.append(loop)
+            new_bnd_cells.append(l)
+        else:
+            new_faces.append(loop)
+            new_nbrs.append([l, r])
+
+    # process original faces: clip into side pieces
+    def face_side_pieces(f, bnd):
+        loop = face_loop(f, bnd)
+        dd = [d[n] for n in loop]
+        if all(x >= 0 for x in dd):
+            return [(loop, +1)], []
+        if all(x <= 0 for x in dd):
+            return [(loop, -1)], []
+        lp, cut_p = _clip_polygon(loop, d, pool, +1)
+        lm, cut_m = _clip_polygon(loop, d, pool, -1)
+        pieces = []
+        if lp:
+            pieces.append((lp, +1))
+        if lm:
+            pieces.append((lm, -1))
+        return pieces, sorted(set(cut_p + cut_m))
+
+    # In 2D each cut edge contributes ONE plane point; in 3D each cut face
+    # contributes a segment (two plane points). The cap closing a cut cell
+    # is the segment (2D) / stitched polygon (3D) of those points.
+    cap_edges = defaultdict(list)  # 3D: cell -> cut segments
+    cap_nodes = defaultdict(set)  # 2D: cell -> cut nodes
+    def record_cut(c, cutn):
+        if c not in plus_id:
+            return
+        if dim == 2 and len(cutn) >= 1:
+            cap_nodes[c].update(cutn)
+        elif dim == 3 and len(cutn) >= 2:
+            cap_edges[c].append(tuple(cutn[:2]))
+
+    for f in range(mesh.number_of_faces()):
+        l, r = int(nb[f, 0]), int(nb[f, 1])
+        pieces, cutn = face_side_pieces(f, False)
+        for loop, side in pieces:
+            emit(loop, cell_of(l, side), cell_of(r, side))
+        record_cut(l, cutn)
+        record_cut(r, cutn)
+    for f in range(mesh.number_of_boundary_faces()):
+        c = int(mesh.boundary_face_cells[f])
+        pieces, cutn = face_side_pieces(f, True)
+        for loop, side in pieces:
+            emit(loop, cell_of(c, side), None)
+        record_cut(c, cutn)
+
+    # cap faces between the minus part (old id) and plus part (new id)
+    for c in cut_cells:
+        if dim == 2:
+            # the cap spans both genuine cut points and mesh nodes lying
+            # exactly on the plane (cuts through corners)
+            nodes = sorted(cap_nodes[c] | zero_nodes[c])
+            if len(nodes) >= 2:
+                emit([nodes[0], nodes[-1]], c, plus_id[c])
+        else:
+            loop = _stitch_cycle(cap_edges[c])
+            if loop and len(loop) >= 3:
+                emit(loop, c, plus_id[c])
+
+    return UnstructuredMesh(pool.array(), new_faces,
+                            np.asarray(new_nbrs, dtype=np.int64).reshape(-1, 2),
+                            new_bnd, new_bnd_cells)
+
+
+def _stitch_cycle(edges):
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    if not adj:
+        return None
+    start = next(iter(adj))
+    loop = [start]
+    prev = None
+    cur = start
+    for _ in range(len(adj) + 1):
+        nxts = [x for x in adj[cur] if x != prev]
+        if not nxts:
+            return None
+        nxt = nxts[0]
+        if nxt == start:
+            return loop
+        loop.append(nxt)
+        prev, cur = cur, nxt
+    return loop
+
+
+def glue_mesh(a: UnstructuredMesh, b: UnstructuredMesh,
+              tol: float = 1e-9) -> UnstructuredMesh:
+    """Union of two meshes; coincident boundary faces become interior
+    (reference glue_mesh)."""
+    if a.dim != b.dim:
+        raise ValueError("dimension mismatch")
+    pa, pb = a.points, b.points
+    # merge points with dedupe by rounded coordinates
+    scale = max(np.abs(np.concatenate([pa, pb])).max(), 1.0)
+    key = lambda p: tuple(np.round(p / (tol * scale)).astype(np.int64))
+    pmap = {}
+    pts = []
+    for p in pa:
+        k = key(p)
+        if k not in pmap:
+            pmap[k] = len(pts)
+            pts.append(p)
+    amap = [pmap[key(p)] for p in pa]
+    for p in pb:
+        k = key(p)
+        if k not in pmap:
+            pmap[k] = len(pts)
+            pts.append(p)
+    bmap = [pmap[key(p)] for p in pb]
+    nca = a.number_of_cells()
+
+    def remap(m, nodemap):
+        fn = [[nodemap[n] for n in m.face_nodes[f]]
+              for f in range(m.number_of_faces())]
+        bn = [[nodemap[n] for n in m.boundary_face_nodes[f]]
+              for f in range(m.number_of_boundary_faces())]
+        return fn, bn
+
+    fa, ba = remap(a, amap)
+    fb, bb = remap(b, bmap)
+    faces = fa + fb
+    nbrs = list(np.asarray(a.face_neighbors).tolist()) + [
+        [l + nca, r + nca] for l, r in np.asarray(b.face_neighbors).tolist()]
+
+    # match coincident boundary faces by node sets
+    bnd = [(loop, int(c)) for loop, c in zip(ba, a.boundary_face_cells)]
+    bnd += [(loop, int(c) + nca) for loop, c in zip(bb, b.boundary_face_cells)]
+    by_key = {}
+    glued = set()
+    for i, (loop, c) in enumerate(bnd):
+        k = frozenset(loop)
+        if k in by_key and by_key[k] not in glued and i not in glued:
+            j = by_key[k]
+            faces.append(bnd[j][0])
+            nbrs.append([bnd[j][1], c])
+            glued.add(i)
+            glued.add(j)
+        else:
+            by_key[k] = i
+    bnd_nodes = [loop for i, (loop, c) in enumerate(bnd) if i not in glued]
+    bnd_cells = [c for i, (loop, c) in enumerate(bnd) if i not in glued]
+    return UnstructuredMesh(np.asarray(pts), faces,
+                            np.asarray(nbrs, dtype=np.int64).reshape(-1, 2),
+                            bnd_nodes, bnd_cells)
+
+
+def embed_mesh(host, embedded, aperture: float = 1e-3, perm_scale: float = 1.0):
+    """Embedding connections between a host mesh and a lower-dimensional
+    mesh (reference embed_mesh / EmbeddedMeshes).
+
+    Returns (host_cells, embedded_cells, connection_indices): for each
+    embedded cell, its enclosing host cell and a transmissibility-style
+    connection index CI = area / <distance>, to be consumed as MultiModel
+    cross-terms between the host and fracture models.
+    """
+    hg = host.tpfv_geometry() if hasattr(host, "tpfv_geometry") else host
+    eg = embedded.tpfv_geometry() if hasattr(embedded, "tpfv_geometry") \
+        else embedded
+    hc = hg.cell_centroids
+    host_cells = []
+    for c in eg.cell_centroids:
+        cc = c[: hc.shape[1]] if c.shape[0] >= hc.shape[1] else np.pad(
+            c, (0, hc.shape[1] - c.shape[0]))
+        host_cells.append(int(np.argmin(np.sum((hc - cc) ** 2, axis=1))))
+    host_cells = np.asarray(host_cells, dtype=np.int64)
+    dim_h = hc.shape[1]
+    # characteristic host-cell size -> average normal distance ~ size/4
+    size = hg.volumes[host_cells] ** (1.0 / dim_h)
+    area = eg.volumes * (aperture if eg.dim < dim_h else 1.0)
+    ci = perm_scale * area / np.maximum(size / 4.0, 1e-300)
+    return host_cells, np.arange(len(host_cells), dtype=np.int64), ci

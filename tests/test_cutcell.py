@@ -1,0 +1,77 @@
+"""Cut-cell / glue / embed tests (reference test/cut_cell_meshes.jl,
+glue_mesh.jl, embedded_meshes.jl geometric invariants)."""
+
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh
+from jutul.jl_tpu.meshes.cutcell import (
+    PlaneCut,
+    cut_mesh,
+    embed_mesh,
+    glue_mesh,
+)
+from jutul.jl_tpu.meshes.unstructured import UnstructuredMesh
+
+
+def test_plane_cut_2d_volume_conservation():
+    cm = CartesianMesh((4, 3), (4.0, 3.0))
+    um = UnstructuredMesh.from_cartesian(cm)
+    v0 = um.tpfv_geometry().volumes.sum()
+    cut = cut_mesh(um, PlaneCut((1.4, 0.0), (1.0, 0.0)))
+    g = cut.tpfv_geometry()
+    # 3 cells per row are crossed by x=1.4? only the column containing it
+    assert cut.number_of_cells() == 12 + 3
+    assert np.isclose(g.volumes.sum(), v0, rtol=1e-12)
+    assert np.all(g.volumes > 0)
+
+
+def test_plane_cut_2d_diagonal():
+    cm = CartesianMesh((3, 3), (3.0, 3.0))
+    um = UnstructuredMesh.from_cartesian(cm)
+    v0 = um.tpfv_geometry().volumes.sum()
+    cut = cut_mesh(um, PlaneCut((1.5, 1.5), (1.0, 1.0)))
+    g = cut.tpfv_geometry()
+    assert np.isclose(g.volumes.sum(), v0, rtol=1e-12)
+    assert np.all(g.volumes > 1e-12)
+    assert cut.number_of_cells() > 9
+
+
+def test_plane_cut_3d_volume_conservation():
+    cm = CartesianMesh((3, 2, 2), (3.0, 2.0, 2.0))
+    um = UnstructuredMesh.from_cartesian(cm)
+    v0 = um.tpfv_geometry().volumes.sum()
+    cut = cut_mesh(um, PlaneCut((1.4, 0, 0), (1.0, 0.0, 0.0)))
+    g = cut.tpfv_geometry()
+    assert cut.number_of_cells() == 12 + 4
+    assert np.isclose(g.volumes.sum(), v0, rtol=1e-10)
+    assert np.all(g.volumes > 0)
+
+
+def test_glue_two_boxes():
+    a = UnstructuredMesh.from_cartesian(CartesianMesh((2, 2), (1.0, 1.0)))
+    from jutul.jl_tpu.meshes.cartesian import CartesianMesh as CM
+
+    b = UnstructuredMesh.from_cartesian(CM((2, 2), (1.0, 1.0),
+                                           origin=(1.0, 0.0)))
+    g = glue_mesh(a, b)
+    assert g.number_of_cells() == 8
+    # the shared interface (2 faces) became interior: 4+4 interior + 2
+    assert g.number_of_faces() == 4 + 4 + 2
+    assert g.number_of_boundary_faces() == 12
+    geo = g.tpfv_geometry()
+    assert np.isclose(geo.volumes.sum(), 2.0)
+
+
+def test_embed_fracture_line_in_2d_host():
+    host = CartesianMesh((4, 4), (4.0, 4.0))
+    # fracture: 1D-ish strip of thin cells along y=2 represented as a 2D mesh
+    frac = UnstructuredMesh.from_cartesian(
+        CartesianMesh((4, 1), (4.0, 0.01), origin=(0.0, 1.995)))
+    hc, ec, ci = embed_mesh(host, frac)
+    assert len(hc) == 4
+    assert np.all(ci > 0)
+    # each fracture cell pairs with the host cell containing it
+    hg = host.tpfv_geometry()
+    fg = frac.tpfv_geometry()
+    for h, e in zip(hc, ec):
+        assert np.linalg.norm(hg.cell_centroids[h] - fg.cell_centroids[e]) < 1.0
