@@ -267,3 +267,23 @@ def _dummy_state(model, neq):
             m = var.values_per_entity(model)
             d[name] = jnp.ones((1,)) if m == 1 else jnp.ones((1, m))
     return d
+
+
+def simulate_parray(case_or_mesh, system=None, n_devices: int | None = None,
+                    axis: str = "d", **kwargs):
+    """Reference-parity entry point (reference:
+    ext/JutulPartitionedArraysExt/interface.jl:145 ``simulate_parray``):
+    build a DistributedSimulator over all available devices.
+
+    Usage: ``simulate_parray(mesh, system, data_fields=..., ...)`` returns
+    the DistributedSimulator (drive with newton_step_fn/solve_timestep).
+    """
+    import jax
+    from jax.sharding import Mesh as _Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    dmesh = _Mesh(np.array(devs), (axis,))
+    return DistributedSimulator(case_or_mesh, system, dmesh, axis=axis,
+                                **kwargs)

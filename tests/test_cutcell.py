@@ -75,3 +75,23 @@ def test_embed_fracture_line_in_2d_host():
     fg = frac.tpfv_geometry()
     for h, e in zip(hc, ec):
         assert np.linalg.norm(hg.cell_centroids[h] - fg.cell_centroids[e]) < 1.0
+
+
+def test_simulation_on_cut_mesh():
+    """Heat diffusion on a plane-cut mesh runs and conserves energy."""
+    from jutul.jl_tpu import (DataDomain, SimpleHeatSystem, SimulationModel,
+                              setup_state, simulate)
+
+    um = UnstructuredMesh.from_cartesian(CartesianMesh((4, 3), (4.0, 3.0)))
+    cut = cut_mesh(um, PlaneCut((1.7, 0.0), (1.0, 0.3)))
+    g = cut.tpfv_geometry()
+    model = SimulationModel(DataDomain(cut), SimpleHeatSystem())
+    rng = np.random.default_rng(0)
+    T0 = rng.uniform(0, 1, cut.number_of_cells())
+    states, reports = simulate(setup_state(model, T=T0), model, [1e-3] * 3,
+                               info_level=-1)
+    assert all(r["success"] for r in reports)
+    # SimpleHeatSystem's conserved quantity is sum(T) (unit mass per cell)
+    e0 = float(np.sum(T0))
+    e1 = float(np.sum(states[-1]["T"]))
+    assert np.isclose(e0, e1, rtol=1e-10)
