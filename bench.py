@@ -1,8 +1,9 @@
-"""Benchmark: 1M-cell two-phase Darcy Newton step (assembly + preconditioned
-Krylov) on one TPU chip.
+"""Benchmark: 1M-cell two-phase Darcy Newton step on one TPU chip.
 
-Metric mirrors BASELINE.json: wall-clock per Newton step (vmap/jacfwd
-assembly into block-ELL + ILU0-preconditioned BiCGStab) and cells/sec.
+Metric mirrors BASELINE.json: wall-clock per Newton step — vmap/jacfwd
+stencil assembly + CPR-preconditioned BiCGStab (GMG pressure stage) — and
+cells/sec. Uses the structured-grid fast path (ops/stencil.py): pure
+slice/pad lattice ops, no gathers, no scatter layout hazards.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md). The
 north-star target is ">= 5x single-core Jutul throughput per chip"; public
@@ -10,9 +11,13 @@ single-core Julia FV simulators of this class sustain on the order of 1e6
 cell-Newton-steps/sec for two-phase TPFA assembly+ILU-Krylov, so we report
 vs_baseline = cells_per_sec / 5e6 (i.e. 1.0 == the 5x north-star target).
 
-Precision: float32 on TPU (f64 is emulated on v5e and LAPACK f64 kernels are
-unavailable); the Krylov solve uses relative tolerances, and conformance
-tests run in f64 on CPU.
+Measurement notes (axon tunnel quirks, measured):
+- per-device-call fixed overhead is tens of seconds -> all repeats run in
+  ONE fori_loop device program;
+- repeated device executions can crash the TPU worker -> exactly one
+  execution total;
+- f64 is emulated -> f32 working precision (conformance tests run f64 on
+  CPU).
 """
 
 from __future__ import annotations
@@ -27,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+if os.environ.get("BENCH_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import jutul.jl_tpu  # noqa: F401  (package import enables x64...)
 
@@ -70,96 +78,66 @@ def build(nx, ny, nz):
 
 def main():
     n_lin_it = 25  # fixed Krylov work per Newton step for a stable metric
+    n_rep = 10  # Newton steps measured (all inside one device program)
     nx, ny, nz = 128, 128, 64  # 1,048,576 cells
     if jax.default_backend() == "cpu":
         nx, ny, nz = 64, 64, 16  # CPU fallback size (driver runs on TPU)
+        n_rep = 2
     nc = nx * ny * nz
 
-    from jutul.jl_tpu.linsolve.amg import AMGPreconditioner
-    from jutul.jl_tpu.linsolve.cpr import CPRPreconditioner
     from jutul.jl_tpu.linsolve.krylov import bicgstab
-    from jutul.jl_tpu.linsolve.precond import BlockJacobiPreconditioner
     from jutul.jl_tpu.models.setup import merge_state
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilCompiledModel
 
     comp, state0, params = build(nx, ny, nz)
-    # CPR (AMG pressure stage + block-Jacobi smoother): the BASELINE's
-    # headline solver; ILU(0)'s transposed-block gathers force padded
-    # layouts at 1M cells (see linsolve/precond.py notes)
-    precond = CPRPreconditioner(smoother=BlockJacobiPreconditioner(),
-                                amg=AMGPreconditioner(n_cycles=1))
+    sc = StencilCompiledModel(comp)
+    cpr = StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=20, min_cells=512))
 
-    from jutul.jl_tpu.ops import tables as _tbl
+    def newton_step(state, state0_d, parameters, dt):
+        full = merge_state(state, parameters)
+        full0 = merge_state(state0_d, parameters)
+        r, A, full_eval = sc.assemble(full, full0, dt)
+        pstate = cpr.update(A)
+        n = sc.n_cells
+        neq, ndof = sc.neq, sc.ndof
 
-    def newton_step(state, state0_d, parameters, dt, tables):
-        with _tbl.bind(tables):
-            full = merge_state(state, parameters)
-            full0 = merge_state(state0_d, parameters)
-            r, J, full_eval = comp.assemble(full, full0, dt)
-            pstate = precond.update(J)
-            n, _, neq, ndof = J.blocks.shape
+        def matvec(x):
+            return A.matvec(x.reshape(n, ndof)).reshape(-1)
 
-            def matvec(x):
-                return J.matvec(x.reshape(n, ndof)).reshape(-1)
+        def M(x):
+            return cpr.apply(pstate, A, x.reshape(n, neq)).reshape(-1)
 
-            def M(x):
-                return precond.apply(pstate, J, x.reshape(n, neq)).reshape(-1)
+        # rtol=0 pins the work at exactly n_lin_it iterations
+        du, stats = bicgstab(matvec, (-r).reshape(-1), maxiter=n_lin_it,
+                             rtol=0.0, precond=M)
+        new_state = comp.apply_update(state, du.reshape(n, ndof), 1.0)
+        return new_state, stats["residual"], jnp.linalg.norm((-r).reshape(-1))
 
-            # rtol=0 pins the work at exactly n_lin_it iterations for a
-            # deterministic per-step workload
-            du, stats = bicgstab(matvec, (-r).reshape(-1), maxiter=n_lin_it,
-                                 rtol=0.0, precond=M)
-            new_state = comp.apply_update(state, du.reshape(n, ndof), 1.0)
-            return new_state, stats["residual"], stats["iterations"]
+    def multi_step(state, state0_d, parameters, dt_, n):
+        def body(_, carry):
+            s, _res, _b = carry
+            return newton_step(s, state0_d, parameters, dt_)
 
-    # warm the table registration (trace-time numpy) WITHOUT executing
-    # anything: an abstract eval_shape trace runs the Python registration
-    # code at zero compute cost. The tables then travel as jit ARGUMENTS —
-    # as HLO constants they blow past the remote compiler's request limit.
-    st_a = {k: jnp.asarray(v, jnp.float32) for k, v in state0.items()}
-    pr_a = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
-    jax.eval_shape(lambda s, p: newton_step(s, s, p, 3600.0, {}),
-                   st_a, pr_a)
-    dev_tables = _tbl.device_tables()
+        zero = jnp.asarray(0.0, jnp.float32)
+        return jax.lax.fori_loop(0, n, body, (state, zero, zero))
 
     st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
     pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
     dt = 3600.0
-    n_rep = 10
 
-    # The tunnel to the TPU has a LARGE fixed per-execution overhead
-    # (measured ~50 s per device call regardless of size), so all repeats
-    # run inside ONE device program via lax.fori_loop and the overhead is
-    # calibrated out with a null program.
-    def multi_step(state, state0_d, parameters, dt_, tables, n):
-        def body(_, carry):
-            s, _res, _its = carry
-            return newton_step(s, state0_d, parameters, dt_, tables)
-
-        zero = jnp.asarray(0.0, jnp.float32)
-        s, res, its = jax.lax.fori_loop(
-            0, n, body, (state, zero, jnp.asarray(0)))
-        return s, res, its
-
-    # The axon TPU worker has been observed to crash on REPEATED device
-    # executions in one process, so the whole measurement is ONE device
-    # call: compile ahead of time, then execute n_rep+1 Newton steps in a
-    # single fori_loop program. The per-call tunnel overhead (~10-50 s
-    # fixed) is amortized over the steps, making the reported number a
-    # conservative lower bound on throughput.
     t0 = time.perf_counter()
     compiled = jax.jit(multi_step).lower(
-        st, st, pr, dt, dev_tables, jnp.asarray(1)).compile()
+        st, st, pr, dt, jnp.asarray(1)).compile()
     t_compile = time.perf_counter() - t0
     print(f"# compile: {t_compile:.1f}s", file=sys.stderr)
 
     n_total = 1 + n_rep
     t0 = time.perf_counter()
-    cur, res, its = compiled(st, st, pr, dt, dev_tables,
-                             jnp.asarray(n_total))
+    cur, res, bnorm = compiled(st, st, pr, dt, jnp.asarray(n_total))
     res0 = float(np.asarray(res))  # full device->host sync
     t_exec = time.perf_counter() - t0
     print(f"# exec({n_total} steps): {t_exec:.1f}s lin_res={res0:.3e} "
-          f"lin_its={int(np.asarray(its))}", file=sys.stderr)
+          f"rhs_norm={float(np.asarray(bnorm)):.3e}", file=sys.stderr)
     dp = np.asarray(cur["Pressure"]) - np.asarray(st["Pressure"])
     assert np.all(np.isfinite(dp)) and np.abs(dp).max() > 0, "no-op step?"
     elapsed = t_exec / n_total
@@ -167,8 +145,8 @@ def main():
     cells_per_sec = nc / elapsed
     print(json.dumps({
         "metric": f"{nc}-cell two-phase Darcy Newton step "
-                  f"(vmap/jacfwd assembly + CPR(AMG)-BiCGStab {n_lin_it} its, "
-                  f"f32, {jax.default_backend()})",
+                  f"(stencil vmap/jacfwd assembly + CPR(GMG)-BiCGStab "
+                  f"{n_lin_it} its, f32, {jax.default_backend()})",
         "value": round(cells_per_sec, 1),
         "unit": "cells/sec per Newton step",
         "vs_baseline": round(cells_per_sec / 5e6, 4),

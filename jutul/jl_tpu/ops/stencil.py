@@ -1,0 +1,477 @@
+"""Structured-grid fast path: stencil assembly, SpMV and GMG-CPR.
+
+For Cartesian meshes the TPFA sparsity is a 7-point stencil, so every
+gather/scatter in the generic block-ELL path can be replaced by lattice
+SLICING and PADDING — the speed-of-light formulation on TPU: all arrays
+keep their large lattice dimensions trailing (no tiled-layout padding
+hazards), everything fuses on the VPU, and the CPR pressure stage becomes
+geometric multigrid with exact piecewise-constant Galerkin coarsening
+(which preserves the 7-point structure exactly).
+
+Counterpart note: this is the TPU analogue of the reference's hard-coded
+TPFA assembly path (src/conservation/conservation.jl:101-484
+ConservationLawTPFAStorage + fill_conservation_eq!) — the reference
+specializes the hot path for TPFA the same way.
+
+Layout conventions:
+- cell fields: (..., n) with small component axes LEADING;
+- lattice views: (nz, ny, nx) trailing;
+- the stencil matrix stores, per axis a, the coupling blocks as
+  ``plus[a][e, j, f_lat]`` (row = left cell, column = +a neighbor) and
+  ``minus[a][e, j, f_lat]`` (row = right cell, column = -a neighbor),
+  plus ``diag[e, j, n]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.equations import (
+    AccumulationContribution,
+    CellTermContribution,
+    FaceFluxContribution,
+)
+
+_SLICES = {  # per axis: (left-cells slice, right-cells slice) on (nz,ny,nx)
+    0: (np.s_[:, :, :-1], np.s_[:, :, 1:]),
+    1: (np.s_[:, :-1, :], np.s_[:, 1:, :]),
+    2: (np.s_[:-1, :, :], np.s_[1:, :, :]),
+}
+_PADS = {  # pad widths to place a face-lattice onto the cell lattice
+    0: ((0, 0), (0, 0), (0, 1)),  # value sits at the LEFT cell
+    1: ((0, 0), (0, 1), (0, 0)),
+    2: ((0, 1), (0, 0), (0, 0)),
+}
+_PADS_R = {
+    0: ((0, 0), (0, 0), (1, 0)),  # value sits at the RIGHT cell
+    1: ((0, 0), (1, 0), (0, 0)),
+    2: ((1, 0), (0, 0), (0, 0)),
+}
+
+
+@dataclass
+class StencilMatrix:
+    """7-point block stencil matrix on an (nz, ny, nx) lattice."""
+
+    L: tuple  # (nz, ny, nx)
+    diag: jnp.ndarray  # (neq, ndof, n)
+    plus: dict  # axis -> (neq, ndof, *face_lat)
+    minus: dict  # axis -> (neq, ndof, *face_lat)
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.L))
+
+    def matvec(self, x):
+        """y = A x with x (n, ndof) -> y (n, neq); all slicing, no gathers."""
+        L = self.L
+        neq, ndof, _ = self.diag.shape
+        xT = x.T  # (ndof, n)
+        y = jnp.sum(self.diag * xT[None, :, :], axis=1)  # (neq, n)
+        x_lat = xT.reshape((ndof,) + L)
+        y_lat = y.reshape((neq,) + L)
+        for a in range(3):
+            if a not in self.plus:
+                continue
+            sl_l, sl_r = _SLICES[a]
+            # row L couples to x at the RIGHT cell
+            contrib_l = jnp.sum(
+                self.plus[a] * x_lat[(slice(None),) + sl_r][None], axis=1)
+            y_lat = y_lat + jnp.pad(contrib_l,
+                                    ((0, 0),) + _PADS[a])
+            contrib_r = jnp.sum(
+                self.minus[a] * x_lat[(slice(None),) + sl_l][None], axis=1)
+            y_lat = y_lat + jnp.pad(contrib_r,
+                                    ((0, 0),) + _PADS_R[a])
+        return y_lat.reshape(neq, -1).T
+
+
+def _inv2x2(d00, d01, d10, d11):
+    det = d00 * d11 - d01 * d10
+    inv = 1.0 / det
+    return d11 * inv, -d01 * inv, -d10 * inv, d00 * inv
+
+
+class StencilCompiledModel:
+    """Structured fast path over a generic CompiledModel (CartesianMesh,
+    single multi-component ConservationLaw with the TPFA stencil)."""
+
+    def __init__(self, comp):
+        self.comp = comp
+        mesh = comp.model.domain.mesh
+        from ..meshes.cartesian import CartesianMesh
+
+        if not isinstance(mesh, CartesianMesh):
+            raise TypeError("StencilCompiledModel requires a CartesianMesh")
+        nx, ny, nz = mesh._dims3()
+        self.L = (nz, ny, nx)
+        self.ndof = comp.ndof
+        self.neq = comp.neq_total
+        # face blocks per axis in the global face ordering (x, then y, z)
+        sizes = [(nx - 1) * ny * nz if nx > 1 else 0,
+                 nx * (ny - 1) * nz if ny > 1 else 0,
+                 nx * ny * (nz - 1) if nz > 1 else 0]
+        self.face_sizes = sizes
+        self.face_offsets = np.concatenate([[0], np.cumsum(sizes)])
+        self.face_lat = {
+            0: (nz, ny, nx - 1) if nx > 1 else None,
+            1: (nz, ny - 1, nx) if ny > 1 else None,
+            2: (nz - 1, ny, nx) if nz > 1 else None,
+        }
+        # contributions
+        self.acc_cons = []
+        self.flux_con = None
+        for info, con, meta in comp.contribs:
+            if isinstance(con, (AccumulationContribution,
+                                CellTermContribution)):
+                self.acc_cons.append(con)
+            elif isinstance(con, FaceFluxContribution):
+                if self.flux_con is not None:
+                    raise NotImplementedError("one flux contribution only")
+                if con.stencil.shape[1] != 2:
+                    raise NotImplementedError("TPFA (K=2) stencils only")
+                self.flux_con = con
+
+    # -- local state helpers -------------------------------------------
+    def _axis_cell_states(self, cell_state, a):
+        """Per-side dicts of cell entries sliced to the axis's face lattice
+        and flattened (nf_a, ...)."""
+        L = self.L
+        sl_l, sl_r = _SLICES[a]
+        out_l, out_r = {}, {}
+        for k, v in cell_state.items():
+            v = jnp.asarray(v)
+            comp_shape = v.shape[1:]
+            lat = v.reshape(L + comp_shape)
+            out_l[k] = lat[sl_l].reshape((-1,) + comp_shape)
+            out_r[k] = lat[sl_r].reshape((-1,) + comp_shape)
+        return out_l, out_r
+
+    def _axis_face_state(self, face_state, a):
+        o0, o1 = self.face_offsets[a], self.face_offsets[a + 1]
+        return {k: jnp.asarray(v)[o0:o1] for k, v in face_state.items()}
+
+    # -- residual -------------------------------------------------------
+    def residual(self, state, state0, dt, forces=None):
+        comp = self.comp
+        model = comp.model
+        cell_state = comp._cell_entries(state)
+        cell_state0 = comp._cell_entries(state0)
+        face_state = comp._face_entries(state)
+        n = self.n_cells
+
+        r = jnp.zeros((self.neq, n))
+        for con in self.acc_cons:
+            fn = lambda cs, cs0, _c=con: _c.fn(model, cs, cs0, dt)
+            vals = jax.vmap(fn)(cell_state, cell_state0)  # (n, neq)
+            r = r + vals.T
+        if self.flux_con is not None:
+            con = self.flux_con
+            r_lat = r.reshape((self.neq,) + self.L)
+            for a in range(3):
+                if self.face_lat[a] is None:
+                    continue
+                cs_l, cs_r = self._axis_cell_states(cell_state, a)
+                fs = self._axis_face_state(face_state, a)
+
+                def flux2(l, r_, f, _c=con):
+                    local = jax.tree_util.tree_map(
+                        lambda x, y: jnp.stack([x, y]), l, r_)
+                    return _c.fn(model, local, f)
+
+                flux = jax.vmap(flux2)(cs_l, cs_r, fs)  # (nf_a, neq)
+                f_lat = flux.T.reshape((self.neq,) + self.face_lat[a])
+                r_lat = r_lat + jnp.pad(f_lat, ((0, 0),) + _PADS[a])
+                r_lat = r_lat - jnp.pad(f_lat, ((0, 0),) + _PADS_R[a])
+            r = r_lat.reshape(self.neq, -1)
+        r = r.T  # (n, neq) to match the generic engine
+        if forces:
+            r = comp._apply_forces(r, state, dt, forces)
+        return r
+
+    @property
+    def n_cells(self):
+        return self.comp.n_cells
+
+    # -- jacobian -------------------------------------------------------
+    def jacobian(self, state, state0, dt, forces=None) -> StencilMatrix:
+        comp = self.comp
+        model = comp.model
+        params_cell = comp._cell_entries(state, include=("parameter", "extra"))
+        cell_state0 = comp._cell_entries(state0)
+        face_state = comp._face_entries(state)
+        U_all = comp.get_dofs(state)  # (n, ndof)
+        n = self.n_cells
+        neq, ndof = self.neq, self.ndof
+
+        diag = jnp.zeros((neq, ndof, n))
+        for con in self.acc_cons:
+            def local_fn(u_c, p_c, cs0, _c=con):
+                local = dict(p_c)
+                local.update(comp.unpack_dofs(u_c))
+                local = comp._eval_secondaries_local(local)
+                return _c.fn(model, local, cs0, dt)
+
+            jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
+                U_all, params_cell, cell_state0)  # (n, neq, ndof)
+            diag = diag + jnp.moveaxis(jac, 0, -1)
+
+        plus, minus = {}, {}
+        if self.flux_con is not None:
+            con = self.flux_con
+            diag_lat = diag.reshape((neq, ndof) + self.L)
+            for a in range(3):
+                if self.face_lat[a] is None:
+                    continue
+                p_l, p_r = self._axis_cell_states(params_cell, a)
+                sl_l, sl_r = _SLICES[a]
+                U_lat = U_all.T.reshape((ndof,) + self.L)
+                U_l = U_lat[(slice(None),) + sl_l].reshape(ndof, -1).T
+                U_r = U_lat[(slice(None),) + sl_r].reshape(ndof, -1).T
+                fs = self._axis_face_state(face_state, a)
+
+                def flux2(ul, ur, pl, pr, f, _c=con):
+                    ll = dict(pl)
+                    ll.update(comp.unpack_dofs(ul))
+                    ll = comp._eval_secondaries_local(ll)
+                    rr = dict(pr)
+                    rr.update(comp.unpack_dofs(ur))
+                    rr = comp._eval_secondaries_local(rr)
+                    local = jax.tree_util.tree_map(
+                        lambda x, y: jnp.stack([x, y]), ll, rr)
+                    return _c.fn(model, local, f)
+
+                jl, jr = jax.vmap(jax.jacfwd(flux2, argnums=(0, 1)))(
+                    U_l, U_r, p_l, p_r, fs)  # (nf_a, neq, ndof) each
+                fl = self.face_lat[a]
+                jlT = jnp.moveaxis(jl, 0, -1).reshape((neq, ndof) + fl)
+                jrT = jnp.moveaxis(jr, 0, -1).reshape((neq, ndof) + fl)
+                # residual[L] += F => d/d u_L at diag(L), d/d u_R at plus
+                # residual[R] -= F => d/d u_R at diag(R), d/d u_L at minus
+                diag_lat = diag_lat + jnp.pad(jlT, ((0, 0), (0, 0)) + _PADS[a])
+                diag_lat = diag_lat - jnp.pad(jrT, ((0, 0), (0, 0)) + _PADS_R[a])
+                plus[a] = jrT
+                minus[a] = -jlT
+            diag = diag_lat.reshape(neq, ndof, n)
+        return StencilMatrix(self.L, diag, plus, minus)
+
+    def assemble(self, state, state0, dt, forces=None):
+        state = self.comp.evaluate_secondaries(state)
+        state0 = self.comp.evaluate_secondaries(state0)
+        r = self.residual(state, state0, dt, forces)
+        A = self.jacobian(state, state0, dt, forces)
+        return r, A, state
+
+
+# ---------------------------------------------------------------------------
+# CPR with geometric multigrid on the pressure stencil
+# ---------------------------------------------------------------------------
+@dataclass
+class ScalarStencil:
+    L: tuple
+    diag: jnp.ndarray  # (n,)
+    plus: dict  # axis -> face-lattice arrays
+    minus: dict
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.L))
+
+    def matvec(self, x):
+        L = self.L
+        y = self.diag * x
+        x_lat = x.reshape(L)
+        y_lat = y.reshape(L)
+        for a in self.plus:
+            sl_l, sl_r = _SLICES[a]
+            y_lat = y_lat + jnp.pad(self.plus[a] * x_lat[sl_r], _PADS[a])
+            y_lat = y_lat + jnp.pad(self.minus[a] * x_lat[sl_l], _PADS_R[a])
+        return y_lat.reshape(-1)
+
+
+def _fold(v, axis):
+    """Sum adjacent pairs along ``axis`` (dim must be even)."""
+    sh = list(v.shape)
+    n = sh[axis]
+    sh[axis:axis + 1] = [n // 2, 2]
+    return v.reshape(sh).sum(axis=axis + 1)
+
+
+def _pad_even(A: ScalarStencil) -> ScalarStencil:
+    """Pad odd lattice dims with identity rows (diag=1, no coupling)."""
+    nz, ny, nx = A.L
+    pz, py, px = nz % 2, ny % 2, nx % 2
+    if not (pz or py or px):
+        return A
+    pad_c = ((0, pz), (0, py), (0, px))
+    diag = jnp.pad(A.diag.reshape(A.L), pad_c, constant_values=1.0)
+    plus, minus = {}, {}
+    for a in A.plus:
+        ax_lat = 2 - a
+        pads = [(0, pz), (0, py), (0, px)]
+        plus[a] = jnp.pad(A.plus[a], pads)
+        minus[a] = jnp.pad(A.minus[a], pads)
+    return ScalarStencil(diag.shape, diag.reshape(-1), plus, minus)
+
+
+def _coarsen_scalar(A: ScalarStencil) -> ScalarStencil:
+    """Exact piecewise-constant Galerkin 2x coarsening of a 7-point
+    stencil (stays 7-point: only face-adjacent coarse blocks couple).
+
+    A_c[I, J] = sum_{i in I, j in J} A[i, j]:
+    - even-index fine faces (both cells in one block) fold into the coarse
+      diagonal; odd-index faces form the coarse interface couplings.
+    """
+    A = _pad_even(A)
+    nz, ny, nx = A.L
+    cL = (max(nz // 2, 1), max(ny // 2, 1), max(nx // 2, 1))
+
+    def blocksum_cells(v_lat):
+        out = v_lat
+        for axis, n in enumerate(A.L):
+            if n > 1:
+                out = _fold(out, axis)
+        return out
+
+    def blocksum_transverse(v, ax_lat):
+        out = v
+        for axis in range(3):
+            if axis != ax_lat and A.L[axis] > 1:
+                out = _fold(out, axis)
+        return out
+
+    diag_c = blocksum_cells(A.diag.reshape(A.L))
+    plus_c, minus_c = {}, {}
+    for a in A.plus:
+        ax_lat = 2 - a
+        sel_even = [slice(None)] * 3
+        sel_odd = [slice(None)] * 3
+        sel_even[ax_lat] = slice(0, None, 2)
+        sel_odd[ax_lat] = slice(1, None, 2)
+        p, m = A.plus[a], A.minus[a]
+        # internal couplings -> coarse diagonal (per coarse slab along ax)
+        internal = p[tuple(sel_even)] + m[tuple(sel_even)]
+        diag_c = diag_c + blocksum_transverse(internal, ax_lat)
+        pi = p[tuple(sel_odd)]
+        if pi.shape[ax_lat] == 0:
+            continue
+        plus_c[a] = blocksum_transverse(pi, ax_lat)
+        minus_c[a] = blocksum_transverse(m[tuple(sel_odd)], ax_lat)
+    return ScalarStencil(cL, diag_c.reshape(-1), plus_c, minus_c)
+
+
+class GMG:
+    """Geometric multigrid V-cycle on a scalar 7-point stencil (the CPR
+    pressure stage on structured grids — replaces AMG with exact
+    structure-preserving coarsening)."""
+
+    def __init__(self, omega: float = 0.8, n_smooth: int = 2,
+                 n_coarse_sweeps: int = 40, min_cells: int = 32,
+                 max_levels: int = 10):
+        self.omega = omega
+        self.n_smooth = n_smooth
+        self.n_coarse_sweeps = n_coarse_sweeps
+        self.min_cells = min_cells
+        self.max_levels = max_levels
+
+    def hierarchy(self, A: ScalarStencil) -> list:
+        ops = [A]
+        for _ in range(self.max_levels):
+            if ops[-1].n <= self.min_cells:
+                break
+            ops.append(_coarsen_scalar(ops[-1]))
+        return ops
+
+    def vcycle(self, ops: list, b, level: int = 0):
+        A = ops[level]
+        dinv = 1.0 / A.diag
+        if level == len(ops) - 1:
+            u = jnp.zeros_like(b)
+            for _ in range(self.n_coarse_sweeps):
+                u = u + self.omega * dinv * (b - A.matvec(u))
+            return u
+        u = self.omega * dinv * b
+        for _ in range(self.n_smooth - 1):
+            u = u + self.omega * dinv * (b - A.matvec(u))
+        r = b - A.matvec(u)
+        # restrict (pw-constant sum) onto the padded-even lattice
+        Ap = _pad_even(A)
+        r_lat = jnp.pad(r.reshape(A.L),
+                        ((0, Ap.L[0] - A.L[0]), (0, Ap.L[1] - A.L[1]),
+                         (0, Ap.L[2] - A.L[2])))
+        rc = r_lat
+        for axis, n in enumerate(Ap.L):
+            if n > 1:
+                rc = _fold(rc, axis)
+        ec = self.vcycle(ops, rc.reshape(-1), level + 1)
+        # prolong: inject the coarse value into each child cell
+        e_lat = ec.reshape(ops[level + 1].L)
+        for axis, n in enumerate(Ap.L):
+            if n > 1:
+                e_lat = jnp.repeat(e_lat, 2, axis=axis)
+        e_lat = e_lat[: A.L[0], : A.L[1], : A.L[2]]
+        u = u + e_lat.reshape(-1)
+        for _ in range(self.n_smooth):
+            u = u + self.omega * dinv * (b - A.matvec(u))
+        return u
+
+
+@dataclass
+class StencilCPRState:
+    w: jnp.ndarray  # (neq, n) quasi-IMPES row weights
+    dinv: tuple  # 2x2 inverse components of the diagonal blocks
+    ops: list  # GMG hierarchy of the pressure stencil
+
+
+class StencilCPR:
+    """CPR for the stencil matrix: quasi-IMPES weights + GMG pressure
+    stage + block-Jacobi smoother. Mirrors linsolve/cpr.py on the
+    structured fast path."""
+
+    def __init__(self, pressure_index: int = 0, gmg: GMG | None = None):
+        self.p = pressure_index
+        self.gmg = gmg or GMG()
+
+    def update(self, A: StencilMatrix):
+        neq, ndof, n = A.diag.shape
+        if neq != 2 or ndof != 2:
+            raise NotImplementedError("StencilCPR: 2x2 blocks only (v1)")
+        d00, d01 = A.diag[0, 0], A.diag[0, 1]
+        d10, d11 = A.diag[1, 0], A.diag[1, 1]
+        i00, i01, i10, i11 = _inv2x2(d00, d01, d10, d11)
+        # w = row p of D^{-1}
+        w = jnp.stack([i00, i01] if self.p == 0 else [i10, i11])
+        # scalar pressure stencil: Ap[i,j] = sum_e w_i[e] * B[i,j][e, p]
+        w_lat = w.reshape((2,) + A.L)
+        diag_p = w[0] * A.diag[0, self.p] + w[1] * A.diag[1, self.p]
+        plus_p, minus_p = {}, {}
+        for a in A.plus:
+            sl_l, sl_r = _SLICES[a]
+            wl = w_lat[(slice(None),) + sl_l]
+            wr = w_lat[(slice(None),) + sl_r]
+            plus_p[a] = (wl[0] * A.plus[a][0, self.p]
+                         + wl[1] * A.plus[a][1, self.p])
+            minus_p[a] = (wr[0] * A.minus[a][0, self.p]
+                          + wr[1] * A.minus[a][1, self.p])
+        Ap = ScalarStencil(A.L, diag_p.reshape(-1), plus_p, minus_p)
+        ops = self.gmg.hierarchy(Ap)
+        return StencilCPRState(w, (i00, i01, i10, i11), ops)
+
+    def apply(self, state: StencilCPRState, A: StencilMatrix, x):
+        """x (n, neq) residual -> du (n, ndof)."""
+        n = A.n
+        w = state.w
+        r_p = w[0] * x[:, 0] + w[1] * x[:, 1]
+        dp = self.gmg.vcycle(state.ops, r_p)
+        du = jnp.zeros((n, A.diag.shape[1]), x.dtype)
+        du = du.at[:, self.p].set(dp)
+        r2 = x - A.matvec(du)
+        i00, i01, i10, i11 = state.dinv
+        du2_0 = i00 * r2[:, 0] + i01 * r2[:, 1]
+        du2_1 = i10 * r2[:, 0] + i11 * r2[:, 1]
+        return du + jnp.stack([du2_0, du2_1], axis=1)
