@@ -78,7 +78,7 @@ def build(nx, ny, nz):
 
 def main():
     n_lin_it = 25  # fixed Krylov work per Newton step for a stable metric
-    n_rep = 10  # Newton steps measured (all inside one device program)
+    n_rep = 40  # Newton steps measured (all inside one device program)
     nx, ny, nz = 128, 128, 64  # 1,048,576 cells
     if jax.default_backend() == "cpu":
         nx, ny, nz = 64, 64, 16  # CPU fallback size (driver runs on TPU)
@@ -91,7 +91,8 @@ def main():
 
     comp, state0, params = build(nx, ny, nz)
     sc = StencilCompiledModel(comp)
-    cpr = StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=20, min_cells=512))
+    cpr = StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
+                             min_cells=16384))
 
     def newton_step(state, state0_d, parameters, dt):
         full = merge_state(state, parameters)

@@ -475,3 +475,36 @@ class StencilCPR:
         du2_0 = i00 * r2[:, 0] + i01 * r2[:, 1]
         du2_1 = i10 * r2[:, 0] + i11 * r2[:, 1]
         return du + jnp.stack([du2_0, du2_1], axis=1)
+
+
+class StencilKrylovSolver:
+    """Linear-solver adapter for the stencil fast path: BiCGStab with
+    StencilCPR (drop-in for GenericKrylov when the Jacobian is a
+    StencilMatrix)."""
+
+    def __init__(self, preconditioner: StencilCPR | None = None,
+                 rtol: float = 1e-6, atol: float = 0.0,
+                 max_iterations: int = 100):
+        self.preconditioner = preconditioner or StencilCPR()
+        self.rtol = rtol
+        self.atol = atol
+        self.max_iterations = max_iterations
+
+    def solve(self, A: StencilMatrix, r):
+        from ..linsolve.krylov import bicgstab
+
+        pstate = self.preconditioner.update(A)
+        n = A.n
+        neq, ndof, _ = A.diag.shape
+
+        def matvec(x):
+            return A.matvec(x.reshape(n, ndof)).reshape(-1)
+
+        def M(x):
+            return self.preconditioner.apply(pstate, A,
+                                             x.reshape(n, neq)).reshape(-1)
+
+        du, stats = bicgstab(matvec, (-r).reshape(-1),
+                             maxiter=self.max_iterations, rtol=self.rtol,
+                             atol=self.atol, precond=M)
+        return du.reshape(n, ndof), stats

@@ -146,3 +146,34 @@ def test_stencil_cpr_reduces_residual():
     r1 = np.asarray(-r - A.matvec(du))
     # one CPR application contracts the residual
     assert np.linalg.norm(r1) < 0.6 * np.linalg.norm(np.asarray(r))
+
+
+def test_simulator_stencil_path_matches_generic():
+    """Simulator(use_stencil=True) + StencilKrylovSolver reproduces the
+    generic path end-to-end."""
+    from jutul.jl_tpu import Simulator, simulate
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+    from jutul.jl_tpu.ops.stencil import StencilKrylovSolver
+
+    nc = 6 * 5 * 4
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((6, 5, 4), (6.0, 5.0, 4.0))
+    model = setup_darcy_model(
+        mesh, ImmiscibleFluid(viscosities=(1e-3, 3e-3)),
+        permeability=rng.lognormal(0, 1, nc) * 0.5 * DARCY,
+        porosity=0.25, gravity=False)
+    sw = rng.uniform(0.2, 0.8, nc)
+    state0 = setup_state(model, Pressure=100 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], 1))
+    forces = {"src": PhaseSourceTerm([0], np.array([[0.01, 0.0]]))}
+    DAY = si_unit("day")
+    dts = [0.1 * DAY] * 2
+
+    s_gen, _ = simulate(state0, model, dts, forces=forces, info_level=-1)
+    sim = Simulator(model, state0=state0, use_stencil=True)
+    s_st, rep = sim.simulate(dts, forces=forces, info_level=-1,
+                             linear_solver=StencilKrylovSolver(rtol=1e-11))
+    assert all(r["success"] for r in rep)
+    assert np.allclose(s_gen[-1]["Pressure"], s_st[-1]["Pressure"], rtol=1e-7)
+    assert np.allclose(s_gen[-1]["Saturations"], s_st[-1]["Saturations"],
+                       atol=1e-8)
