@@ -134,6 +134,12 @@ from .models.vectorization import (
 from .adjoint.generic import solve_adjoint_generic
 from .adjoint.objectives import GlobalObjective, SumObjective
 from .linsolve.schur import SchurComplementSolver
+from .ops.stencil import (
+    GMG,
+    StencilCPR,
+    StencilCompiledModel,
+    StencilKrylovSolver,
+)
 from .units import convert_from_si, convert_to_si, si_unit, si_units
 
 __version__ = "0.1.0"

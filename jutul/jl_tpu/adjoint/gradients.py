@@ -409,3 +409,24 @@ def solve_adjoint_sensitivities_multimodel(
         lam_next = lam
         u_next = u_n
     return jax.tree_util.tree_map(np.asarray, grad_p)
+
+
+def state_gradient(model, state, G, parameters, dt: float = 1.0,
+                   step_no: int = 0, forces=None):
+    """dG/d(primary state) for a single state (reference export
+    ``state_gradient``; gradients.jl state_gradient_inner! role). Returns a
+    dict of per-variable gradients in VALUE space."""
+    import jax
+
+    comp = compile_model(model)
+    params = {k: jnp.asarray(v) for k, v in parameters.items()}
+
+    def g_of(prim):
+        full = merge_state(prim, params)
+        full = comp.evaluate_secondaries(full)
+        return G(model, full, dt, step_no, forces)
+
+    prim = {k: jnp.asarray(v) for k, v in state.items()
+            if k in model.primary_variables}
+    grads = jax.grad(g_of)(prim)
+    return {k: np.asarray(v) for k, v in grads.items()}

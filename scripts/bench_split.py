@@ -1,0 +1,89 @@
+"""Diagnostic: time assembly-only vs solve-only at 1M cells (one device
+execution per process)."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax
+import jutul.jl_tpu
+jax.config.update("jax_enable_x64", False)
+import jax.numpy as jnp, numpy as np
+import bench as B
+from jutul.jl_tpu.models.setup import merge_state
+from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilCompiledModel
+from jutul.jl_tpu.linsolve.krylov import bicgstab
+
+mode = sys.argv[1]
+n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+comp, state0, params = B.build(128, 128, 64)
+sc = StencilCompiledModel(comp)
+cpr = StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12, min_cells=16384))
+st = {k: jnp.asarray(v, jnp.float32) for k, v in state0.items()}
+pr = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+dt = 3600.0
+
+if mode == "asm":
+    def prog(state, p, n):
+        def body(_, carry):
+            s, acc = carry
+            full = merge_state(s, p)
+            r, A, fe = sc.assemble(full, full, dt)
+            # fold outputs back so nothing is DCE'd; tweak state slightly
+            bump = 1e-9 * r[:, 0]
+            s2 = dict(s)
+            s2["Pressure"] = s["Pressure"] + bump
+            return s2, acc + jnp.sum(A.diag)
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+elif mode == "solve":
+    full0 = comp.evaluate_secondaries(merge_state(st, pr))
+    r0, A0, _ = sc.assemble(full0, full0, dt)
+    # make a nonzero rhs
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(sc.n_cells * sc.ndof,)), jnp.float32) * 1e-4
+    pstate = None
+    def prog(state, p, n):
+        full = merge_state(state, p)
+        r, A, fe = sc.assemble(full, full, dt)
+        ps = cpr.update(A)
+        nn = sc.n_cells
+        mv = lambda x: A.matvec(x.reshape(nn, sc.ndof)).reshape(-1)
+        M = lambda x: cpr.apply(ps, A, x.reshape(nn, sc.neq)).reshape(-1)
+        def body(_, carry):
+            x, acc = carry
+            du, stats = bicgstab(mv, b + 1e-12 * x, maxiter=25, rtol=0.0, precond=M)
+            return du, acc + stats["residual"]
+        return jax.lax.fori_loop(0, n, body, (b * 0, jnp.float32(0)))
+elif mode == "res":
+    def prog(state, p, n):
+        def body(_, carry):
+            s, acc = carry
+            full = comp.evaluate_secondaries(merge_state(s, p))
+            r = sc.residual(full, full, dt)
+            s2 = dict(s)
+            s2["Pressure"] = s["Pressure"] + 1e-9 * r[:, 0]
+            return s2, acc + jnp.sum(r)
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+elif mode == "jac":
+    def prog(state, p, n):
+        def body(_, carry):
+            s, acc = carry
+            full = comp.evaluate_secondaries(merge_state(s, p))
+            A = sc.jacobian(full, full, dt)
+            s2 = dict(s)
+            s2["Pressure"] = s["Pressure"] + 1e-12 * A.diag[0, 0]
+            return s2, acc + jnp.sum(A.diag)
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+elif mode == "null":
+    def prog(state, p, n):
+        def body(_, acc):
+            return acc + 1.0
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+t0 = time.time()
+c = jax.jit(prog).lower(st, pr, jnp.asarray(1)).compile()
+print(f"compile {time.time()-t0:.1f}s", flush=True)
+t0 = time.time()
+out = c(st, pr, jnp.asarray(n_rep))
+val = jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+t = time.time() - t0
+print(f"{mode} exec({n_rep}): {t:.1f}s -> {t/n_rep:.3f}s per rep", flush=True)
+
+# extra modes appended: res / jac (invoked when mode matches)

@@ -214,3 +214,16 @@ def test_generic_adjoint_through_setup_fn():
         xm = x0.copy(); xm[i] -= h
         fd = (total(xp) - total(xm)) / (2 * h)
         assert np.isclose(dx[i], fd, rtol=1e-4, atol=1e-10), (i, dx[i], fd)
+
+
+def test_state_gradient():
+    from jutul.jl_tpu.adjoint.gradients import state_gradient
+
+    case = poisson_case()
+    states, _ = simulate(case, info_level=-1)
+
+    def G(model, state, dt, n, forces):
+        return jnp.sum(state["U"] ** 2)
+
+    g = state_gradient(case.model, states[-1], G, case.parameters)
+    assert np.allclose(g["U"], 2 * states[-1]["U"])

@@ -69,7 +69,7 @@ def test_distributed_newton_matches_single(n_dev):
     gmodel = dsim.global_model
     sim = Simulator(gmodel, state0=state0)
     sim._solver = DirectSolver()
-    ref_state, ref_crit, _ = sim._iteration_jit(
+    ref_state, ref_crit, _, _lin = sim._iteration_jit(
         {k: jnp.asarray(v) for k, v in state0.items()},
         {k: jnp.asarray(v) for k, v in state0.items()},
         sim.parameters, dt, None, 1.0)
