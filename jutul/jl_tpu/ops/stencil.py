@@ -217,17 +217,9 @@ class StencilCompiledModel:
                 local = comp._eval_secondaries_local(local)
                 return _c.fn(model, local, cs0, dt)
 
-            # per-face closures return the jacobian as a TUPLE of scalars:
-            # vmap then yields clean 1D arrays — a (n, neq, ndof) output
-            # materializes with tiled trailing tiny dims on TPU (measured
-            # ~17x the residual cost)
-            def acc_jac_tuple(u_c, p_c, cs0, _f=local_fn):
-                Jc = jax.jacfwd(_f, argnums=0)(u_c, p_c, cs0)
-                return tuple(Jc.reshape(-1))
-
-            cols = jax.vmap(acc_jac_tuple)(U_all, params_cell, cell_state0)
-            jacT = jnp.stack(cols).reshape(neq, ndof, n)
-            diag = diag + jacT
+            jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
+                U_all, params_cell, cell_state0)  # (n, neq, ndof)
+            diag = diag + jnp.moveaxis(jac, 0, -1)
 
         plus, minus = {}, {}
         if self.flux_con is not None:
@@ -254,16 +246,11 @@ class StencilCompiledModel:
                         lambda x, y: jnp.stack([x, y]), ll, rr)
                     return _c.fn(model, local, f)
 
-                def flux_jac_tuple(ul, ur, pl, pr, f, _f2=flux2):
-                    Jl, Jr = jax.jacfwd(_f2, argnums=(0, 1))(ul, ur, pl, pr,
-                                                             f)
-                    return (tuple(Jl.reshape(-1)) + tuple(Jr.reshape(-1)))
-
-                cols = jax.vmap(flux_jac_tuple)(U_l, U_r, p_l, p_r, fs)
+                jl, jr = jax.vmap(jax.jacfwd(flux2, argnums=(0, 1)))(
+                    U_l, U_r, p_l, p_r, fs)  # (nf_a, neq, ndof) each
                 fl = self.face_lat[a]
-                half = neq * ndof
-                jlT = jnp.stack(cols[:half]).reshape((neq, ndof) + fl)
-                jrT = jnp.stack(cols[half:]).reshape((neq, ndof) + fl)
+                jlT = jnp.moveaxis(jl, 0, -1).reshape((neq, ndof) + fl)
+                jrT = jnp.moveaxis(jr, 0, -1).reshape((neq, ndof) + fl)
                 # residual[L] += F => d/d u_L at diag(L), d/d u_R at plus
                 # residual[R] -= F => d/d u_R at diag(R), d/d u_L at minus
                 diag_lat = diag_lat + jnp.pad(jlT, ((0, 0), (0, 0)) + _PADS[a])
