@@ -246,11 +246,33 @@ class StencilCompiledModel:
                         lambda x, y: jnp.stack([x, y]), ll, rr)
                     return _c.fn(model, local, f)
 
-                jl, jr = jax.vmap(jax.jacfwd(flux2, argnums=(0, 1)))(
-                    U_l, U_r, p_l, p_r, fs)  # (nf_a, neq, ndof) each
+                # Jacobian via jvp THROUGH the vectorized flux (the same
+                # computation shape as the fast residual path): per dof j,
+                # one jvp for the left and one for the right sensitivity.
+                # vmap(jacfwd) per face yields (nf,2,2) outputs whose tiny
+                # trailing dims tile-pad on TPU.
+                flux_vec = jax.vmap(flux2, in_axes=(0, 0, 0, 0, 0))
+                zeros_u = jnp.zeros_like(U_l)
                 fl = self.face_lat[a]
-                jlT = jnp.moveaxis(jl, 0, -1).reshape((neq, ndof) + fl)
-                jrT = jnp.moveaxis(jr, 0, -1).reshape((neq, ndof) + fl)
+                cols_l, cols_r = [], []
+                for j in range(ndof):
+                    ej = jnp.zeros_like(U_l).at[:, j].set(1.0)
+                    _, tl = jax.jvp(
+                        lambda ul, ur: flux_vec(ul, ur, p_l, p_r, fs),
+                        (U_l, U_r), (ej, zeros_u))
+                    _, tr = jax.jvp(
+                        lambda ul, ur: flux_vec(ul, ur, p_l, p_r, fs),
+                        (U_l, U_r), (zeros_u, ej))
+                    cols_l.append(tl)  # (nf, neq) = dF/du_L[:, :, j]
+                    cols_r.append(tr)
+                jlT = jnp.stack(
+                    [jnp.stack([cols_l[j][:, e].reshape(fl)
+                                for j in range(ndof)])
+                     for e in range(neq)])  # (neq, ndof, *fl)
+                jrT = jnp.stack(
+                    [jnp.stack([cols_r[j][:, e].reshape(fl)
+                                for j in range(ndof)])
+                     for e in range(neq)])
                 # residual[L] += F => d/d u_L at diag(L), d/d u_R at plus
                 # residual[R] -= F => d/d u_R at diag(R), d/d u_L at minus
                 diag_lat = diag_lat + jnp.pad(jlT, ((0, 0), (0, 0)) + _PADS[a])
