@@ -146,7 +146,7 @@ def main():
     cells_per_sec = nc / elapsed
     print(json.dumps({
         "metric": f"{nc}-cell two-phase Darcy Newton step "
-                  f"(stencil vmap/jacfwd assembly + CPR(GMG)-BiCGStab "
+                  f"(stencil jvp assembly + CPR(GMG)-BiCGStab "
                   f"{n_lin_it} its, f32, {jax.default_backend()})",
         "value": round(cells_per_sec, 1),
         "unit": "cells/sec per Newton step",

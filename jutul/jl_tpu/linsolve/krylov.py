@@ -32,10 +32,12 @@ def _identity(x):
 
 def gmres(matvec: Callable, b, x0=None, restart: int = 20,
           maxiter: int = 200, rtol: float = 1e-8, atol: float = 0.0,
-          precond: Callable | None = None):
+          precond: Callable | None = None, dot_fn: Callable | None = None):
     """Right-preconditioned restarted GMRES(m).
 
     Returns (x, stats) with stats = dict(iterations, residual, converged).
+    ``dot_fn`` overrides the inner product (pass a psum-reducing dot inside
+    shard_map for a distributed solve, like bicgstab).
     """
     N = b.shape[0]
     dtype = b.dtype
@@ -44,14 +46,16 @@ def gmres(matvec: Callable, b, x0=None, restart: int = 20,
     if x0 is None:
         x0 = jnp.zeros_like(b)
     m = restart
+    dot = dot_fn or jnp.dot
+    norm = lambda v: jnp.sqrt(dot(v, v))
 
-    bnorm = jnp.linalg.norm(b)
+    bnorm = norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     def inner_cycle(x):
         """One GMRES(m) cycle from current x. Returns (x_new, resnorm)."""
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = norm(r)
 
         V = jnp.zeros((m + 1, N), dtype)
         V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
@@ -66,12 +70,12 @@ def gmres(matvec: Callable, b, x0=None, restart: int = 20,
             # modified Gram-Schmidt against all columns (masked beyond k)
             def mgs(j, wh):
                 w, hcol = wh
-                hij = jnp.where(j <= k, jnp.dot(V[j], w), 0.0)
+                hij = jnp.where(j <= k, dot(V[j], w), 0.0)
                 w = w - hij * V[j]
                 return (w, hcol.at[j].set(hij))
 
             w, hcol = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
-            hk1 = jnp.linalg.norm(w)
+            hk1 = norm(w)
             hcol = hcol.at[k + 1].set(hk1)
             V = V.at[k + 1].set(w / jnp.where(hk1 > 0, hk1, 1.0))
 
@@ -129,7 +133,7 @@ def gmres(matvec: Callable, b, x0=None, restart: int = 20,
         x, res, k = inner_cycle(x)
         return (x, res, it + k, cycles + 1)
 
-    r0 = jnp.linalg.norm(b - matvec(x0))
+    r0 = norm(b - matvec(x0))
     x, res, its, cycles = jax.lax.while_loop(
         outer_cond, outer_step, (x0, r0, 0, 0)
     )
