@@ -100,6 +100,7 @@ from .adjoint.gradients import (
     solve_numerical_sensitivities,
 )
 from .adjoint.lbfgs import unit_box_bfgs
+from .adjoint.trust_region import box_trust_region
 from .adjoint.optimization import (
     optimization_config,
     setup_parameter_optimization,

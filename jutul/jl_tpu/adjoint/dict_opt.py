@@ -177,7 +177,8 @@ class DictParameters:
                  grad_tol: float = 1e-8, sim_kwargs: dict | None = None,
                  optimizer: str = "lbfgs"):
         """Run unit-box LBFGS (reference interface.jl:102 ``optimize``;
-        ``optimizer="lbfgsb"`` selects the scipy L-BFGS-B binding — the
+        ``optimizer="lbfgsb"`` selects the scipy L-BFGS-B binding,
+        ``optimizer="trust_region"`` the Steihaug-CG trust-region — the
         reference's LBFGSB extension).
 
         ``setup_function(parameters_dict) -> JutulCase``;
@@ -185,6 +186,7 @@ class DictParameters:
         Returns the optimized nested parameter dict (and stores history).
         """
         from .lbfgs import lbfgsb_optimize, unit_box_bfgs
+        from .trust_region import box_trust_region
         from .optimization import _case_objective_and_gradient
 
         setup_function = setup_function or self.setup_function
@@ -200,7 +202,8 @@ class DictParameters:
             return v, self.gradient_to_unit(grads, x)
 
         x0 = self.vectorize()
-        opt_fn = {"lbfgs": unit_box_bfgs, "lbfgsb": lbfgsb_optimize}[optimizer]
+        opt_fn = {"lbfgs": unit_box_bfgs, "lbfgsb": lbfgsb_optimize,
+                  "trust_region": box_trust_region}[optimizer]
         v, x, hist = opt_fn(
             x0, f_and_g, maximize=maximize, max_iterations=max_iterations,
             grad_tol=grad_tol, verbose=self.verbose)

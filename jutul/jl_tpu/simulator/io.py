@@ -101,6 +101,8 @@ def read_results(path, steps=None):
     """Read all (or selected) stored steps -> (states, reports)
     (reference utils.jl:646 read_results)."""
     idx = valid_restart_indices(path)
+    if not idx and (Path(path) / _CONSOLIDATED).is_file():
+        return read_consolidated(Path(path) / _CONSOLIDATED, steps)
     if steps is not None:
         idx = [i for i in idx if i in set(steps)]
     states, reports = [], []
@@ -109,6 +111,62 @@ def read_results(path, steps=None):
         states.append(s)
         reports.append(r)
     return states, reports
+
+
+_CONSOLIDATED = "jutul_steps.npz"
+
+
+def consolidate_results(path, out: str | None = None,
+                        delete_steps: bool = False) -> str:
+    """Merge per-step ``jutul_<n>.npz`` files into one archive.
+
+    Counterpart of the reference's case-consolidation utilities (reference
+    src/utils.jl:646 read_results collates per-step JLD2 files; we go one
+    further and produce a single portable npz so distributed runs — one file
+    per report step, possibly written by different hosts into a shared
+    directory — end as one artifact). Keys are ``step<k>/<state path>``;
+    reports are stored as one JSON blob under ``__reports__``.
+    """
+    path = Path(path)
+    idx = valid_restart_indices(path)
+    if not idx:
+        raise FileNotFoundError(f"no step files under {path}")
+    merged: dict = {}
+    reports = []
+    for i in idx:
+        state, rep = load_step(path, i)
+        for k, v in _flatten_state(state).items():
+            merged[f"step{i}/{k}"] = v
+        reports.append(rep)
+    merged["__reports__"] = np.frombuffer(
+        json.dumps(_json_safe(reports)).encode(), dtype=np.uint8)
+    merged["__steps__"] = np.asarray(idx, dtype=np.int64)
+    fn = Path(out) if out is not None else path / _CONSOLIDATED
+    np.savez_compressed(fn, **merged)
+    if delete_steps:
+        for i in idx:
+            (path / f"jutul_{i + 1}.npz").unlink(missing_ok=True)
+    return str(fn)
+
+
+def read_consolidated(fn, steps=None):
+    """Read a consolidated archive -> (states, reports)."""
+    with np.load(fn, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    reports = json.loads(bytes(flat.pop("__reports__").tobytes()).decode())
+    idx = [int(i) for i in flat.pop("__steps__")]
+    per_step: dict[int, dict] = {i: {} for i in idx}
+    for k, v in flat.items():
+        stp, rest = k.split("/", 1)
+        per_step[int(stp[4:])][rest] = v
+    keep = set(steps) if steps is not None else None
+    states, reps = [], []
+    for j, i in enumerate(idx):
+        if keep is not None and i not in keep:
+            continue
+        states.append(_unflatten_state(per_step[i]))
+        reps.append(reports[j])
+    return states, reps
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""Trust-region optimizer + IO consolidation tests."""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu.adjoint.trust_region import box_trust_region
+
+
+def test_rosenbrock_interior():
+    # optimum (1,1) scaled to (0.7, 0.49), interior of the unit box
+    def fg(x):
+        a, b = x[0] / 0.7, x[1] / 0.49
+        f = (1 - a) ** 2 + 100 * (b - a * a) ** 2
+        g = np.array([(-2 * (1 - a) - 400 * a * (b - a * a)) / 0.7,
+                      200 * (b - a * a) / 0.49])
+        return f, g
+
+    v, x, hist = box_trust_region(np.array([0.1, 0.9]), fg,
+                                  max_iterations=300, grad_tol=1e-10)
+    assert x == pytest.approx([0.7, 0.49], abs=1e-5)
+    assert hist.values[-1] < hist.values[0]
+
+
+def test_active_bounds():
+    c = np.array([1.5, -0.3, 0.4])
+
+    def fg(x):
+        return float(np.sum((x - c) ** 2)), 2 * (x - c)
+
+    v, x, _ = box_trust_region(np.full(3, 0.5), fg, max_iterations=100)
+    assert x == pytest.approx([1.0, 0.0, 0.4], abs=1e-8)
+
+
+def test_maximize():
+    c = np.array([1.5, -0.3, 0.4])
+
+    def fg(x):
+        return float(np.sum((x - c) ** 2)), 2 * (x - c)
+
+    v, x, _ = box_trust_region(np.full(3, 0.5), fg, maximize=True,
+                               max_iterations=100)
+    assert x == pytest.approx([0.0, 1.0, 1.0], abs=1e-8)
+    assert v == pytest.approx(float(np.sum((x - c) ** 2)))
+
+
+def test_matches_lbfgs_on_history_match(tmp_path):
+    # same tiny transmissibility match as the DictParameters test, but
+    # driven by the trust-region optimizer
+    from jutul.jl_tpu import (CartesianMesh, JutulCase, setup_parameters,
+                              setup_state, si_units, simulate)
+    from jutul.jl_tpu.adjoint.dict_opt import DictParameters
+    from jutul.jl_tpu.models.darcy import (ImmiscibleFluid, PhaseSourceTerm,
+                                           setup_darcy_model)
+    import jax.numpy as jnp
+
+    DAY, BAR, DARCY = si_units("day", "bar", "darcy")
+
+    def build_case(trans=None, n=6):
+        mesh = CartesianMesh((n,), (float(n),))
+        fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+        model = setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                                  porosity=0.25)
+        state0 = setup_state(model, Pressure=100 * BAR,
+                             Saturations=[0.3, 0.7])
+        params = setup_parameters(model)
+        if trans is not None:
+            params["Transmissibilities"] = np.asarray(trans)
+        forces = {"src": PhaseSourceTerm([0], np.array([[0.02, 0.0]]))}
+        return JutulCase(model, [0.5 * DAY] * 3, forces, state0=state0,
+                         parameters=params)
+
+    base = build_case()
+    rng = np.random.default_rng(3)
+    truth = np.asarray(base.parameters["Transmissibilities"]) * \
+        rng.uniform(0.6, 1.6, base.parameters["Transmissibilities"].shape)
+    obs_states, _ = simulate(build_case(truth), info_level=-1)
+    obs = [jnp.asarray(s["Pressure"]) for s in obs_states]
+
+    def misfit(model, state, dt, n_step, forces):
+        d = (state["Pressure"] - obs[n_step]) / (1.0 * BAR)
+        return dt * jnp.sum(d * d)
+
+    def setup(params):
+        c = build_case()
+        c.parameters["Transmissibilities"] = np.asarray(
+            params["Transmissibilities"])
+        return c
+
+    dopt = DictParameters(
+        {"Transmissibilities": base.parameters["Transmissibilities"]},
+        setup)
+    dopt.free_optimization_parameter("Transmissibilities", rel_min=0.2,
+                                     rel_max=5.0, scaler="log")
+    best = dopt.optimize(misfit, max_iterations=30,
+                         optimizer="trust_region")
+    assert dopt.history.values[-1] < 1e-6 * max(dopt.history.values[0], 1e-30)
+    err = np.abs(np.asarray(best["Transmissibilities"]) / truth - 1.0)
+    assert err.max() < 0.05
+
+
+def test_consolidate_results(tmp_path):
+    from jutul.jl_tpu.simulator.io import (consolidate_results, read_results,
+                                           store_output)
+
+    states = [{"Pressure": np.arange(4.0) + i,
+               "Saturations": np.ones((4, 2)) * i} for i in range(3)]
+    reports = [{"ministeps": [{"iterations": i, "success": True}]}
+               for i in range(3)]
+    for i, (s, r) in enumerate(zip(states, reports)):
+        store_output(tmp_path, i, s, r)
+    fn = consolidate_results(tmp_path, delete_steps=True)
+    assert not list(tmp_path.glob("jutul_[0-9]*.npz"))
+    got_states, got_reports = read_results(tmp_path)
+    assert len(got_states) == 3
+    for i in range(3):
+        np.testing.assert_allclose(got_states[i]["Pressure"],
+                                   states[i]["Pressure"])
+        np.testing.assert_allclose(got_states[i]["Saturations"],
+                                   states[i]["Saturations"])
+        assert got_reports[i]["ministeps"][0]["iterations"] == i
+    # selective read
+    sub, _ = read_results(tmp_path, steps=[1])
+    assert len(sub) == 1 and sub[0]["Pressure"][0] == 1.0
