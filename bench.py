@@ -77,7 +77,8 @@ def build(nx, ny, nz):
 
 
 def main():
-    n_lin_it = 25  # fixed Krylov work per Newton step for a stable metric
+    n_lin_it = 20  # fixed Krylov work per Newton step for a stable metric
+    # (reaches ~5e-9 linear residual from 2.7e-4 — within the 1e-8 target)
     n_rep = 40  # Newton steps measured (all inside one device program)
     nx, ny, nz = 128, 128, 64  # 1,048,576 cells
     if jax.default_backend() == "cpu":
