@@ -39,9 +39,16 @@ class CrossTerm:
     states gathered at the connection's target/source cell. ``symmetric``
     marks CTSkewSymmetry: the negated value is added to the source model's
     same-named equation.
+
+    A cross term may carry static per-connection data (reference
+    crossterm.jl stores e.g. well-perforation WI in the struct): set
+    ``self.conn_data = {name: (m, ...) array}`` and accept a sixth
+    argument, ``value(..., dt, conn)``, where ``conn[name]`` is that
+    connection's slice.
     """
 
     symmetric: bool = False
+    conn_data: "dict | None" = None
 
     def value(self, model_t, model_s, local_t, local_s, dt):
         raise NotImplementedError
@@ -248,6 +255,12 @@ class CompiledMultiModel:
               if self.comps[s].cell_entry_entity.get(k) is not None
               and np.ndim(v) >= 1
               and np.shape(v)[0] == self.comps[s].n_cells}
+        cd = getattr(ct, "conn_data", None)
+        if cd:
+            cdj = {k: jnp.asarray(v) for k, v in cd.items()}
+            fn = lambda a, b, c: ct.value(mm.models[t], mm.models[s],
+                                          a, b, dt, c)
+            return jax.vmap(fn)(lt, ls, cdj)  # (m, neq)
         fn = lambda a, b: ct.value(mm.models[t], mm.models[s], a, b, dt)
         return jax.vmap(fn)(lt, ls)  # (m, neq)
 
@@ -308,17 +321,24 @@ class CompiledMultiModel:
                                               include=("parameter", "extra")
                                               ).items()}
 
-        def local(u_t, u_s, pt, ps):
+        cd = getattr(ct, "conn_data", None)
+        cdj = ({k: jnp.asarray(v) for k, v in cd.items()} if cd else None)
+
+        def local(u_t, u_s, pt, ps, conn):
             lt = dict(pt)
             lt.update(ct_c.unpack_dofs(u_t))
             lt = ct_c._eval_secondaries_local(lt)
             ls = dict(ps)
             ls.update(cs_c.unpack_dofs(u_s))
             ls = cs_c._eval_secondaries_local(ls)
+            if conn is not None:
+                return ct.value(mm.models[t], mm.models[s], lt, ls, dt, conn)
             return ct.value(mm.models[t], mm.models[s], lt, ls, dt)
 
-        jac_t, jac_s = jax.vmap(jax.jacfwd(local, argnums=(0, 1)))(
-            U_t, U_s, p_t, p_s)  # (m, neq, ndof_t), (m, neq, ndof_s)
+        jac_t, jac_s = jax.vmap(
+            jax.jacfwd(local, argnums=(0, 1)),
+            in_axes=(0, 0, 0, 0, 0 if cdj is not None else None))(
+            U_t, U_s, p_t, p_s, cdj)  # (m, neq, ndof_t), (m, neq, ndof_s)
 
         sl = self._eq_slice(t, pair.equation)
         # d value / d u_target -> target diagonal (t_cell, t_cell)

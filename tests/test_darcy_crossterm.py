@@ -1,0 +1,150 @@
+"""DarcyTransferCrossTerm: two coupled half-reservoirs must reproduce the
+single merged reservoir (reference analogue: crossterm.jl coupling tests —
+a connection whose transmissibility equals the interior face trans is
+indistinguishable from the uncut mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    Simulator,
+    setup_parameters,
+    setup_state,
+    si_units,
+)
+from jutul.jl_tpu.models.darcy import (
+    DarcyTransferCrossTerm,
+    ImmiscibleFluid,
+    PhaseSourceTerm,
+    setup_darcy_model,
+)
+from jutul.jl_tpu.multimodel.core import MultiModel, compile_multi_model
+from jutul.jl_tpu.ops.assembly import compile_model
+
+DAY, BAR, DARCY = si_units("day", "bar", "darcy")
+N = 4
+
+
+def _half():
+    mesh = CartesianMesh((N,), (float(N),))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    return setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                             porosity=0.25)
+
+
+def _merged():
+    mesh = CartesianMesh((2 * N,), (float(2 * N),))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    return setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                             porosity=0.25)
+
+
+def _build_coupled(T_conn):
+    left, right = _half(), _half()
+    mm = MultiModel({"L": left, "R": right})
+    mm.add_cross_term(DarcyTransferCrossTerm([T_conn]), target="L",
+                      source="R", equation="mass_conservation",
+                      target_cells=[N - 1], source_cells=[0])
+    prm = {"L": setup_parameters(left), "R": setup_parameters(right)}
+    return mm, prm
+
+
+def test_coupled_residual_matches_merged_operator():
+    """The coupled residual operator IS the merged-mesh operator: evaluated
+    on the same (split) state, residuals agree to roundoff."""
+    full = _merged()
+    s0 = setup_state(full, Pressure=100 * BAR, Saturations=[0.3, 0.7])
+    params = setup_parameters(full)
+    q = np.zeros((1, 2))
+    q[0, 0] = 0.02
+    forces = {"src": PhaseSourceTerm([0], q)}
+    dt = 0.2 * DAY
+
+    rng = np.random.default_rng(0)
+    st = dict(s0)
+    st["Pressure"] = np.asarray(s0["Pressure"]) + rng.uniform(0, 1, 2 * N) * BAR
+    sat = np.array(s0["Saturations"])
+    sat[:, 0] += rng.uniform(-0.05, 0.05, 2 * N)
+    sat[:, 1] = 1 - sat[:, 0]
+    st["Saturations"] = sat
+
+    cmf = compile_model(full)
+    fs = cmf.evaluate_secondaries(
+        {k: jnp.asarray(v) for k, v in {**st, **params}.items()})
+    f0 = cmf.evaluate_secondaries(
+        {k: jnp.asarray(v) for k, v in {**s0, **params}.items()})
+    r_full = np.asarray(cmf.residual(fs, f0, dt, forces))
+
+    T_conn = float(params["Transmissibilities"][N - 1])
+    mm, prm = _build_coupled(T_conn)
+    cm = compile_multi_model(mm)
+
+    def split(base):
+        out = {}
+        for nm, h in (("L", 0), ("R", 1)):
+            d = {}
+            for k, v in base.items():
+                v = np.asarray(v)
+                if v.ndim >= 1 and v.shape[0] == 2 * N:
+                    d[k] = jnp.asarray(v[h * N:(h + 1) * N])
+            d.update({k: jnp.asarray(v) for k, v in prm[nm].items()})
+            out[nm] = cm.comps[nm].evaluate_secondaries(d)
+        return out
+
+    r = cm.residual(split(st), split(s0), dt,
+                    forces={"L": forces, "R": None})
+    rm = np.concatenate([np.asarray(r["L"]), np.asarray(r["R"])])
+    scale = np.abs(r_full).max()
+    np.testing.assert_allclose(rm, r_full, atol=1e-12 * scale)
+
+
+def test_coupled_halves_match_merged_simulation():
+    """End-to-end: same physics, agreement within Newton tolerance."""
+    full = _merged()
+    s0 = setup_state(full, Pressure=100 * BAR, Saturations=[0.3, 0.7])
+    params = setup_parameters(full)
+    q = np.zeros((1, 2))
+    q[0, 0] = 0.02
+    forces = {"src": PhaseSourceTerm([0], q)}
+    sim = Simulator(full, state0=s0, parameters=params)
+    ref_states, _ = sim.simulate([0.2 * DAY] * 3, forces=forces,
+                                 info_level=-1)
+
+    T_conn = float(params["Transmissibilities"][N - 1])
+    mm, prm = _build_coupled(T_conn)
+    state0 = {
+        "L": setup_state(mm["L"], Pressure=100 * BAR, Saturations=[0.3, 0.7]),
+        "R": setup_state(mm["R"], Pressure=100 * BAR, Saturations=[0.3, 0.7]),
+    }
+    mforces = {"L": {"src": PhaseSourceTerm([0], q)}, "R": None}
+    msim = Simulator(mm, state0=state0, parameters=prm)
+    mm_states, _ = msim.simulate([0.2 * DAY] * 3, forces=mforces,
+                                 info_level=-1)
+
+    for ref, got in zip(ref_states, mm_states):
+        p_ref = np.asarray(ref["Pressure"])
+        p_got = np.concatenate([np.asarray(got["L"]["Pressure"]),
+                                np.asarray(got["R"]["Pressure"])])
+        np.testing.assert_allclose(p_got, p_ref, rtol=1e-6)
+        s_ref = np.asarray(ref["Saturations"])
+        s_got = np.concatenate([np.asarray(got["L"]["Saturations"]),
+                                np.asarray(got["R"]["Saturations"])])
+        np.testing.assert_allclose(s_got, s_ref, atol=1e-4)
+
+
+def test_transfer_direction_and_symmetry():
+    """Mass leaves the high-pressure side; monotone pressure relaxation."""
+    mm, prm = _build_coupled(1e-12)
+    state0 = {
+        "L": setup_state(mm["L"], Pressure=150 * BAR, Saturations=[0.5, 0.5]),
+        "R": setup_state(mm["R"], Pressure=100 * BAR, Saturations=[0.5, 0.5]),
+    }
+    sim = Simulator(mm, state0=state0, parameters=prm)
+    states, _ = sim.simulate([0.1 * DAY] * 2, info_level=-1)
+    pL = np.asarray(states[-1]["L"]["Pressure"])
+    pR = np.asarray(states[-1]["R"]["Pressure"])
+    assert pL.mean() < 150 * BAR
+    assert pR.mean() > 100 * BAR
+    assert pL.min() > pR.max()
