@@ -87,3 +87,73 @@ def test_multimodel_adjoint_vs_fd():
             got = adj[mname]["K"][i]
             assert np.isclose(got, fd, rtol=1e-4, atol=1e-10), (
                 mname, i, got, fd)
+
+
+def test_coupled_darcy_adjoint_vs_fd():
+    """Adjoint gradients through a DarcyTransferCrossTerm coupling
+    (per-connection conn_data in the Jacobian path) vs central FD."""
+    from jutul.jl_tpu import si_units
+    from jutul.jl_tpu.models.darcy import (
+        DarcyTransferCrossTerm, ImmiscibleFluid, PhaseSourceTerm,
+        setup_darcy_model)
+
+    DAY, BAR, DARCY = si_units("day", "bar", "darcy")
+    n = 3
+
+    def _build(trans_L=None):
+        mk = lambda: setup_darcy_model(
+            CartesianMesh((n,), (float(n),)),
+            ImmiscibleFluid(viscosities=(1e-3, 2e-3)),
+            permeability=1.0 * DARCY, porosity=0.25)
+        left, right = mk(), mk()
+        mm = MultiModel({"L": left, "R": right})
+        params = {"L": setup_parameters(left), "R": setup_parameters(right)}
+        if trans_L is not None:
+            params["L"]["Transmissibilities"] = np.asarray(trans_L)
+        T_conn = float(params["L"]["Transmissibilities"][0])
+        mm.add_cross_term(DarcyTransferCrossTerm([T_conn]), target="L",
+                          source="R", equation="mass_conservation",
+                          target_cells=[n - 1], source_cells=[0])
+        state0 = {
+            "L": setup_state(left, Pressure=110 * BAR,
+                             Saturations=[0.4, 0.6]),
+            "R": setup_state(right, Pressure=100 * BAR,
+                             Saturations=[0.3, 0.7]),
+        }
+        q = np.zeros((1, 2))
+        q[0, 0] = 0.01
+        forces = {"L": {"src": PhaseSourceTerm([0], q)}, "R": None}
+        return mm, state0, params, forces
+
+    mm, state0, params, forces = _build()
+    dts = [0.1 * DAY, 0.2 * DAY]
+    BARv = 1e5
+
+    def G(mm_, state, dt, nstep, f):
+        return dt * jnp.sum((state["R"]["Pressure"] / BARv) ** 2)
+
+    sim = Simulator(mm, state0=state0, parameters=params)
+    states, reports = sim.simulate(dts, forces=forces, info_level=-1)
+    assert all(r["success"] for r in reports)
+    adj = solve_adjoint_sensitivities(mm, states, dts, G, parameters=params,
+                                      state0=state0, forces=forces)
+
+    def total(trans_L):
+        mm2, s02, p2, f2 = _build(trans_L)
+        sim2 = Simulator(mm2, state0=s02, parameters=p2)
+        sts, _ = sim2.simulate(dts, forces=f2, info_level=-1,
+                               tolerances={"default": 1e-9})
+        return sum(
+            float(G(mm2, {m: {k: jnp.asarray(v) for k, v in s.items()}
+                          for m, s in st.items()}, dts[i], i, None))
+            for i, st in enumerate(sts))
+
+    base = np.asarray(params["L"]["Transmissibilities"], dtype=np.float64)
+    for i in range(1, base.size):  # skip [0]: it also seeds conn_data
+        h = 1e-6 * abs(base[i])
+        tp, tm = base.copy(), base.copy()
+        tp[i] += h
+        tm[i] -= h
+        fd = (total(tp) - total(tm)) / (2 * h)
+        got = adj["L"]["Transmissibilities"][i]
+        assert np.isclose(got, fd, rtol=2e-3), (i, got, fd)
