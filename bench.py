@@ -93,7 +93,8 @@ def main():
 
     comp, state0, params = build(nx, ny, nz)
     sc = StencilCompiledModel(comp)
-    cpr = StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
+    n_smooth = int(os.environ.get("BENCH_GMG_SMOOTH", "2"))
+    cpr = StencilCPR(gmg=GMG(n_smooth=n_smooth, n_coarse_sweeps=12,
                              min_cells=16384))
 
     def newton_step(state, state0_d, parameters, dt):
@@ -116,12 +117,63 @@ def main():
         new_state = comp.apply_update(state, du.reshape(n, ndof), 1.0)
         return new_state, stats["residual"], jnp.linalg.norm((-r).reshape(-1))
 
+    # BENCH_MODE: "full" (default) | "assembly" | "solve" — split diagnostics.
+    # Non-default modes keep state iteration-dependent so XLA cannot hoist
+    # the measured work out of the fori_loop. CAVEAT (measured): isolated
+    # programs get different XLA layout/fusion decisions — assembly-only
+    # measured 1.9 s/step while the FULL step is 0.56 s/step. Use these
+    # only for relative comparisons within the same mode, never to
+    # attribute cost inside the full program.
+    mode = os.environ.get("BENCH_MODE", "full")
+
+    def assembly_step(state, state0_d, parameters, dt):
+        full = merge_state(state, parameters)
+        full0 = merge_state(state0_d, parameters)
+        r, A, _ = sc.assemble(full, full0, dt)
+        cpr.update(A)  # include preconditioner setup
+        n = sc.n_cells
+        du = -1e-9 * r.reshape(n, sc.ndof)
+        new_state = comp.apply_update(state, du, 1.0)
+        return new_state, jnp.linalg.norm(r), jnp.linalg.norm(A.diag)
+
+    def solve_step(state, state0_d, parameters, dt, rhs_scale):
+        full = merge_state(state, parameters)
+        full0 = merge_state(state0_d, parameters)
+        r, A, _ = sc.assemble(full, full0, dt)
+        pstate = cpr.update(A)
+        n = sc.n_cells
+
+        def matvec(x):
+            return A.matvec(x.reshape(n, sc.ndof)).reshape(-1)
+
+        def M(x):
+            return cpr.apply(pstate, A, x.reshape(n, sc.neq)).reshape(-1)
+
+        b = (-r).reshape(-1) * rhs_scale
+        du, stats = bicgstab(matvec, b, maxiter=n_lin_it, rtol=0.0,
+                             precond=M)
+        return stats["residual"], jnp.linalg.norm(b)
+
     def multi_step(state, state0_d, parameters, dt_, n):
+        zero = jnp.asarray(0.0, jnp.float32)
+        if mode == "assembly":
+            def body(_, carry):
+                s, _a, _b = carry
+                return assembly_step(s, state0_d, parameters, dt_)
+            return jax.lax.fori_loop(0, n, body, (state, zero, zero))
+        if mode == "solve":
+            # one assembly, n solves with an iteration-dependent rhs
+            def body(i, carry):
+                s, _res, _b = carry
+                scale = 1.0 + 1e-6 * jnp.asarray(i, jnp.float32)
+                res, bn = solve_step(s, state0_d, parameters, dt_, scale)
+                return s, res, bn
+            return jax.lax.fori_loop(0, n, body, (state, zero, zero))
+
         def body(_, carry):
             s, _res, _b = carry
             return newton_step(s, state0_d, parameters, dt_)
 
-        zero = jnp.asarray(0.0, jnp.float32)
         return jax.lax.fori_loop(0, n, body, (state, zero, zero))
 
     st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
@@ -141,15 +193,17 @@ def main():
     t_exec = time.perf_counter() - t0
     print(f"# exec({n_total} steps): {t_exec:.1f}s lin_res={res0:.3e} "
           f"rhs_norm={float(np.asarray(bnorm)):.3e}", file=sys.stderr)
-    dp = np.asarray(cur["Pressure"]) - np.asarray(st["Pressure"])
-    assert np.all(np.isfinite(dp)) and np.abs(dp).max() > 0, "no-op step?"
+    if mode == "full":
+        dp = np.asarray(cur["Pressure"]) - np.asarray(st["Pressure"])
+        assert np.all(np.isfinite(dp)) and np.abs(dp).max() > 0, "no-op step?"
     elapsed = t_exec / n_total
 
+    tag = "" if mode == "full" else f" [{mode} only]"
     cells_per_sec = nc / elapsed
     print(json.dumps({
         "metric": f"{nc}-cell two-phase Darcy Newton step "
                   f"(stencil jvp assembly + CPR(GMG)-BiCGStab "
-                  f"{n_lin_it} its, f32, {jax.default_backend()})",
+                  f"{n_lin_it} its, f32, {jax.default_backend()}){tag}",
         "value": round(cells_per_sec, 1),
         "unit": "cells/sec per Newton step",
         "vs_baseline": round(cells_per_sec / 5e6, 4),

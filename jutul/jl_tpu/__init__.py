@@ -33,6 +33,7 @@ from .discretization.tpfa import (
 from .interpolation import (
     BilinearInterpolant,
     LinearInterpolant,
+    UnaryTabulatedVariable,
     get_1d_interpolator,
     get_2d_interpolator,
 )

@@ -17,6 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from .models.variables import SecondaryVariable as _SecondaryVariableBase
+
+
 class LinearInterpolant:
     """Piecewise-linear 1D interpolant y(x) over sorted nodes.
 
@@ -120,3 +123,40 @@ def get_1d_interpolator(
 def get_2d_interpolator(xs, ys, fs, **kw) -> BilinearInterpolant:
     """Build a bilinear 2D interpolant (reference src/interpolation.jl:211)."""
     return BilinearInterpolant(xs, ys, fs)
+
+
+class UnaryTabulatedVariable(_SecondaryVariableBase):
+    """Secondary variable defined by 1D table lookup of one other variable
+    (reference: src/interpolation.jl:330-391 UnaryTabulatedVariable — e.g.
+    tabulated relative permeability vs saturation).
+
+    One interpolant applied to every entity, or one interpolant per
+    component when the dependency carries a trailing component axis and a
+    list of tables is given. Follows the SecondaryVariable contract:
+    elementwise along the entity axis, component axis last.
+    """
+
+    def __init__(self, variable: str, xs, ys, name: str | None = None,
+                 cap_start: bool = False, cap_end: bool = False):
+        self.dependencies = (variable,)
+        self._var = variable
+        if isinstance(ys, (list, tuple)) and np.ndim(ys[0]) == 1 \
+                and not np.isscalar(ys[0]):
+            per = list(ys)
+        else:
+            per = None
+        if per is not None:
+            xs_list = xs if isinstance(xs[0], (list, tuple, np.ndarray)) \
+                and np.ndim(xs[0]) == 1 else [xs] * len(per)
+            self._interp = [LinearInterpolant(x, y, cap_start, cap_end)
+                            for x, y in zip(xs_list, per)]
+        else:
+            self._interp = LinearInterpolant(xs, ys, cap_start, cap_end)
+        self._name = name
+
+    def evaluate(self, model, **deps):
+        x = deps[self._var]
+        if isinstance(self._interp, list):
+            cols = [f(x[..., c]) for c, f in enumerate(self._interp)]
+            return jnp.stack(cols, axis=-1)
+        return self._interp(x)

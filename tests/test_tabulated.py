@@ -1,0 +1,79 @@
+"""UnaryTabulatedVariable: tabulated relperm in a full Darcy simulation
+(reference: src/interpolation.jl:330-391)."""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    Simulator,
+    setup_parameters,
+    setup_state,
+    si_units,
+)
+from jutul.jl_tpu.interpolation import UnaryTabulatedVariable
+from jutul.jl_tpu.models.darcy import (
+    ImmiscibleFluid,
+    PhaseSourceTerm,
+    setup_darcy_model,
+)
+
+DAY, BAR, DARCY = si_units("day", "bar", "darcy")
+
+
+def _run(model):
+    state0 = setup_state(model, Pressure=100 * BAR, Saturations=[0.3, 0.7])
+    params = setup_parameters(model)
+    q = np.zeros((1, 2))
+    q[0, 0] = 0.02
+    forces = {"src": PhaseSourceTerm([0], q)}
+    sim = Simulator(model, state0=state0, parameters=params)
+    states, reports = sim.simulate([0.2 * DAY] * 3, forces=forces,
+                                   info_level=-1)
+    assert all(r["success"] for r in reports)
+    return states
+
+
+def test_tabulated_relperm_matches_brooks_corey():
+    n = 6
+    mesh = CartesianMesh((n,), (float(n),))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3),
+                            corey_exponents=(2.0, 2.0))
+
+    analytic = setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                                 porosity=0.25)
+    ref_states = _run(analytic)
+
+    # dense tables of the same quadratic curves
+    s = np.linspace(0.0, 1.0, 2001)
+    tab = setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                            porosity=0.25)
+    tab.secondary_variables["RelativePermeabilities"] = \
+        UnaryTabulatedVariable("Saturations", s, [s ** 2, s ** 2],
+                               cap_start=True, cap_end=True)
+    tab_states = _run(tab)
+
+    for ref, got in zip(ref_states, tab_states):
+        np.testing.assert_allclose(np.asarray(got["Pressure"]),
+                                   np.asarray(ref["Pressure"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["Saturations"]),
+                                   np.asarray(ref["Saturations"]), atol=1e-5)
+
+
+def test_tabulated_nonpolynomial_curve_runs():
+    """A genuinely tabular (non-analytic) relperm works end-to-end."""
+    n = 5
+    mesh = CartesianMesh((n,), (float(n),))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(mesh, fluid, permeability=1.0 * DARCY,
+                              porosity=0.25)
+    s = np.array([0.0, 0.2, 0.4, 0.6, 0.8, 1.0])
+    krw = np.array([0.0, 0.01, 0.08, 0.25, 0.55, 1.0])
+    kro = np.array([0.0, 0.02, 0.12, 0.30, 0.62, 1.0])
+    model.secondary_variables["RelativePermeabilities"] = \
+        UnaryTabulatedVariable("Saturations", s, [krw, kro],
+                               cap_start=True, cap_end=True)
+    states = _run(model)
+    sat = np.asarray(states[-1]["Saturations"])
+    assert np.all(sat >= -1e-9) and np.all(sat <= 1 + 1e-9)
+    np.testing.assert_allclose(sat.sum(axis=1), 1.0, atol=1e-9)

@@ -121,3 +121,22 @@ def test_consolidate_results(tmp_path):
     # selective read
     sub, _ = read_results(tmp_path, steps=[1])
     assert len(sub) == 1 and sub[0]["Pressure"][0] == 1.0
+
+
+def test_consolidate_nested_multimodel_states(tmp_path):
+    from jutul.jl_tpu.simulator.io import (consolidate_results, read_results,
+                                           store_output)
+
+    states = [{"A": {"Pressure": np.full(3, float(i))},
+               "B": {"XVar": np.array([i * 2.0])}} for i in range(2)]
+    for i, s in enumerate(states):
+        store_output(tmp_path, i, s, {"step": i})
+    consolidate_results(tmp_path, delete_steps=True)
+    got, reps = read_results(tmp_path)
+    assert len(got) == 2
+    for i in range(2):
+        np.testing.assert_allclose(got[i]["A"]["Pressure"],
+                                   states[i]["A"]["Pressure"])
+        np.testing.assert_allclose(got[i]["B"]["XVar"],
+                                   states[i]["B"]["XVar"])
+        assert reps[i]["step"] == i
