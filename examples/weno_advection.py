@@ -1,0 +1,66 @@
+"""Example: 2D rotating advection with WENO vs single-point upwinding.
+
+A square pulse is advected diagonally across a 2D grid with both schemes;
+WENO keeps the front markedly sharper at the same implicit time steps.
+Writes a VTK time series for each scheme.
+
+Run: python examples/weno_advection.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    DataDomain,
+    SimulationModel,
+    setup_parameters,
+    setup_state,
+    simulate,
+)
+from jutul.jl_tpu.models.transport import TransportSystem, uniform_face_velocity
+from jutul.jl_tpu.utils.vtk import export_time_series_pvd
+
+
+def run(scheme, n=48, steps=24):
+    g = CartesianMesh((n, n), (1.0, 1.0))
+    geo = g.tpfv_geometry()
+    model = SimulationModel(DataDomain(g), TransportSystem(scheme))
+    x = geo.cell_centroids
+    C0 = np.where((x[:, 0] < 0.3) & (x[:, 1] < 0.3), 1.0, 0.0)
+    state0 = setup_state(model, C=C0)
+    params = setup_parameters(model)
+    params["FaceVelocity"] = uniform_face_velocity(geo, [1.0, 1.0])
+    dt = 0.5 / n
+    states, reports = simulate(state0, model, [dt] * steps, info_level=-1,
+                               parameters=params)
+    assert all(r["success"] for r in reports)
+    out = export_time_series_pvd(f"examples/out/advect_{scheme}", g, states,
+                                 [dt] * steps, fields=["C"])
+    return np.asarray(states[-1]["C"]), out
+
+
+def main():
+    c_spu, out_spu = run("spu")
+    c_weno, out_weno = run("weno")
+    g_spu = np.max(np.abs(np.diff(c_spu)))
+    g_weno = np.max(np.abs(np.diff(c_weno)))
+    print(f"front steepness (max |dC| between neighbors): "
+          f"SPU {g_spu:.3f} vs WENO {g_weno:.3f} "
+          f"({g_weno / g_spu:.2f}x sharper)")
+    print(f"overshoot: SPU [{c_spu.min():.3f}, {c_spu.max():.3f}] "
+          f"WENO [{c_weno.min():.3f}, {c_weno.max():.3f}]")
+    print(f"VTK series: {out_spu}, {out_weno}")
+    assert g_weno > g_spu
+
+
+if __name__ == "__main__":
+    main()
