@@ -106,7 +106,14 @@ class GravityPotentialDifference(JutulParameter):
         g = self.gravity
         if g is False or (dd.geometry is not None and dd.geometry.dim < 2 and g is None):
             return np.zeros(n)
-        return compute_face_gdz(dd.geometry, None if g is None else g)
+        if g is None or g is True:  # default: down the last axis
+            return compute_face_gdz(dd.geometry, None)
+        g = np.asarray(g, dtype=np.float64)
+        if g.ndim == 0:  # scalar magnitude, down the last axis
+            vec = np.zeros(dd.geometry.dim)
+            vec[-1] = -float(g)
+            return compute_face_gdz(dd.geometry, vec)
+        return compute_face_gdz(dd.geometry, g)
 
 
 class FluidVolume(JutulParameter):
