@@ -123,7 +123,7 @@ class DistributedSimulator:
                                      [(i + 1, i) for i in range(D - 1)])
         return jnp.concatenate([from_prev, own, from_next], axis=0)
 
-    def _local_newton(self, state_own, state0_own, cp, fp, dt, rtol,
+    def _local_newton(self, state_own, state0_own, cp, fp, q, dt, rtol,
                       max_lin_it):
         """One Newton iteration on this shard (runs inside shard_map)."""
         comp = self.comp
@@ -140,6 +140,7 @@ class DistributedSimulator:
         full0 = {**state0_ext, **cp, **fp}
 
         r, J, full_eval = comp.assemble(full, full0, dt)
+        r = r - q[0]  # state-independent cell sources (residual -= q)
         r_own = r[own]  # (n_own, neq)
 
         # convergence (pmax over shards) on owned rows
@@ -190,9 +191,32 @@ class DistributedSimulator:
         return new_own, crit, stats["iterations"], stats["residual"]
 
     # ------------------------------------------------------------------
+    def stack_cell_sources(self, forces) -> np.ndarray:
+        """Dense (D, n_ext, neq) per-shard residual contribution of
+        state-independent cell-source forces (PhaseSourceTerm-like, with
+        ``cells`` + ``values`` and residual -= values semantics; reference
+        counterpart: per-rank force application in ext overloads.jl:155).
+        State-dependent forces (e.g. pressure BCs) are not yet supported
+        distributed — raise so the user knows."""
+        D = self.n_devices
+        neq = self.comp.neq_total
+        nc = self.global_model.number_of_cells()
+        qg = np.zeros((nc, neq))
+        for name, f in (forces or {}).items():
+            if not (hasattr(f, "cells") and hasattr(f, "values")):
+                raise NotImplementedError(
+                    f"force {name!r} ({type(f).__name__}) is state-dependent"
+                    " or not cell-local; not supported in the distributed"
+                    " path yet")
+            qg[np.asarray(f.cells)] += np.atleast_2d(np.asarray(f.values))
+        return np.stack([
+            _gather_cells(qg, local_to_global_cells(self.dec, d))
+            for d in range(D)
+        ])
+
     def newton_step_fn(self, rtol: float = 1e-8, max_lin_it: int = 200):
         """Build the jitted SPMD Newton step:
-        (state, state0, dt) -> (new_state, crit, lin_iters)."""
+        (state, state0, dt[, q]) -> (new_state, crit, lin_iters)."""
         ax = self.axis
         state_spec = {k: P(ax) for k in self.global_model.primary_variables}
         cp_spec = {k: P(ax) for k in self.cell_params}
@@ -210,34 +234,39 @@ class DistributedSimulator:
         inner = partial(self._local_newton)
 
         smapped = jax.shard_map(
-            lambda s, s0, cp, fp, dt: inner(s, s0, cp, fp, dt, rtol,
-                                            max_lin_it),
+            lambda s, s0, cp, fp, q, dt: inner(s, s0, cp, fp, q, dt, rtol,
+                                               max_lin_it),
             mesh=self.device_mesh,
-            in_specs=(state_spec, state_spec, cp_spec, fp_spec, P()),
+            in_specs=(state_spec, state_spec, cp_spec, fp_spec, P(ax), P()),
             out_specs=(state_spec, crit_spec, P(), P()),
             check_vma=False,
         )
 
         cp = {k: jnp.asarray(v) for k, v in self.cell_params.items()}
         fp = {k: jnp.asarray(v) for k, v in self.face_params.items()}
+        q0 = jnp.zeros((self.n_devices, self.dec.n_ext,
+                        self.comp.neq_total))
 
         @jax.jit
-        def step(state, state0, dt):
-            return smapped(state, state0, cp, fp, dt)
+        def step(state, state0, dt, q=None):
+            return smapped(state, state0, cp, fp,
+                           q0 if q is None else q, dt)
 
         return step
 
     # ------------------------------------------------------------------
     def solve_timestep(self, state, state0, dt, max_newton: int = 15,
-                       tol_cnv: float = 1e-3):
+                       tol_cnv: float = 1e-3, forces=None):
         """Python-driven Newton loop over the jitted SPMD step."""
         if self._newton_jit is None:
             self._newton_jit = self.newton_step_fn()
+        q = (jnp.asarray(self.stack_cell_sources(forces))
+             if forces else None)
         state = dict(state)
         its = 0
         for it in range(max_newton):
             new_state, crit, lin_its, lin_res = self._newton_jit(
-                state, state0, dt)
+                state, state0, dt, q)
             err = max(
                 float(np.max(np.asarray(v)))
                 for c in crit.values() for v in c.values()
