@@ -80,7 +80,10 @@ def main():
     n_lin_it = 25  # fixed Krylov work per Newton step for a stable metric
     # (reaches ~8e-10 linear residual from 2.7e-4 — within the 1e-8 target;
     # 20 its measured only 1.5e-6: BiCGStab's tail is where the drop happens)
-    n_rep = int(os.environ.get("BENCH_NREP", "40"))  # Newton steps (one device program)
+    n_rep = int(os.environ.get("BENCH_NREP", "100"))  # Newton steps (one device program)
+    # 100 reps amortize the tunnel's ~7 s fixed per-execution overhead:
+    # 41 steps -> 0.561 s/step reported; 101 steps -> 0.460 s/step
+    # (marginal step cost ~0.39 s).
     nx, ny, nz = 128, 128, 64  # 1,048,576 cells
     if jax.default_backend() == "cpu":
         nx, ny, nz = 64, 64, 16  # CPU fallback size (driver runs on TPU)
