@@ -325,7 +325,13 @@ class PressureBoundaryCondition(JutulForce):
     """
 
     def __init__(self, cells, pressure, trans, saturations=None):
-        self.cells = np.atleast_1d(np.asarray(cells, dtype=np.int32))
+        if isinstance(cells, (jax.Array, jax.core.Tracer)):
+            # traced cell indices: used by the distributed path, where
+            # per-shard BC rows are data, not trace constants (padding
+            # rows carry trans=0 and contribute exactly zero)
+            self.cells = jnp.atleast_1d(cells).astype(jnp.int32)
+        else:
+            self.cells = np.atleast_1d(np.asarray(cells, dtype=np.int32))
         self.pressure = pressure  # scalar or (ns,)
         self.trans = trans  # (ns,) half-face trans to boundary
         self.saturations = saturations  # inflow saturations (ns, nph)

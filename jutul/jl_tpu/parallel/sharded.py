@@ -123,7 +123,7 @@ class DistributedSimulator:
                                      [(i + 1, i) for i in range(D - 1)])
         return jnp.concatenate([from_prev, own, from_next], axis=0)
 
-    def _local_newton(self, state_own, state0_own, cp, fp, q, dt, rtol,
+    def _local_newton(self, state_own, state0_own, cp, fp, q, bc, dt, rtol,
                       max_lin_it):
         """One Newton iteration on this shard (runs inside shard_map)."""
         comp = self.comp
@@ -139,7 +139,12 @@ class DistributedSimulator:
         full = {**state_ext, **cp, **fp}
         full0 = {**state0_ext, **cp, **fp}
 
-        r, J, full_eval = comp.assemble(full, full0, dt)
+        local_forces = None
+        if bc is not None:
+            from ..models.darcy import PressureBoundaryCondition
+            local_forces = {"__bc__": PressureBoundaryCondition(
+                bc[0][0], bc[1][0], bc[2][0])}
+        r, J, full_eval = comp.assemble(full, full0, dt, forces=local_forces)
         r = r - q[0]  # state-independent cell sources (residual -= q)
         r_own = r[own]  # (n_own, neq)
 
@@ -195,24 +200,69 @@ class DistributedSimulator:
         """Dense (D, n_ext, neq) per-shard residual contribution of
         state-independent cell-source forces (PhaseSourceTerm-like, with
         ``cells`` + ``values`` and residual -= values semantics; reference
-        counterpart: per-rank force application in ext overloads.jl:155).
-        State-dependent forces (e.g. pressure BCs) are not yet supported
-        distributed — raise so the user knows."""
+        counterpart: per-rank force application in ext overloads.jl:155)."""
         D = self.n_devices
         neq = self.comp.neq_total
         nc = self.global_model.number_of_cells()
         qg = np.zeros((nc, neq))
         for name, f in (forces or {}).items():
+            if hasattr(f, "pressure") and hasattr(f, "trans"):
+                continue  # handled by stack_boundary_conditions
             if not (hasattr(f, "cells") and hasattr(f, "values")):
                 raise NotImplementedError(
-                    f"force {name!r} ({type(f).__name__}) is state-dependent"
-                    " or not cell-local; not supported in the distributed"
-                    " path yet")
+                    f"force {name!r} ({type(f).__name__}) is not cell-local;"
+                    " not supported in the distributed path yet")
             qg[np.asarray(f.cells)] += np.atleast_2d(np.asarray(f.values))
         return np.stack([
             _gather_cells(qg, local_to_global_cells(self.dec, d))
             for d in range(D)
         ])
+
+    def stack_boundary_conditions(self, forces):
+        """Per-shard stacks for state-dependent pressure BCs
+        (PressureBoundaryCondition-like, with ``cells``/``pressure``/
+        ``trans``): global BC rows are remapped to shard-local OWNED
+        indices and padded with trans=0 rows (exactly zero contribution)
+        so every shard sees the same static shape. Returns
+        (cells (D,M), pb (D,M), T (D,M)) or None when no BCs present.
+        BCs with inflow ``saturations`` are not yet supported distributed."""
+        dec = self.dec
+        D = self.n_devices
+        rows = [[] for _ in range(D)]
+        found = False
+        for name, f in (forces or {}).items():
+            if not (hasattr(f, "pressure") and hasattr(f, "trans")):
+                continue
+            if getattr(f, "saturations", None) is not None:
+                raise NotImplementedError(
+                    f"BC {name!r}: inflow saturations not supported in the"
+                    " distributed path yet")
+            found = True
+            cells = np.atleast_1d(np.asarray(f.cells))
+            ns = cells.shape[0]
+            pb = np.broadcast_to(np.asarray(f.pressure, dtype=np.float64),
+                                 (ns,))
+            T = np.broadcast_to(np.asarray(f.trans, dtype=np.float64), (ns,))
+            for d in range(D):
+                l2g = local_to_global_cells(dec, d)
+                own = dec.own_slice
+                g2l = {int(g): i for i, g in
+                       enumerate(l2g[own], start=own.start)}
+                for c, p, t in zip(cells, pb, T):
+                    if int(c) in g2l:
+                        rows[d].append((g2l[int(c)], float(p), float(t)))
+        if not found:
+            return None
+        M = max(1, max(len(r) for r in rows))
+        cells_s = np.zeros((D, M), dtype=np.int32)
+        pb_s = np.zeros((D, M))
+        T_s = np.zeros((D, M))  # padding rows: trans=0 -> zero flux/jacobian
+        for d, r in enumerate(rows):
+            for i, (c, p, t) in enumerate(r):
+                cells_s[d, i] = c
+                pb_s[d, i] = p
+                T_s[d, i] = t
+        return cells_s, pb_s, T_s
 
     def newton_step_fn(self, rtol: float = 1e-8, max_lin_it: int = 200):
         """Build the jitted SPMD Newton step:
@@ -234,10 +284,20 @@ class DistributedSimulator:
         inner = partial(self._local_newton)
 
         smapped = jax.shard_map(
-            lambda s, s0, cp, fp, q, dt: inner(s, s0, cp, fp, q, dt, rtol,
-                                               max_lin_it),
+            lambda s, s0, cp, fp, q, bc, dt: inner(s, s0, cp, fp, q, bc, dt,
+                                                   rtol, max_lin_it),
             mesh=self.device_mesh,
-            in_specs=(state_spec, state_spec, cp_spec, fp_spec, P(ax), P()),
+            in_specs=(state_spec, state_spec, cp_spec, fp_spec, P(ax),
+                      None, P()),
+            out_specs=(state_spec, crit_spec, P(), P()),
+            check_vma=False,
+        )
+        smapped_bc = jax.shard_map(
+            lambda s, s0, cp, fp, q, bc, dt: inner(s, s0, cp, fp, q, bc, dt,
+                                                   rtol, max_lin_it),
+            mesh=self.device_mesh,
+            in_specs=(state_spec, state_spec, cp_spec, fp_spec, P(ax),
+                      (P(ax), P(ax), P(ax)), P()),
             out_specs=(state_spec, crit_spec, P(), P()),
             check_vma=False,
         )
@@ -248,9 +308,9 @@ class DistributedSimulator:
                         self.comp.neq_total))
 
         @jax.jit
-        def step(state, state0, dt, q=None):
-            return smapped(state, state0, cp, fp,
-                           q0 if q is None else q, dt)
+        def step(state, state0, dt, q=None, bc=None):
+            fn = smapped if bc is None else smapped_bc
+            return fn(state, state0, cp, fp, q0 if q is None else q, bc, dt)
 
         return step
 
@@ -262,11 +322,14 @@ class DistributedSimulator:
             self._newton_jit = self.newton_step_fn()
         q = (jnp.asarray(self.stack_cell_sources(forces))
              if forces else None)
+        bc = self.stack_boundary_conditions(forces) if forces else None
+        if bc is not None:
+            bc = tuple(jnp.asarray(a) for a in bc)
         state = dict(state)
         its = 0
         for it in range(max_newton):
             new_state, crit, lin_its, lin_res = self._newton_jit(
-                state, state0, dt, q)
+                state, state0, dt, q, bc)
             err = max(
                 float(np.max(np.asarray(v)))
                 for c in crit.values() for v in c.values()

@@ -129,11 +129,53 @@ def test_distributed_forced_newton_with_sources():
     np.testing.assert_allclose(np.asarray(st["Pressure"]),
                                np.asarray(ref[0]["Pressure"]), rtol=1e-5)
 
-    # state-dependent forces are rejected with a clear error
+    # BCs with inflow saturations are rejected with a clear error
     from jutul.jl_tpu.models.darcy import PressureBoundaryCondition
     with pytest.raises(NotImplementedError):
-        dsim.stack_cell_sources(
-            {"bc": PressureBoundaryCondition([0], 1e7, 1e-12)})
+        dsim.stack_boundary_conditions(
+            {"bc": PressureBoundaryCondition([0], 1e7, 1e-12,
+                                             saturations=[1.0, 0.0])})
+
+
+def test_distributed_pressure_bc_matches_single():
+    """State-dependent pressure BCs in the SPMD path (traced-cell-index
+    force objects, padded per shard) match the single-device solve."""
+    from jutul.jl_tpu.models.darcy import (PhaseSourceTerm,
+                                           PressureBoundaryCondition)
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_case()
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = DistributedSimulator(mesh, system, dmesh,
+                                data_fields={"permeability": perm,
+                                             "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    q = np.zeros((1, 2))
+    q[0, 0] = 0.5
+    T_bc = float(np.median(
+        setup_parameters(dsim.global_model)["Transmissibilities"]))
+    forces = {
+        "src": PhaseSourceTerm([0], q),
+        # producers in the first and last slab: exercises shard-varying
+        # BC row counts (middle shards have zero rows -> pure padding)
+        "prod": PressureBoundaryCondition([1, nc - 1], 100.0 * BAR,
+                                          5 * T_bc),
+    }
+    st, its = dsim.solve_timestep(dsim.shard_state(state0),
+                                  dsim.shard_state(state0), 0.05 * DAY,
+                                  tol_cnv=1e-9, max_newton=30,
+                                  forces=forces)
+
+    sim = Simulator(dsim.global_model, state0=state0)
+    ref, _ = sim.simulate([0.05 * DAY], forces=forces, info_level=-1,
+                          tolerances={"default": 1e-9},
+                          max_nonlinear_iterations=30)
+    np.testing.assert_allclose(np.asarray(st["Pressure"]),
+                               np.asarray(ref[0]["Pressure"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st["Saturations"]),
+                               np.asarray(ref[0]["Saturations"]), atol=1e-6)
 
 
 def test_distributed_forward_feeds_adjoint():
