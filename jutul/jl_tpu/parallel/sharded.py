@@ -341,6 +341,44 @@ class DistributedSimulator:
         return state, its
 
 
+    # ------------------------------------------------------------------
+    def simulate(self, state0, timesteps, forces=None, max_newton: int = 15,
+                 tol_cnv: float = 1e-3, output_path=None, info_level: int = 0):
+        """Schedule-driven distributed simulation mirroring the
+        single-device ``Simulator.simulate`` surface: per-step forces
+        (constant dict or list of dicts), optional per-step npz output
+        (consolidate with ``consolidate_results`` afterwards). Returns
+        (states, reports) with host numpy states in global cell order."""
+        import time as _time
+
+        cur = self.shard_state(state0)
+        prev = cur
+        states, reports = [], []
+        for n, dt in enumerate(timesteps):
+            f = forces[n] if isinstance(forces, (list, tuple)) else forces
+            t0 = _time.perf_counter()
+            cur, its = self.solve_timestep(cur, prev, dt,
+                                           max_newton=max_newton,
+                                           tol_cnv=tol_cnv, forces=f)
+            wall = _time.perf_counter() - t0
+            prev = cur
+            host = {k: np.asarray(v) for k, v in cur.items()}
+            rep = {"ministeps": [{"dt": float(dt), "success": True,
+                                  "iterations": int(its),
+                                  "wall_time": wall,
+                                  "linear_iterations": 0}]}
+            states.append(host)
+            reports.append(rep)
+            if output_path is not None:
+                from ..simulator.io import store_output
+                store_output(output_path, n, host, rep)
+            if info_level >= 0:
+                print(f"Step {n + 1}/{len(timesteps)}: dt={float(dt):g} "
+                      f"({its} its, {wall:.2f}s, "
+                      f"{self.n_devices} shards)")
+        return states, reports
+
+
 def _gather_cells(g: np.ndarray, l2g: np.ndarray) -> np.ndarray:
     out = g[np.clip(l2g, 0, g.shape[0] - 1)]
     if out.ndim == 1:

@@ -232,3 +232,33 @@ def test_distributed_forward_feeds_adjoint():
     gr = np.asarray(grad_ref["Transmissibilities"])
     scale = np.abs(gr).max()
     np.testing.assert_allclose(gd, gr, atol=5e-3 * scale)
+
+
+def test_distributed_simulate_with_output(tmp_path):
+    """Schedule-driven distributed simulate + per-step output +
+    consolidation round-trip (the distributed I/O workflow)."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+    from jutul.jl_tpu.simulator.io import consolidate_results, read_results
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_case()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = DistributedSimulator(mesh, system, dmesh,
+                                data_fields={"permeability": perm,
+                                             "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    q = np.zeros((1, 2))
+    q[0, 0] = 0.3
+    out = tmp_path / "dist"
+    states, reports = dsim.simulate(
+        state0, [0.05 * DAY] * 2,
+        forces={"src": PhaseSourceTerm([0], q)},
+        output_path=str(out), info_level=-1)
+    assert len(states) == 2
+    assert all(r["ministeps"][0]["success"] for r in reports)
+    consolidate_results(out, delete_steps=True)
+    rs, rr = read_results(out)
+    assert len(rs) == 2
+    np.testing.assert_allclose(rs[-1]["Pressure"], states[-1]["Pressure"])
+    assert rr[-1]["ministeps"][0]["iterations"] >= 1
