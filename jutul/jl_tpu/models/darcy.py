@@ -336,35 +336,38 @@ class PressureBoundaryCondition(JutulForce):
         self.trans = trans  # (ns,) half-face trans to boundary
         self.saturations = saturations  # inflow saturations (ns, nph)
 
-    def _flux_one(self, model, p, mob, rho, pb, T):
-        """Boundary out-flux for ONE cell: p scalar, mob/rho (nph,)."""
+    def _flux_one(self, model, p, mob, rho, pb, T, s_in=None):
+        """Boundary out-flux for ONE cell: p scalar, mob/rho/s_in (nph,)."""
         dp = p - pb  # > 0: outflow
         fluid = model.system.fluid
         mu = jnp.asarray(fluid.viscosities)
-        if self.saturations is None:
+        if s_in is None:
             s_in = jnp.full(mob.shape, 1.0 / mob.shape[-1])
-        else:
-            s_in = jnp.asarray(self.saturations) * jnp.ones_like(mob)
         mob_in = s_in / mu  # inflow mobility from boundary saturation
         mob_up = jnp.where(dp >= 0, mob, mob_in)
         return rho * mob_up * T * dp
 
-    def _per_source(self):
+    def _per_source(self, nph):
         ns = self.cells.shape[0]
         pb = jnp.broadcast_to(jnp.asarray(self.pressure), (ns,))
         T = jnp.broadcast_to(jnp.asarray(self.trans), (ns,))
-        return pb, T
+        if self.saturations is None:
+            s_in = jnp.full((ns, nph), 1.0 / nph)
+        else:
+            s_in = jnp.broadcast_to(jnp.asarray(self.saturations), (ns, nph))
+        return pb, T, s_in
 
     def apply(self, model, eq, eq_name, r, state, dt):
         if not isinstance(eq, TwoPhaseDarcyEquation):
             return r
-        pb, T = self._per_source()
-        q = jax.vmap(lambda p, m, rho, pbi, Ti: self._flux_one(
-            model, p, m, rho, pbi, Ti))(
+        nph = model.system.fluid.n_phases
+        pb, T, s_in = self._per_source(nph)
+        q = jax.vmap(lambda p, m, rho, pbi, Ti, si: self._flux_one(
+            model, p, m, rho, pbi, Ti, si))(
             jnp.asarray(state["Pressure"])[self.cells],
             jnp.asarray(state["PhaseMobilities"])[self.cells],
             jnp.asarray(state["PhaseMassDensities"])[self.cells],
-            pb, T,
+            pb, T, s_in,
         )
         return r.at[self.cells].add(q)
 
@@ -376,17 +379,18 @@ class PressureBoundaryCondition(JutulForce):
         params = {k: jnp.asarray(v)[cells] for k, v in state.items()
                   if k in compiled.model.parameters
                   and compiled.cell_entry_entity.get(k) == CELLS}
-        pb, T = self._per_source()
+        pb, T, s_in = self._per_source(model.system.fluid.n_phases)
 
-        def one_cell(u, p, pbi, Ti):
+        def one_cell(u, p, pbi, Ti, si):
             local = dict(p)
             local.update(compiled.unpack_dofs(u))
             local = compiled._eval_secondaries_local(local)
             return self._flux_one(model, local["Pressure"],
                                   local["PhaseMobilities"],
-                                  local["PhaseMassDensities"], pbi, Ti)
+                                  local["PhaseMassDensities"], pbi, Ti, si)
 
-        jac = jax.vmap(jax.jacfwd(one_cell, argnums=0))(U, params, pb, T)
+        jac = jax.vmap(jax.jacfwd(one_cell, argnums=0))(U, params, pb, T,
+                                                        s_in)
         return cells, jac
 
 

@@ -143,7 +143,7 @@ class DistributedSimulator:
         if bc is not None:
             from ..models.darcy import PressureBoundaryCondition
             local_forces = {"__bc__": PressureBoundaryCondition(
-                bc[0][0], bc[1][0], bc[2][0])}
+                bc[0][0], bc[1][0], bc[2][0], saturations=bc[3][0])}
         r, J, full_eval = comp.assemble(full, full0, dt, forces=local_forces)
         r = r - q[0]  # state-independent cell sources (residual -= q)
         r_own = r[own]  # (n_own, neq)
@@ -221,48 +221,54 @@ class DistributedSimulator:
     def stack_boundary_conditions(self, forces):
         """Per-shard stacks for state-dependent pressure BCs
         (PressureBoundaryCondition-like, with ``cells``/``pressure``/
-        ``trans``): global BC rows are remapped to shard-local OWNED
-        indices and padded with trans=0 rows (exactly zero contribution)
-        so every shard sees the same static shape. Returns
-        (cells (D,M), pb (D,M), T (D,M)) or None when no BCs present.
-        BCs with inflow ``saturations`` are not yet supported distributed."""
+        ``trans`` and optional inflow ``saturations``): global BC rows are
+        remapped to shard-local OWNED indices and padded with trans=0 rows
+        (exactly zero contribution) so every shard sees the same static
+        shape. Returns (cells (D,M), pb (D,M), T (D,M), sat (D,M,nph)) or
+        None when no BCs present."""
         dec = self.dec
         D = self.n_devices
+        nph = self.comp.neq_total
         rows = [[] for _ in range(D)]
         found = False
         for name, f in (forces or {}).items():
             if not (hasattr(f, "pressure") and hasattr(f, "trans")):
                 continue
-            if getattr(f, "saturations", None) is not None:
-                raise NotImplementedError(
-                    f"BC {name!r}: inflow saturations not supported in the"
-                    " distributed path yet")
             found = True
             cells = np.atleast_1d(np.asarray(f.cells))
             ns = cells.shape[0]
             pb = np.broadcast_to(np.asarray(f.pressure, dtype=np.float64),
                                  (ns,))
             T = np.broadcast_to(np.asarray(f.trans, dtype=np.float64), (ns,))
+            sat = getattr(f, "saturations", None)
+            if sat is None:
+                sat = np.full((ns, nph), 1.0 / nph)
+            else:
+                sat = np.broadcast_to(
+                    np.asarray(sat, dtype=np.float64), (ns, nph))
             for d in range(D):
                 l2g = local_to_global_cells(dec, d)
                 own = dec.own_slice
                 g2l = {int(g): i for i, g in
                        enumerate(l2g[own], start=own.start)}
-                for c, p, t in zip(cells, pb, T):
+                for j, c in enumerate(cells):
                     if int(c) in g2l:
-                        rows[d].append((g2l[int(c)], float(p), float(t)))
+                        rows[d].append((g2l[int(c)], float(pb[j]),
+                                        float(T[j]), sat[j]))
         if not found:
             return None
         M = max(1, max(len(r) for r in rows))
         cells_s = np.zeros((D, M), dtype=np.int32)
         pb_s = np.zeros((D, M))
         T_s = np.zeros((D, M))  # padding rows: trans=0 -> zero flux/jacobian
+        sat_s = np.full((D, M, nph), 1.0 / nph)
         for d, r in enumerate(rows):
-            for i, (c, p, t) in enumerate(r):
+            for i, (c, p, t, sj) in enumerate(r):
                 cells_s[d, i] = c
                 pb_s[d, i] = p
                 T_s[d, i] = t
-        return cells_s, pb_s, T_s
+                sat_s[d, i] = sj
+        return cells_s, pb_s, T_s, sat_s
 
     def newton_step_fn(self, rtol: float = 1e-8, max_lin_it: int = 200):
         """Build the jitted SPMD Newton step:
@@ -297,7 +303,7 @@ class DistributedSimulator:
                                                    rtol, max_lin_it),
             mesh=self.device_mesh,
             in_specs=(state_spec, state_spec, cp_spec, fp_spec, P(ax),
-                      (P(ax), P(ax), P(ax)), P()),
+                      (P(ax), P(ax), P(ax), P(ax)), P()),
             out_specs=(state_spec, crit_spec, P(), P()),
             check_vma=False,
         )

@@ -129,12 +129,27 @@ def test_distributed_forced_newton_with_sources():
     np.testing.assert_allclose(np.asarray(st["Pressure"]),
                                np.asarray(ref[0]["Pressure"]), rtol=1e-5)
 
-    # BCs with inflow saturations are rejected with a clear error
+    # multi-cell inflow-saturation BC: distributed matches single-device
     from jutul.jl_tpu.models.darcy import PressureBoundaryCondition
-    with pytest.raises(NotImplementedError):
-        dsim.stack_boundary_conditions(
-            {"bc": PressureBoundaryCondition([0], 1e7, 1e-12,
-                                             saturations=[1.0, 0.0])})
+    T_bc = float(np.median(
+        setup_parameters(dsim.global_model)["Transmissibilities"]))
+    forces2 = {"bc": PressureBoundaryCondition(
+        [0, 1], 120.0 * BAR, 5 * T_bc, saturations=[1.0, 0.0])}
+    st2, _ = dsim.solve_timestep(dsim.shard_state(state0),
+                                 dsim.shard_state(state0), 0.05 * DAY,
+                                 tol_cnv=1e-9, max_newton=30,
+                                 forces=forces2)
+    ref2, _ = Simulator(dsim.global_model, state0=state0).simulate(
+        [0.05 * DAY], forces=forces2, info_level=-1,
+        tolerances={"default": 1e-9}, max_nonlinear_iterations=30)
+    np.testing.assert_allclose(np.asarray(st2["Pressure"]),
+                               np.asarray(ref2[0]["Pressure"]), rtol=1e-5)
+    # pure-water inflow steepens the local nonlinearity; agreement is at
+    # Newton-tolerance level rather than linear-solve level
+    np.testing.assert_allclose(np.asarray(st2["Saturations"]),
+                               np.asarray(ref2[0]["Saturations"]),
+                               atol=1e-4)
+    assert np.asarray(st2["Saturations"])[0, 0] > sw[0]  # water entered
 
 
 def test_distributed_pressure_bc_matches_single():
