@@ -28,6 +28,12 @@ def expand_perm(perm: np.ndarray, dim: int) -> np.ndarray:
     """Expand permeability to full (n, d, d) tensors."""
     perm = np.asarray(perm, dtype=np.float64)
     n = perm.shape[0]
+    if perm.ndim == 3:  # already full (n, d, d) tensors
+        if perm.shape[1:] != (dim, dim):
+            raise ValueError(
+                f"Cannot interpret permeability of shape {perm.shape} "
+                f"in {dim}D")
+        return perm
     K = np.zeros((n, dim, dim))
     if perm.ndim == 1:
         for d in range(dim):

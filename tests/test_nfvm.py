@@ -93,3 +93,54 @@ def test_ntpfa_exact_for_linear_field_anisotropic():
         assert np.isclose(got, exact, rtol=1e-8), (f, got, exact)
         checked += 1
     assert checked > 0
+
+
+def test_nfvm_exact_for_linear_field_full_tensor():
+    """With a rotated anisotropic permeability tensor and a linear pressure
+    field, the NFVM flux must equal the exact flux -(K a) . n A (linearity
+    preservation) while plain TPFA is provably wrong on the same faces."""
+    g = CartesianMesh((6, 5), (3.0, 2.5))
+    geo = g.tpfv_geometry()
+    n = g.number_of_cells()
+    th = np.deg2rad(30.0)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    K = R @ np.diag([5.0, 0.5]) @ R.T  # SPD, strongly anisotropic, rotated
+    perm = np.tile(K.reshape(1, 2, 2), (n, 1, 1))
+
+    fd = nfvm_discretize(geo, perm)
+    a = np.array([1.3, -0.7])
+    u = geo.cell_centroids @ a + 2.0
+
+    st = fd["stencil"]
+    nx, ny = 6, 5
+
+    def interior(c):
+        i, j = c % nx, c // nx
+        return 0 < i < nx - 1 and 0 < j < ny - 1
+
+    checked = 0
+    for f in range(geo.neighbors.shape[0]):
+        l, r = geo.neighbors[f]
+        # both cells interior: full neighbor fans, exact decomposition
+        if not (interior(int(l)) and interior(int(r))):
+            continue
+        cells = st[f]
+        exact = -(K @ a) @ geo.normals[f] * geo.areas[f]
+        u_st = jnp.asarray(u[cells])
+        fs = {k: jnp.asarray(fd[k][f]) for k in
+              ("alpha_l", "alpha_r", "tsum_l", "tsum_r")}
+        for scheme in ("avgmpfa", "ntpfa"):
+            got = float(nfvm_flux(u_st, fs, scheme))
+            assert np.isclose(got, exact, rtol=1e-10, atol=1e-12), (
+                f, scheme, got, exact)
+        checked += 1
+    assert checked >= 10  # enough interior faces actually exercised
+
+    # TPFA with the same tensor misses the cross-term on x-faces
+    T = compute_face_trans(geo, perm)
+    f0 = next(f for f in range(geo.neighbors.shape[0])
+              if abs(geo.normals[f][0]) > 0.9)
+    l, r = geo.neighbors[f0]
+    tpfa_flux = T[f0] * (u[l] - u[r])
+    exact0 = -(K @ a) @ geo.normals[f0] * geo.areas[f0]
+    assert not np.isclose(tpfa_flux, exact0, rtol=1e-3)
