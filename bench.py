@@ -24,22 +24,26 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_IS_WORKER = os.environ.get("_BENCH_WORKER") == "1"
 
-if os.environ.get("BENCH_FORCE_CPU"):
-    jax.config.update("jax_platforms", "cpu")
+if _IS_WORKER or __name__ != "__main__":
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-import jutul.jl_tpu  # noqa: F401  (package import enables x64...)
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 
-# ...so disable it AFTER the package import: f32 benchmarking (see docstring)
-jax.config.update("jax_enable_x64", False)
+    import jutul.jl_tpu  # noqa: F401  (package import enables x64...)
+
+    # ...disable it AFTER the package import: f32 benchmarking (see docstring)
+    jax.config.update("jax_enable_x64", False)
 
 
 def build(nx, ny, nz):
@@ -88,10 +92,11 @@ def main():
     # 100 reps amortize the tunnel's ~7 s fixed per-execution overhead:
     # 41 steps -> 0.561 s/step reported; 101 steps -> 0.460 s/step
     # (marginal step cost ~0.39 s).
-    nx, ny, nz = 128, 128, 64  # 1,048,576 cells
+    grid = os.environ.get("BENCH_GRID", "128,128,64")  # 1,048,576 cells
+    nx, ny, nz = (int(v) for v in grid.split(","))
     if jax.default_backend() == "cpu":
         nx, ny, nz = 64, 64, 16  # CPU fallback size (driver runs on TPU)
-        n_rep = 2
+        n_rep = min(n_rep, 2)
     nc = nx * ny * nz
 
     from jutul.jl_tpu.linsolve.krylov import bicgstab
@@ -219,5 +224,83 @@ def main():
     }))
 
 
+def _run_worker(n_rep: int, grid: str, timeout_s: int):
+    """One bench attempt in a fresh process (exactly one device execution
+    per process — repeated executions can crash the TPU worker)."""
+    env = dict(os.environ)
+    env["_BENCH_WORKER"] = "1"
+    env["BENCH_NREP"] = str(n_rep)
+    env["BENCH_GRID"] = grid
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, text=True, capture_output=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired as e:
+        return None, f"timeout after {timeout_s}s: {str(e.stderr)[-500:]}"
+    sys.stderr.write(proc.stderr or "")
+    if proc.returncode != 0:
+        return None, (proc.stderr or proc.stdout or "")[-800:]
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    return None, f"no JSON in worker output: {(proc.stdout or '')[-400:]}"
+
+
+def _orchestrate():
+    """Retry ladder: full-size run first; on TPU-worker failure retry with
+    fewer reps, then a smaller grid, then a CPU-backend fallback — always
+    emitting one JSON line (with a ``degraded`` field when not the full run).
+    """
+    base_rep = int(os.environ.get("BENCH_NREP", "100"))
+    base_grid = os.environ.get("BENCH_GRID", "128,128,64")
+    rungs = [
+        (base_rep, base_grid, None, 3000),
+        (max(base_rep // 4, 2), base_grid, "retry_reduced_reps", 1500),
+        (10, "64,64,64", "retry_reduced_grid", 1200),
+    ]
+    errors = []
+    for i, (n_rep, grid, degraded, timeout_s) in enumerate(rungs):
+        if i > 0:
+            time.sleep(60)  # let the tunnel queue drain / worker settle
+        result, err = _run_worker(n_rep, grid, timeout_s)
+        if result is not None:
+            if degraded:
+                result["degraded"] = degraded
+            print(json.dumps(result))
+            return 0
+        errors.append(f"rung{i}({grid}@{n_rep}): {err}")
+        print(f"# bench rung {i} failed: {err[-300:]}", file=sys.stderr)
+    # Last resort: CPU backend (honestly labeled), so the driver still
+    # records a structured result instead of a crash.
+    env_cpu = dict(os.environ)
+    os.environ["BENCH_FORCE_CPU"] = "1"
+    result, err = _run_worker(2, "64,64,16", 1200)
+    os.environ.clear()
+    os.environ.update(env_cpu)
+    if result is not None:
+        result["degraded"] = "cpu_fallback_tpu_unavailable"
+        result["tpu_errors"] = errors
+        print(json.dumps(result))
+        return 0
+    errors.append(f"cpu fallback: {err}")
+    print(json.dumps({
+        "metric": "1048576-cell two-phase Darcy Newton step (all attempts failed)",
+        "value": 0.0,
+        "unit": "cells/sec per Newton step",
+        "vs_baseline": 0.0,
+        "degraded": "all_attempts_failed",
+        "errors": [e[-300:] for e in errors],
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if _IS_WORKER:
+        main()
+    else:
+        sys.exit(_orchestrate())

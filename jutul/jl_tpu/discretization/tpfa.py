@@ -60,15 +60,20 @@ def expand_perm(perm: np.ndarray, dim: int) -> np.ndarray:
     raise ValueError(f"Cannot interpret permeability of shape {perm.shape} in {dim}D")
 
 
-def _half_trans(cells, centroids, face_centroids, normals, areas, K) -> np.ndarray:
-    """T_hf = A * (K_c d) . n / |d|^2 with d = x_face - x_cell.
+def _half_trans(cells, centroids, face_centroids, normals, areas, K,
+                sgn: float = 1.0) -> np.ndarray:
+    """T_hf = A * (K_c d) . (sgn * n) / |d|^2 with d = x_face - x_cell.
 
     Matches the reference half-face transmissibility formula
-    (finite-volume.jl:31-155).
+    (finite-volume.jl:130-155, half_face_trans :220): the normal is oriented
+    outward from the cell via ``sgn`` (+1 for the left/first neighbor, -1 for
+    the right/second), and the signed value is kept — on non-K-orthogonal
+    anisotropic grids a genuinely negative half-trans must propagate into the
+    harmonic mean rather than be silently flipped positive.
     """
     d = face_centroids - centroids[cells]  # (nf, dim)
     Kd = np.einsum("fij,fj->fi", K[cells], d)
-    num = areas * np.abs(np.einsum("fi,fi->f", Kd, normals))
+    num = areas * sgn * np.einsum("fi,fi->f", Kd, normals)
     den = np.einsum("fi,fi->f", d, d)
     with np.errstate(divide="ignore", invalid="ignore"):
         T = np.where(den > 0, num / den, 0.0)
@@ -87,9 +92,9 @@ def compute_half_face_trans(
     L = geo.neighbors[:, 0]
     R = geo.neighbors[:, 1]
     T_l = _half_trans(L, geo.cell_centroids, geo.face_centroids, geo.normals,
-                      geo.areas, K)
+                      geo.areas, K, sgn=+1.0)
     T_r = _half_trans(R, geo.cell_centroids, geo.face_centroids, geo.normals,
-                      geo.areas, K)
+                      geo.areas, K, sgn=-1.0)
     return T_l, T_r
 
 
@@ -100,11 +105,11 @@ def compute_face_trans(geo_or_mesh, perm) -> np.ndarray:
     """
     geo = _as_geo(geo_or_mesh)
     T_l, T_r = compute_half_face_trans(geo, perm)
+    # Plain signed harmonic mean, as the reference (finite-volume.jl:224-233):
+    # 1 / (1/T_l + 1/T_r). Degenerate half-trans of exactly zero yields T = 0.
     with np.errstate(divide="ignore", invalid="ignore"):
-        T = np.where(
-            (T_l > 0) & (T_r > 0), 1.0 / (1.0 / np.maximum(T_l, 1e-300)
-                                          + 1.0 / np.maximum(T_r, 1e-300)), 0.0
-        )
+        s = 1.0 / T_l + 1.0 / T_r
+        T = np.where((T_l != 0) & (T_r != 0) & (s != 0), 1.0 / s, 0.0)
     return T
 
 

@@ -343,7 +343,12 @@ class PressureBoundaryCondition(JutulForce):
         mu = jnp.asarray(fluid.viscosities)
         if s_in is None:
             s_in = jnp.full(mob.shape, 1.0 / mob.shape[-1])
-        mob_in = s_in / mu  # inflow mobility from boundary saturation
+        # Inflow mobility uses the system's own relative permeability at the
+        # boundary saturation, kr(s_in)/mu, consistent with interior fluxes
+        # (reference boundary-condition upwinding, equations.jl:603).
+        relperm = model.secondary_variables.get("RelativePermeabilities")
+        kr_in = relperm.evaluate(model, s_in) if relperm is not None else s_in
+        mob_in = kr_in / mu
         mob_up = jnp.where(dp >= 0, mob, mob_in)
         return rho * mob_up * T * dp
 

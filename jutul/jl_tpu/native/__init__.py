@@ -10,6 +10,7 @@ compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -23,9 +24,13 @@ _TRIED = False
 
 
 def _build() -> Path | None:
+    # The artifact name embeds the source hash: a stale or foreign .so can
+    # never be picked up (git does not preserve mtimes, so an mtime check
+    # alone could load an unreviewable binary after a fresh clone).
     src = _HERE / "partitioner.cpp"
-    out = _HERE / "libjutul_native.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
+    out = _HERE / f"libjutul_native_{digest}.so"
+    if out.exists():
         return out
     try:
         subprocess.run(
