@@ -79,6 +79,7 @@ from .simulator.io import (
     read_results,
     report_stats,
     store_output,
+    timing_breakdown,
     valid_restart_indices,
 )
 from .simulator.relaxation import NoRelaxation, SimpleRelaxation

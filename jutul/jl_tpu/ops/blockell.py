@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity eq/hash: one instance per model,
+# and it rides as pytree aux data (array-valued fields break field-wise eq)
 class ELLStructure:
     n_rows: int
     cols: np.ndarray  # (n, S) int32
@@ -141,6 +142,15 @@ class BlockELL:
 
     def to_dense(self):
         return ell_to_dense(self.blocks, self.structure.cols)
+
+
+# Pytree: the static structure rides as aux data so a BlockELL can live in
+# lax.while_loop carries (fully-jitted Newton) and jit arguments.
+jax.tree_util.register_pytree_node(
+    BlockELL,
+    lambda m: ((m.blocks,), m.structure),
+    lambda structure, ch: BlockELL(structure, ch[0]),
+)
 
 
 def ell_matvec(blocks, cols, x):

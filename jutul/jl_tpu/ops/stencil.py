@@ -91,6 +91,15 @@ class StencilMatrix:
         return y_lat.reshape(neq, -1).T
 
 
+# Registered as a pytree (lattice shape static, blocks traced) so StencilMatrix
+# can ride lax.while_loop carries (the fully-jitted Newton loop).
+jax.tree_util.register_pytree_node(
+    StencilMatrix,
+    lambda m: ((m.diag, m.plus, m.minus), m.L),
+    lambda L, ch: StencilMatrix(L, *ch),
+)
+
+
 def _inv2x2(d00, d01, d10, d11):
     det = d00 * d11 - d01 * d10
     inv = 1.0 / det
@@ -317,6 +326,13 @@ class ScalarStencil:
             y_lat = y_lat + jnp.pad(self.plus[a] * x_lat[sl_r], _PADS[a])
             y_lat = y_lat + jnp.pad(self.minus[a] * x_lat[sl_l], _PADS_R[a])
         return y_lat.reshape(-1)
+
+
+jax.tree_util.register_pytree_node(
+    ScalarStencil,
+    lambda m: ((m.diag, m.plus, m.minus), m.L),
+    lambda L, ch: ScalarStencil(L, *ch),
+)
 
 
 def _fold(v, axis):

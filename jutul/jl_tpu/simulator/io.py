@@ -183,6 +183,7 @@ def report_stats(reports: list) -> dict:
         "wall_time": 0.0,
         "linear_iterations": 0,
     }
+    stats["timings"] = {}
     for rep in reports:
         for m in rep.get("ministeps", []):
             stats["ministeps"] += 1
@@ -193,12 +194,35 @@ def report_stats(reports: list) -> dict:
                 stats["wasted_newtons"] += its
             stats["wall_time"] += float(m.get("wall_time", 0.0))
             stats["linear_iterations"] += int(m.get("linear_iterations", 0))
+            for key, t in (m.get("timings") or {}).items():
+                stats["timings"][key] = stats["timings"].get(key, 0.0) + t
     ok_newtons = stats["newtons"] - stats["wasted_newtons"]
     stats["newtons_per_ministep"] = (
         stats["newtons"] / stats["ministeps"] if stats["ministeps"] else 0.0)
     stats["time_per_newton"] = (
         stats["wall_time"] / stats["newtons"] if stats["newtons"] else 0.0)
+    stats["linear_iterations_per_newton"] = (
+        stats["linear_iterations"] / stats["newtons"] if stats["newtons"]
+        else 0.0)
     return stats
+
+
+def timing_breakdown(stats_or_reports) -> dict:
+    """Fractional wall-time split by phase (reference utils.jl
+    timing_breakdown) from the per-ministep ``timings`` dicts that
+    ``simulate(..., extra_timing=True)`` collects (keys: assembly,
+    convergence, linear_solve, update — assembly fuses the reference's
+    secondary+equations phases)."""
+    stats = (stats_or_reports if isinstance(stats_or_reports, dict)
+             else report_stats(stats_or_reports))
+    timings = stats.get("timings", {})
+    total = sum(timings.values())
+    if total <= 0:
+        return {"total": stats.get("wall_time", 0.0)}
+    out = {k: {"seconds": v, "fraction": v / total}
+           for k, v in timings.items()}
+    out["total"] = total
+    return out
 
 
 def print_stats(reports: list) -> None:
@@ -208,6 +232,13 @@ def print_stats(reports: list) -> None:
         f"({s['failed_ministeps']} failed), {s['newtons']} Newton its "
         f"({s['wasted_newtons']} wasted), "
         f"{s['newtons_per_ministep']:.2f} its/ministep, "
+        f"{s['linear_iterations']} linear its "
+        f"({s['linear_iterations_per_newton']:.1f}/Newton), "
         f"{s['wall_time']:.2f}s total ({s['time_per_newton'] * 1e3:.1f} "
         "ms/Newton)"
     )
+    tb = timing_breakdown(s)
+    parts = [f"{k} {100 * v['fraction']:.0f}%" for k, v in tb.items()
+             if isinstance(v, dict)]
+    if parts:
+        print("Timing breakdown: " + ", ".join(parts))

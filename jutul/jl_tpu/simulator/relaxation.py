@@ -13,10 +13,20 @@ class NonLinearRelaxation:
     def select_relaxation(self, omega: float, errors: list[float]) -> float:
         return omega
 
+    def select_relaxation_jit(self, omega, err, err_prev):
+        """Traced variant for the fully-jitted Newton loop: adapt omega from
+        the last two scaled errors (err_prev = inf on the first iteration)."""
+        return omega
+
 
 class NoRelaxation(NonLinearRelaxation):
     def select_relaxation(self, omega: float, errors: list[float]) -> float:
         return 1.0
+
+    def select_relaxation_jit(self, omega, err, err_prev):
+        import jax.numpy as jnp
+
+        return jnp.ones_like(jnp.asarray(omega))
 
 
 class SimpleRelaxation(NonLinearRelaxation):
@@ -41,3 +51,17 @@ class SimpleRelaxation(NonLinearRelaxation):
         else:
             omega = min(omega + self.dw_increase, self.w_max)
         return omega
+
+    def select_relaxation_jit(self, omega, err, err_prev):
+        import jax.numpy as jnp
+
+        omega = jnp.asarray(omega)
+        valid = jnp.isfinite(err_prev) & (err_prev > 0)
+        d = (err - err_prev) / jnp.where(valid, err_prev, 1.0)
+        slow = d > -self.tol  # stagnation or growth
+        adapted = jnp.where(
+            slow,
+            jnp.maximum(omega - self.dw_decrease, self.w_min),
+            jnp.minimum(omega + self.dw_increase, self.w_max),
+        )
+        return jnp.where(valid, adapted, omega)

@@ -1,0 +1,163 @@
+"""Fully-jitted Newton / timestep paths vs the eager simulator.
+
+Covers VERDICT r1 items: in-jit relaxation + check-before-solve ministep,
+in-jit dt cutting (jit_timestep), use_stencil + StencilKrylovSolver driven
+through simulate(), and extra_timing instrumentation feeding report_stats /
+timing_breakdown (reference report timing embedding, simulator.jl:427-507).
+"""
+
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    SimpleRelaxation,
+    Simulator,
+    report_stats,
+    si_unit,
+    timing_breakdown,
+)
+from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+from jutul.jl_tpu.models.setup import setup_parameters, setup_state
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def darcy_case(nx=6, ny=5, nz=2, seed=0):
+    nc = nx * ny * nz
+    rng = np.random.default_rng(seed)
+    mesh = CartesianMesh((nx, ny, nz), (30.0, 30.0, 6.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(
+        mesh, fluid,
+        permeability=rng.uniform(0.2, 1.0, nc) * DARCY,
+        porosity=0.3,
+        gravity=True,
+    )
+    sw = rng.uniform(0.25, 0.75, nc)
+    state0 = setup_state(
+        model,
+        Pressure=150.0 * BAR + rng.uniform(-2, 2, nc) * BAR,
+        Saturations=np.stack([sw, 1 - sw], axis=1),
+    )
+    return model, state0, setup_parameters(model)
+
+
+def final_pressure(states):
+    return np.asarray(states[-1]["Pressure"])
+
+
+def test_jit_ministep_matches_eager():
+    model, state0, params = darcy_case()
+    dts = [0.5 * DAY, 1.0 * DAY]
+    kw = dict(relaxation=SimpleRelaxation(), info_level=-1,
+              tolerances={"default": 1e-7})
+    sim_e = Simulator(model, state0=state0, parameters=params)
+    st_e, rep_e = sim_e.simulate(dts, **kw)
+    sim_j = Simulator(model, state0=state0, parameters=params)
+    st_j, rep_j = sim_j.simulate(dts, jit_ministep=True, **kw)
+    p_e, p_j = final_pressure(st_e), final_pressure(st_j)
+    assert np.allclose(p_e, p_j, rtol=1e-8)
+    s_e = np.asarray(st_e[-1]["Saturations"])
+    s_j = np.asarray(st_j[-1]["Saturations"])
+    assert np.allclose(s_e, s_j, atol=1e-9)
+    # iteration counts agree (same convergence decisions)
+    its_e = [m["iterations"] for r in rep_e for m in r["ministeps"]]
+    its_j = [m["iterations"] for r in rep_j for m in r["ministeps"]]
+    assert its_e == its_j
+    # linear iteration counts are reported by the jit path
+    assert all(m["linear_iterations"] >= 1
+               for r in rep_j for m in r["ministeps"])
+
+
+def test_jit_timestep_in_jit_cutting_and_equivalence():
+    model, state0, params = darcy_case(seed=3)
+    # big dt + tight iteration budget forces at least one in-jit cut
+    dts = [60.0 * DAY]
+    kw = dict(info_level=-1, max_nonlinear_iterations=4,
+              tolerances={"default": 1e-8})
+    sim_e = Simulator(model, state0=state0, parameters=params)
+    st_e, rep_e = sim_e.simulate(dts, **kw)
+    sim_j = Simulator(model, state0=state0, parameters=params)
+    st_j, rep_j = sim_j.simulate(dts, jit_timestep=True, **kw)
+    minis_e = rep_e[0]["ministeps"]
+    minis_j = rep_j[0]["ministeps"]
+    assert any(not m["success"] for m in minis_j), \
+        "expected an in-jit dt cut"
+    assert [m["success"] for m in minis_e] == [m["success"] for m in minis_j]
+    assert np.allclose([m["dt"] for m in minis_e],
+                       [m["dt"] for m in minis_j], rtol=1e-12)
+    assert np.allclose(final_pressure(st_e), final_pressure(st_j), rtol=1e-8)
+
+
+def test_jit_timestep_abort_on_exhausted_cuts():
+    model, state0, params = darcy_case(seed=4)
+    sim = Simulator(model, state0=state0, parameters=params)
+    states, reports = sim.simulate(
+        [50.0 * DAY], jit_timestep=True, info_level=-1,
+        max_nonlinear_iterations=1, max_timestep_cuts=2,
+        tolerances={"default": 1e-14})
+    assert reports[-1]["success"] is False
+    assert len(states) == 0
+
+
+def test_stencil_krylov_through_simulate():
+    """use_stencil + StencilKrylovSolver driven by simulate() (the product
+    path the 1M-cell bench uses) matches the generic engine."""
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
+
+    model, state0, params = darcy_case(nx=8, ny=8, nz=4, seed=1)
+    dts = [1.0 * DAY, 2.0 * DAY]
+    kw = dict(info_level=-1, tolerances={"default": 1e-7})
+    sim_ref = Simulator(model, state0=state0, parameters=params)
+    st_ref, _ = sim_ref.simulate(
+        dts, linear_solver=GenericKrylov(
+            "bicgstab", preconditioner=ILU0Preconditioner(), rtol=1e-10),
+        **kw)
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, min_cells=8)),
+        rtol=1e-10, max_iterations=200)
+    sim_st = Simulator(model, state0=state0, parameters=params,
+                       use_stencil=True)
+    st_st, rep_st = sim_st.simulate(dts, linear_solver=solver,
+                                    jit_ministep=True, **kw)
+    assert np.allclose(final_pressure(st_ref), final_pressure(st_st),
+                       rtol=1e-6)
+    s_ref = np.asarray(st_ref[-1]["Saturations"])
+    s_st = np.asarray(st_st[-1]["Saturations"])
+    assert np.allclose(s_ref, s_st, atol=1e-7)
+
+
+def test_extra_timing_and_breakdown():
+    model, state0, params = darcy_case(seed=2)
+    sim = Simulator(model, state0=state0, parameters=params)
+    states, reports = sim.simulate([1.0 * DAY], extra_timing=True,
+                                   info_level=-1)
+    mini = reports[0]["ministeps"][0]
+    assert {"assembly", "convergence", "linear_solve", "update"} <= set(
+        mini["timings"])
+    stats = report_stats(reports)
+    assert stats["timings"]["assembly"] > 0
+    tb = timing_breakdown(reports)
+    fracs = sum(v["fraction"] for k, v in tb.items() if isinstance(v, dict))
+    assert abs(fracs - 1.0) < 1e-9
+
+
+def test_relaxation_jit_matches_python():
+    import jax.numpy as jnp
+
+    relax = SimpleRelaxation()
+    omega = 1.0
+    errors = []
+    for err in [10.0, 9.99, 5.0, 5.2, 1.0]:
+        errors.append(err)
+        prev = errors[-2] if len(errors) >= 2 else float("inf")
+        py = relax.select_relaxation(omega, errors)
+        jt = float(relax.select_relaxation_jit(
+            jnp.asarray(omega), jnp.asarray(err), jnp.asarray(prev)))
+        assert np.isclose(py, jt), (err, py, jt)
+        omega = py
