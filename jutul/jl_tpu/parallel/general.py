@@ -1,0 +1,499 @@
+"""General-partition SPMD Newton over arbitrary meshes and partitions.
+
+TPU-native counterpart of the reference's general domain decomposition
+(reference: src/dd/subdomains.jl:58,77 ``subdomain``/``submap_cells`` with
+ghost buffers; ext/JutulPartitionedArraysExt/interface.jl:2-97 per-rank
+submodels over Metis/KaHyPar partitions). Where the slab path
+(parallel/sharded.py) requires a 1-D plane decomposition of a
+CartesianMesh, this engine consumes ANY cell partition of ANY mesh with
+TPFA-style (K=2) conservation laws.
+
+Design (SPMD under jax.shard_map — one program, topology as DATA):
+- every shard's local layout is padded to common maxima
+  ``[owned (n_own_max) | ghosts (n_ghost_max) | 1 dump row]`` so a single
+  traced program serves all shards;
+- per-shard index tables (local face endpoints, halo send/recv plans,
+  scatter rows) are built on the host with numpy and passed as sharded
+  arrays — gathers with traced indices replace the static-stencil slicing
+  of the structured path;
+- halo exchange is one ``lax.all_to_all`` on packed send buffers (the
+  general-graph equivalent of the slab path's plane ppermute; reference:
+  PartitionedArrays ``consistent!``, ext interface.jl:189);
+- the Jacobian stays in face-block form (diag blocks + two off-diagonal
+  blocks per face) — SpMV is gather + scatter-add over faces, no global
+  ELL needed;
+- Krylov = the same psum-dot bicgstab as the slab path; the local
+  preconditioner is owned-diagonal block-Jacobi (additive Schwarz).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.domains import DataDomain
+from ..linsolve.krylov import bicgstab
+from ..models.equations import AccumulationContribution, CellTermContribution, \
+    FaceFluxContribution
+from ..models.setup import setup_parameters, setup_state
+from ..models.system import SimulationModel
+from ..ops.assembly import compile_model
+from ..ops.smallmat import block_inv, bmv
+from .partition import GreedyGraphPartitioner
+
+
+class GeneralDecomposition:
+    """Host-side partition tables (numpy; built once)."""
+
+    def __init__(self, mesh, partition: np.ndarray, n_devices: int):
+        self.n_devices = D = int(n_devices)
+        part = np.asarray(partition, dtype=np.int64)
+        nc = mesh.number_of_cells()
+        assert part.shape == (nc,)
+        neighbors = np.asarray(mesh.neighborship(), dtype=np.int64)
+        nf = neighbors.shape[0]
+        self.partition = part
+
+        own_lists = [np.flatnonzero(part == d) for d in range(D)]
+        # 1-ring ghosts (TPFA stencil width; reference buffer arg
+        # dd/subdomains.jl:77 generalizes to k rings)
+        ghost_lists = []
+        face_lists = []
+        L, R = neighbors[:, 0], neighbors[:, 1]
+        for d in range(D):
+            own_mask = part == d
+            touch = own_mask[L] | own_mask[R]
+            faces_d = np.flatnonzero(touch)
+            face_lists.append(faces_d)
+            cells_touched = np.unique(np.concatenate(
+                [L[faces_d], R[faces_d]]))
+            ghost_lists.append(
+                cells_touched[~own_mask[cells_touched]])
+
+        self.n_own_max = max(1, max(len(o) for o in own_lists))
+        self.n_ghost_max = max(1, max(len(g) for g in ghost_lists))
+        self.nf_max = max(1, max(len(f) for f in face_lists))
+        self.n_loc = self.n_own_max + self.n_ghost_max + 1  # +1 dump row
+        self.dump = self.n_loc - 1
+
+        # per-shard local cell maps
+        self.l2g = np.full((D, self.n_loc), -1, dtype=np.int64)
+        self.own_alive = np.zeros((D, self.n_own_max))
+        g2l = [dict() for _ in range(D)]
+        for d in range(D):
+            o, g = own_lists[d], ghost_lists[d]
+            self.l2g[d, :len(o)] = o
+            self.l2g[d, self.n_own_max:self.n_own_max + len(g)] = g
+            self.own_alive[d, :len(o)] = 1.0
+            for i, c in enumerate(o):
+                g2l[d][int(c)] = i
+            for i, c in enumerate(g):
+                g2l[d][int(c)] = self.n_own_max + i
+        self.own_lists = own_lists
+        self.ghost_lists = ghost_lists
+
+        # per-shard local faces
+        self.face_g = np.zeros((D, self.nf_max), dtype=np.int64)
+        self.face_alive = np.zeros((D, self.nf_max))
+        self.face_l = np.full((D, self.nf_max), self.dump, dtype=np.int32)
+        self.face_r = np.full((D, self.nf_max), self.dump, dtype=np.int32)
+        # scatter rows for +/- flux: owned local row or the dump row
+        self.row_plus = np.full((D, self.nf_max), self.n_own_max,
+                                dtype=np.int32)
+        self.row_minus = np.full((D, self.nf_max), self.n_own_max,
+                                 dtype=np.int32)
+        for d in range(D):
+            fl = face_lists[d]
+            self.face_g[d, :len(fl)] = fl
+            self.face_alive[d, :len(fl)] = 1.0
+            for i, f in enumerate(fl):
+                ll = g2l[d][int(L[f])]
+                rr = g2l[d][int(R[f])]
+                self.face_l[d, i] = ll
+                self.face_r[d, i] = rr
+                if ll < self.n_own_max:
+                    self.row_plus[d, i] = ll
+                if rr < self.n_own_max:
+                    self.row_minus[d, i] = rr
+
+        # halo exchange plan: send/recv per (src, dst) pair
+        pair_cells = [[[] for _ in range(D)] for _ in range(D)]
+        for d in range(D):
+            for c in ghost_lists[d]:
+                s = int(part[c])
+                pair_cells[s][d].append(int(c))
+        M = max(1, max(len(pair_cells[s][d])
+                       for s in range(D) for d in range(D)))
+        self.halo_m = M
+        # send_idx[s, d, m]: s's local OWN index to pack for dst d
+        self.send_idx = np.zeros((D, D, M), dtype=np.int32)
+        # recv_slot[d, s, m]: d's local slot where s's m-th packed cell lands
+        self.recv_slot = np.full((D, D, M), self.dump, dtype=np.int32)
+        for s in range(D):
+            for d in range(D):
+                for m, c in enumerate(pair_cells[s][d]):
+                    self.send_idx[s, d, m] = g2l[s][c]
+                    self.recv_slot[d, s, m] = g2l[d][c]
+
+    def gather_cells(self, g: np.ndarray, fill=0.0) -> np.ndarray:
+        """Global per-cell array -> (D, n_loc, ...) padded local stacks."""
+        out = np.full((self.n_devices, self.n_loc) + g.shape[1:], fill,
+                      dtype=g.dtype)
+        ok = self.l2g >= 0
+        out[ok] = g[self.l2g[ok]]
+        return out
+
+    def gather_faces(self, g: np.ndarray, fill=0.0) -> np.ndarray:
+        out = np.full((self.n_devices, self.nf_max) + g.shape[1:], fill,
+                      dtype=np.asarray(g).dtype)
+        out[:] = np.asarray(g)[self.face_g]
+        alive = self.face_alive.reshape(
+            (self.n_devices, self.nf_max) + (1,) * (out.ndim - 2))
+        return out * alive + fill * (1 - alive)
+
+    def shard_cells(self, g: np.ndarray, fill=0.0) -> np.ndarray:
+        """Global per-cell array -> (D * n_own_max, ...) owned-padded."""
+        D, nom = self.n_devices, self.n_own_max
+        out = np.full((D, nom) + np.asarray(g).shape[1:], fill,
+                      dtype=np.asarray(g).dtype)
+        for d in range(D):
+            o = self.own_lists[d]
+            out[d, :len(o)] = np.asarray(g)[o]
+            if len(o) < nom and len(o) > 0:
+                out[d, len(o):] = np.asarray(g)[o[0]]  # benign padding
+        return out.reshape((D * nom,) + np.asarray(g).shape[1:])
+
+    def unshard_cells(self, arr: np.ndarray) -> np.ndarray:
+        """(D * n_own_max, ...) -> global (nc, ...) in mesh order."""
+        D, nom = self.n_devices, self.n_own_max
+        a = np.asarray(arr).reshape((D, nom) + np.asarray(arr).shape[1:])
+        nc = self.partition.shape[0]
+        out = np.zeros((nc,) + a.shape[2:], dtype=a.dtype)
+        for d in range(D):
+            o = self.own_lists[d]
+            out[o] = a[d, :len(o)]
+        return out
+
+
+class GeneralDistributedSimulator:
+    """SPMD simulator over an arbitrary partition of an arbitrary mesh
+    (reference counterpart: PArraySimulator over Metis partitions,
+    ext/JutulPartitionedArraysExt/interface.jl:2-97)."""
+
+    def __init__(self, mesh, system, device_mesh: Mesh, partition=None,
+                 axis: str = "d", parameters: dict | None = None,
+                 data_fields: dict | None = None):
+        self.axis = axis
+        self.device_mesh = device_mesh
+        D = device_mesh.devices.size
+        self.n_devices = D
+        self.mesh = mesh
+
+        if partition is None:
+            partition = GreedyGraphPartitioner().partition(
+                mesh.neighborship(), mesh.number_of_cells(), D)
+        self.dec = GeneralDecomposition(mesh, partition, D)
+        dec = self.dec
+
+        gdd = DataDomain(mesh)
+        for k, v in (data_fields or {}).items():
+            gdd.set(k, v)
+        self.global_model = SimulationModel(gdd, system)
+        self.comp = compile_model(self.global_model)
+        gparams = parameters or setup_parameters(self.global_model)
+        if self.comp.neq_total != self.comp.ndof:
+            raise NotImplementedError("square cell systems only")
+
+        # contributions: exactly one K=2 flux + cell terms (TPFA family)
+        self.acc_cons, self.flux_con = [], None
+        for info, con, meta in self.comp.contribs:
+            if isinstance(con, (AccumulationContribution,
+                                CellTermContribution)):
+                self.acc_cons.append(con)
+            elif isinstance(con, FaceFluxContribution):
+                if self.flux_con is not None or meta["K"] != 2:
+                    raise NotImplementedError(
+                        "general DD v1: a single TPFA (K=2) flux term")
+                self.flux_con = con
+                # faces must follow mesh orientation (plus=L, minus=R)
+                nb = np.asarray(mesh.neighborship())
+                if not (np.array_equal(con.plus, nb[:, 0])
+                        and np.array_equal(con.minus, nb[:, 1])):
+                    raise NotImplementedError(
+                        "flux stencil must follow mesh neighbor order")
+
+        # per-shard parameter stacks
+        self.cell_params, self.face_params = {}, {}
+        for name, var in self.global_model.parameters.items():
+            ent = var.associated_entity(self.global_model).name()
+            g = np.asarray(gparams[name])
+            if ent == "Cells":
+                # tiny-but-nonzero fill keeps dead-row accumulation and CNV
+                # scaling finite (0 * finite) while leaving global-sum
+                # criteria (MB denominators) exact to roundoff
+                self.cell_params[name] = dec.gather_cells(
+                    g.astype(np.float64), fill=1e-30)
+            elif ent == "Faces":
+                self.face_params[name] = dec.gather_faces(g, fill=0.0)
+            else:
+                raise NotImplementedError(ent)
+        self._newton_jit = None
+
+    # -- state plumbing -------------------------------------------------
+    def initial_state(self, **kw) -> dict:
+        return setup_state(self.global_model, **kw)
+
+    def shard_state(self, state: dict) -> dict:
+        sh = NamedSharding(self.device_mesh, P(self.axis))
+        return {k: jax.device_put(jnp.asarray(self.dec.shard_cells(
+            np.asarray(v))), sh) for k, v in state.items()}
+
+    def gather_state(self, state: dict) -> dict:
+        return {k: self.dec.unshard_cells(np.asarray(v))
+                for k, v in state.items()}
+
+    # -- halo exchange ---------------------------------------------------
+    def _halo(self, own, send_idx, recv_slot):
+        """(n_own_max, ...) -> (n_loc, ...) with ghosts filled by
+        all_to_all of packed buffers."""
+        dec = self.dec
+        packed = own[send_idx]  # (D, M, ...)
+        recv = jax.lax.all_to_all(packed, self.axis, 0, 0, tiled=False)
+        ext = jnp.zeros((dec.n_loc,) + own.shape[1:], own.dtype)
+        ext = ext.at[:dec.n_own_max].set(own)
+        flat_slots = recv_slot.reshape(-1)
+        return ext.at[flat_slots].set(
+            recv.reshape((-1,) + recv.shape[2:]), mode="drop")
+
+    # -- the SPMD Newton body -------------------------------------------
+    def _local_newton(self, state_own, state0_own, cp, fp, tables, q, dt,
+                      rtol, max_lin_it):
+        comp = self.comp
+        model = self.global_model
+        dec = self.dec
+        ax = self.axis
+        nom, dump = dec.n_own_max, dec.dump
+        neq, ndof = comp.neq_total, comp.ndof
+        cp = {k: v[0] for k, v in cp.items()}      # (n_loc, ...)
+        fp = {k: v[0] for k, v in fp.items()}      # (nf_max, ...)
+        (send_idx, recv_slot, face_l, face_r, row_plus, row_minus,
+         face_alive, own_alive) = (t[0] for t in tables)
+
+        halo = partial(self._halo, send_idx=send_idx, recv_slot=recv_slot)
+        state_ext = {k: halo(v) for k, v in state_own.items()}
+        state0_ext = {k: halo(v) for k, v in state0_own.items()}
+        full = comp._eval_secondaries_local({**state_ext, **cp})
+        full0 = comp._eval_secondaries_local({**state0_ext, **cp})
+
+        U_ext = comp.get_dofs(state_ext)  # (n_loc, ndof)
+        params_cell = comp._cell_entries(cp, include=("parameter", "extra"))
+        cs0 = comp._cell_entries(full0)
+
+        # --- accumulation (+ jacfwd diagonal) on owned rows -------------
+        r = jnp.zeros((nom + 1, neq))
+        diag = jnp.zeros((nom + 1, neq, ndof))
+        U_own = U_ext[:nom]
+        p_own = {k: v[:nom] for k, v in params_cell.items()}
+        cs0_own = {k: v[:nom] for k, v in cs0.items()}
+        for con in self.acc_cons:
+            def local_fn(u_c, p_c, cs0_c, _c=con):
+                local = dict(p_c)
+                local.update(comp.unpack_dofs(u_c))
+                local = comp._eval_secondaries_local(local)
+                return _c.fn(model, local, cs0_c, dt)
+
+            vals = jax.vmap(local_fn)(U_own, p_own, cs0_own)  # (nom, neq)
+            jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
+                U_own, p_own, cs0_own)  # (nom, neq, ndof)
+            am = own_alive[:, None]
+            r = r.at[:nom].add(vals * am)
+            diag = diag.at[:nom].add(jac * am[..., None])
+
+        # --- face fluxes (+ jacfwd wrt both sides) ----------------------
+        if self.flux_con is not None:
+            con = self.flux_con
+            pl = {k: v[face_l] for k, v in params_cell.items()}
+            pr = {k: v[face_r] for k, v in params_cell.items()}
+            uL, uR = U_ext[face_l], U_ext[face_r]
+
+            def flux_fn(u2, p_l, p_r, f, _c=con):
+                ll = dict(p_l)
+                ll.update(comp.unpack_dofs(u2[0]))
+                ll = comp._eval_secondaries_local(ll)
+                rr_ = dict(p_r)
+                rr_.update(comp.unpack_dofs(u2[1]))
+                rr_ = comp._eval_secondaries_local(rr_)
+                local = jax.tree_util.tree_map(
+                    lambda a, b: jnp.stack([a, b]), ll, rr_)
+                return _c.fn(model, local, f)
+
+            u2 = jnp.stack([uL, uR], axis=1)  # (nf, 2, ndof)
+            flux = jax.vmap(flux_fn)(u2, pl, pr, fp)  # (nf, neq)
+            jac2 = jax.vmap(jax.jacfwd(flux_fn, argnums=0))(
+                u2, pl, pr, fp)  # (nf, neq, 2, ndof)
+            fam = face_alive[:, None]
+            flux = flux * fam
+            jL = jac2[:, :, 0, :] * fam[..., None]  # dF/du_L
+            jR = jac2[:, :, 1, :] * fam[..., None]
+
+            r = r.at[row_plus].add(flux)
+            r = r.at[row_minus].add(-flux)
+            diag = diag.at[row_plus].add(
+                jnp.where((face_l < nom)[:, None, None], jL, 0.0))
+            diag = diag.at[row_minus].add(
+                jnp.where((face_r < nom)[:, None, None], -jR, 0.0))
+
+        r_own = r[:nom] - q[0]
+        diag_own = diag[:nom]
+        # dead padding rows: zero residual, identity diagonal
+        am = own_alive[:, None]
+        r_own = r_own * am
+        eye = jnp.eye(max(neq, ndof))[:neq, :ndof]
+        diag_own = jnp.where(am[..., None] > 0, diag_own, eye[None])
+
+        # --- convergence (global reductions on owned alive rows) --------
+        own_state = {k: (v[:nom] if v.ndim and v.shape[0] == dec.n_loc
+                         else v) for k, v in full.items()}
+        crit = {}
+        for info in comp.equations:
+            parts = info.eq.convergence_parts(
+                model, info.name, r_own[:, info.row_slice], own_state, dt)
+            combined = {}
+            for name, (kind, payload) in parts.items():
+                if kind == "max":
+                    combined[name] = jax.lax.pmax(
+                        jnp.where(jnp.isfinite(payload), payload, 0.0), ax)
+                else:
+                    num, den = payload
+                    combined[name] = jnp.abs(jax.lax.psum(num, ax)) / \
+                        jax.lax.psum(den, ax)
+            crit[info.name] = combined
+
+        # --- distributed Krylov ----------------------------------------
+        if self.flux_con is not None:
+            jLc, jRc = jL, jR
+
+        def matvec(x_flat):
+            x = x_flat.reshape(nom, ndof)
+            x_ext = halo(x)
+            y = jnp.zeros((nom + 1, neq))
+            y = y.at[:nom].add(bmv(diag_own, x))
+            if self.flux_con is not None:
+                # row L couples to u_R (and itself via diag), row R to u_L
+                y = y.at[row_plus].add(bmv(jRc, x_ext[face_r]))
+                y = y.at[row_minus].add(-bmv(jLc, x_ext[face_l]))
+            return (y[:nom] * am).reshape(-1)
+
+        dinv = block_inv(diag_own)
+
+        def precond(x_flat):
+            return bmv(dinv, x_flat.reshape(nom, neq)).reshape(-1)
+
+        def dot(a, b):
+            return jax.lax.psum(jnp.dot(a, b), ax)
+
+        du, stats = bicgstab(matvec, (-r_own).reshape(-1),
+                             maxiter=max_lin_it, rtol=rtol, precond=precond,
+                             dot_fn=dot)
+        du = du.reshape(nom, ndof) * am
+        new_own = comp.apply_update(state_own, du, 1.0)
+        return new_own, crit, stats["iterations"], stats["residual"]
+
+    # -- jitted step -----------------------------------------------------
+    def newton_step_fn(self, rtol: float = 1e-8, max_lin_it: int = 200):
+        ax = self.axis
+        dec = self.dec
+        state_spec = {k: P(ax) for k in self.global_model.primary_variables}
+        cp_spec = {k: P(ax) for k in self.cell_params}
+        fp_spec = {k: P(ax) for k in self.face_params}
+        from .sharded import _dummy_state
+
+        crit_spec = {}
+        for info in self.comp.equations:
+            names = info.eq.convergence_criterion(
+                self.global_model, info.name, jnp.zeros((1, info.neq)),
+                _dummy_state(self.global_model, info.neq), 1.0)
+            crit_spec[info.name] = {k: P() for k in names}
+
+        tables = (dec.send_idx, dec.recv_slot, dec.face_l, dec.face_r,
+                  dec.row_plus, dec.row_minus, dec.face_alive,
+                  dec.own_alive)
+        tables = tuple(jnp.asarray(t) for t in tables)
+        tab_spec = tuple(P(ax) for _ in tables)
+
+        smapped = jax.shard_map(
+            lambda s, s0, cp, fp, tb, q, dt: self._local_newton(
+                s, s0, cp, fp, tb, q, dt, rtol, max_lin_it),
+            mesh=self.device_mesh,
+            in_specs=(state_spec, state_spec, cp_spec, fp_spec, tab_spec,
+                      P(ax), P()),
+            out_specs=(state_spec, crit_spec, P(), P()),
+            check_vma=False,
+        )
+        cp = {k: jnp.asarray(v) for k, v in self.cell_params.items()}
+        fp = {k: jnp.asarray(v) for k, v in self.face_params.items()}
+        q0 = jnp.zeros((self.n_devices, dec.n_own_max, self.comp.neq_total))
+
+        @jax.jit
+        def step(state, state0, dt, q=None):
+            return smapped(state, state0, cp, fp, tables,
+                           q0 if q is None else q, dt)
+
+        return step
+
+    # -- forces ----------------------------------------------------------
+    def stack_cell_sources(self, forces) -> np.ndarray:
+        neq = self.comp.neq_total
+        nc = self.global_model.number_of_cells()
+        qg = np.zeros((nc, neq))
+        for name, f in (forces or {}).items():
+            if not (hasattr(f, "cells") and hasattr(f, "values")):
+                raise NotImplementedError(
+                    f"force {name!r} not supported in general DD yet")
+            qg[np.asarray(f.cells)] += np.atleast_2d(np.asarray(f.values))
+        out = self.dec.shard_cells(qg)
+        return out.reshape(self.n_devices, self.dec.n_own_max, neq) * \
+            self.dec.own_alive[..., None]
+
+    # -- outer loops (mirror of the slab surface) ------------------------
+    def solve_timestep(self, state, state0, dt, max_newton: int = 15,
+                       tol_cnv: float = 1e-3, forces=None):
+        if self._newton_jit is None:
+            self._newton_jit = self.newton_step_fn()
+        q = (jnp.asarray(self.stack_cell_sources(forces))
+             if forces else None)
+        state = dict(state)
+        its = 0
+        for it in range(max_newton):
+            new_state, crit, lin_its, lin_res = self._newton_jit(
+                state, state0, dt, q)
+            err = max(float(np.max(np.asarray(v)))
+                      for c in crit.values() for v in c.values())
+            if err < tol_cnv and it > 0:
+                break
+            state = new_state
+            its += 1
+        return state, its
+
+    def simulate(self, state0, timesteps, forces=None, max_newton: int = 15,
+                 tol_cnv: float = 1e-3, info_level: int = 0):
+        cur = self.shard_state(state0)
+        prev = cur
+        states, reports = [], []
+        for n, dt in enumerate(timesteps):
+            f = forces[n] if isinstance(forces, (list, tuple)) else forces
+            cur, its = self.solve_timestep(cur, prev, dt,
+                                           max_newton=max_newton,
+                                           tol_cnv=tol_cnv, forces=f)
+            prev = cur
+            states.append(self.gather_state(cur))
+            reports.append({"ministeps": [{"dt": float(dt), "success": True,
+                                           "iterations": int(its)}]})
+            if info_level >= 0:
+                print(f"Step {n + 1}/{len(timesteps)}: {its} its "
+                      f"({self.n_devices} shards, general partition)")
+        return states, reports

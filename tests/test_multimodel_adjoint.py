@@ -133,7 +133,9 @@ def test_coupled_darcy_adjoint_vs_fd():
         return dt * jnp.sum((state["R"]["Pressure"] / BARv) ** 2)
 
     sim = Simulator(mm, state0=state0, parameters=params)
-    states, reports = sim.simulate(dts, forces=forces, info_level=-1)
+    states, reports = sim.simulate(dts, forces=forces, info_level=-1,
+                                   tolerances={"default": 1e-12},
+                                   max_nonlinear_iterations=20)
     assert all(r["success"] for r in reports)
     adj = solve_adjoint_sensitivities(mm, states, dts, G, parameters=params,
                                       state0=state0, forces=forces)
@@ -142,7 +144,8 @@ def test_coupled_darcy_adjoint_vs_fd():
         mm2, s02, p2, f2 = _build(trans_L)
         sim2 = Simulator(mm2, state0=s02, parameters=p2)
         sts, _ = sim2.simulate(dts, forces=f2, info_level=-1,
-                               tolerances={"default": 1e-9})
+                               tolerances={"default": 1e-12},
+                               max_nonlinear_iterations=20)
         return sum(
             float(G(mm2, {m: {k: jnp.asarray(v) for k, v in s.items()}
                           for m, s in st.items()}, dts[i], i, None))

@@ -103,6 +103,69 @@ def test_distributed_multi_newton_converges():
 
 
 
+def test_shard_local_cpr_iteration_counts():
+    """Distributed-strength preconditioning (VERDICT r1 item 4): with
+    shard-local CPR as restricted additive Schwarz, 8-shard linear-iteration
+    counts stay within ~2x of the single-device CPR solve on a heterogeneous
+    two-phase case (reference per-rank ILU/AMG pattern, ext linalg.jl:78)."""
+    from jutul.jl_tpu.linsolve.cpr import CPRPreconditioner
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+
+    require_devices(8)
+    nx, ny, nz = 4, 4, 24
+    mesh = CartesianMesh((nx, ny, nz), (40.0, 40.0, 120.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    system = ImmiscibleSystem(fluid, gravity=False)
+    nc = nx * ny * nz
+    rng = np.random.default_rng(7)
+    perm = rng.lognormal(0.0, 1.5, nc) * 0.1 * DARCY  # 3 orders of contrast
+    poro = np.full(nc, 0.25)
+    p0 = 100.0 * BAR + rng.uniform(-1, 1, nc) * BAR
+    sw = rng.uniform(0.2, 0.8, nc)
+    state0_np = dict(Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    dt = 0.1 * DAY
+    rtol = 1e-8
+
+    # single-device CPR iteration count for one Newton iteration
+    from jutul.jl_tpu.core.domains import DataDomain as DD
+
+    gdd = DD(mesh, permeability=perm, porosity=poro)
+    gmodel = SimulationModel(gdd, system)
+    sim = Simulator(gmodel, state0=state0_np)
+    solver = GenericKrylov("bicgstab", preconditioner=CPRPreconditioner(),
+                           rtol=rtol, max_iterations=400)
+    sim._solver = solver
+    _st, _crit, _rn, lin_single = sim._iteration_jit(
+        sim.state0, sim.state0, sim.parameters, dt, None, 1.0)
+    lin_single = int(np.asarray(lin_single))
+
+    # 8-shard with shard-local CPR (restricted additive Schwarz)
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    dsim = DistributedSimulator(mesh, system, dmesh,
+                                data_fields={"permeability": perm,
+                                             "porosity": poro},
+                                local_preconditioner="cpr")
+    sharded0 = dsim.shard_state(dsim.initial_state(**state0_np))
+    step = dsim.newton_step_fn(rtol=rtol, max_lin_it=400)
+    new_state, crit, lin_dist, _res = step(sharded0, sharded0, dt)
+    lin_dist = int(np.asarray(lin_dist))
+
+    # correctness: the sharded step still matches single-device
+    ref_state, *_ = sim._iteration_jit(sim.state0, sim.state0,
+                                       sim.parameters, dt, None, 1.0)
+    np.testing.assert_allclose(np.asarray(new_state["Pressure"]),
+                               np.asarray(ref_state["Pressure"]), rtol=1e-6)
+    assert lin_dist <= 2 * lin_single + 5, (lin_dist, lin_single)
+
+    # and CPR-Schwarz must beat plain block-Jacobi shards
+    dsim_bj = DistributedSimulator(mesh, system, dmesh,
+                                   data_fields={"permeability": perm,
+                                                "porosity": poro})
+    step_bj = dsim_bj.newton_step_fn(rtol=rtol, max_lin_it=400)
+    *_x, lin_bj, _r = step_bj(sharded0, sharded0, dt)
+    assert lin_dist < int(np.asarray(lin_bj)), (lin_dist, int(np.asarray(lin_bj)))
+
+
 def test_distributed_forced_newton_with_sources():
     """Cell-source forces in the SPMD path match the single-device solve."""
     from jutul.jl_tpu.models.darcy import PhaseSourceTerm
@@ -247,6 +310,60 @@ def test_distributed_forward_feeds_adjoint():
     gr = np.asarray(grad_ref["Transmissibilities"])
     scale = np.abs(gr).max()
     np.testing.assert_allclose(gd, gr, atol=5e-3 * scale)
+
+
+def test_distributed_adjoint_matches_single():
+    """True DISTRIBUTED adjoint (VERDICT r1 item 6): transposed shard_map
+    solves + vjp-routed gradient accumulation must reproduce the
+    single-device adjoint for every parameter (cells AND faces), on the
+    same forward states (reference: dd-partitioned adjoint through the
+    PArray machinery, src/ad/gradients.jl:17; BASELINE config 5)."""
+    from jutul.jl_tpu import solve_adjoint_sensitivities
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+    from jutul.jl_tpu.parallel.adjoint import (
+        solve_adjoint_sensitivities_distributed,
+    )
+
+    require_devices(4)
+    mesh, system, _perm, poro, _p0, _sw = build_case()
+    nc = mesh.number_of_cells()
+    perm = np.full(nc, DARCY)  # smooth problem: well-conditioned gradients
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = DistributedSimulator(mesh, system, dmesh,
+                                data_fields={"permeability": perm,
+                                             "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=np.full(nc, 100.0 * BAR),
+        Saturations=np.stack([np.full(nc, 0.3), np.full(nc, 0.7)], axis=1))
+    q = np.zeros((1, 2))
+    q[0, 0] = 0.5
+    forces = {"src": PhaseSourceTerm([0], q)}
+    dts = [0.05 * DAY, 0.05 * DAY]
+
+    gmodel = dsim.global_model
+    params = setup_parameters(gmodel)
+    sim = Simulator(gmodel, state0=state0, parameters=params)
+    states, _ = sim.simulate(dts, forces=forces, info_level=-1,
+                             tolerances={"default": 1e-10},
+                             max_nonlinear_iterations=30)
+
+    def G(model, state, dt, n, forces_):
+        return dt * jnp.sum((state["Pressure"] / (100.0 * BAR)) ** 2)
+
+    grad_ref = solve_adjoint_sensitivities(
+        gmodel, states, dts, G, parameters=params, state0=state0,
+        forces=forces)
+    grad_dist = solve_adjoint_sensitivities_distributed(
+        dsim, states, dts, G, state0, forces=forces, parameters=params,
+        rtol=1e-13, max_lin_it=2000)
+
+    assert set(grad_dist) == set(grad_ref)
+    for name in grad_ref:
+        gr = np.asarray(grad_ref[name])
+        gd = np.asarray(grad_dist[name]).reshape(gr.shape)
+        scale = max(np.abs(gr).max(), 1e-30)
+        np.testing.assert_allclose(gd, gr, atol=1e-6 * scale,
+                                   err_msg=name)
 
 
 def test_distributed_simulate_with_output(tmp_path):
