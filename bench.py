@@ -380,13 +380,15 @@ def run_product(nx, ny, nz, n_lin_it):
     }))
 
 
-def _run_worker(n_rep: int, grid: str, timeout_s: int):
+def _run_worker(n_rep: int, grid: str, timeout_s: int, n_step=None):
     """One bench attempt in a fresh process (exactly one device execution
     per process — repeated executions can crash the TPU worker)."""
     env = dict(os.environ)
     env["_BENCH_WORKER"] = "1"
     env["BENCH_NREP"] = str(n_rep)
     env["BENCH_GRID"] = grid
+    if n_step is not None:
+        env["BENCH_NSTEP"] = str(n_step)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -413,17 +415,21 @@ def _orchestrate():
     emitting one JSON line (with a ``degraded`` field when not the full run).
     """
     base_rep = int(os.environ.get("BENCH_NREP", "100"))
+    base_step = int(os.environ.get("BENCH_NSTEP", "25"))
     base_grid = os.environ.get("BENCH_GRID", "128,128,64")
+    # each rung reduces BOTH the raw-mode reps and the product-mode report
+    # steps, so the ladder shrinks work whichever mode is selected
     rungs = [
-        (base_rep, base_grid, None, 3000),
-        (max(base_rep // 4, 2), base_grid, "retry_reduced_reps", 1500),
-        (10, "64,64,64", "retry_reduced_grid", 1200),
+        (base_rep, base_grid, base_step, None, 3000),
+        (max(base_rep // 4, 2), base_grid, max(base_step // 3, 2),
+         "retry_reduced_reps", 1500),
+        (10, "64,64,64", 4, "retry_reduced_grid", 1200),
     ]
     errors = []
-    for i, (n_rep, grid, degraded, timeout_s) in enumerate(rungs):
+    for i, (n_rep, grid, n_step, degraded, timeout_s) in enumerate(rungs):
         if i > 0:
             time.sleep(60)  # let the tunnel queue drain / worker settle
-        result, err = _run_worker(n_rep, grid, timeout_s)
+        result, err = _run_worker(n_rep, grid, timeout_s, n_step=n_step)
         if result is not None:
             if degraded:
                 result["degraded"] = degraded
@@ -435,7 +441,7 @@ def _orchestrate():
     # records a structured result instead of a crash.
     env_cpu = dict(os.environ)
     os.environ["BENCH_FORCE_CPU"] = "1"
-    result, err = _run_worker(2, "64,64,16", 1200)
+    result, err = _run_worker(2, "32,32,8", 1200, n_step=2)
     os.environ.clear()
     os.environ.update(env_cpu)
     if result is not None:
