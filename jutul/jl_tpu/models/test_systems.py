@@ -26,8 +26,10 @@ import numpy as np
 from ..core.entities import CELLS, FACES
 from ..discretization.tpfa import compute_face_trans
 from .equations import (
+    AccumulationContribution,
     CellTermContribution,
     ConservationLaw,
+    FaceFluxContribution,
     JutulEquation,
 )
 from .forces import JutulForce
@@ -224,3 +226,93 @@ class ScalarTestCrossTerm:
 
     def value(self, model_t, model_s, local_t, local_s, dt):
         return jnp.reshape(local_t["XVar"] - local_s["XVar"], (1,))
+
+
+# ---------------------------------------------------------------------------
+# Face-entity test system (equations on a NON-cell entity)
+# ---------------------------------------------------------------------------
+class FaceVal(ScalarVariable):
+    """Primary variable living on Faces (reference: variables may live on
+    any entity, core_types.jl:515-556)."""
+
+    def associated_entity(self, model=None):
+        return FACES
+
+
+class FaceSource(JutulParameter):
+    """Per-face source parameter."""
+
+    def __init__(self):
+        super().__init__(default=0.0, values_per_entity=1, entity=FACES)
+
+
+class FaceGraphDiffusionEquation(JutulEquation):
+    """Transient diffusion on the face-adjacency graph:
+
+        (v_f - v0_f)/dt + w * sum_{g ~ f} (v_f - v_g) - q_f = 0
+
+    with edges between faces that share a cell. An equation living on
+    ``Faces`` — the reference supports equations on arbitrary entities
+    (src/equations.jl:328-434 ``declare_sparsity`` over any entity); this
+    is the non-cell conformance case for the assembly engine.
+    """
+
+    def __init__(self, edges: np.ndarray, weight: float = 1.0):
+        self.edges = np.asarray(edges, dtype=np.int64)
+        self.weight = float(weight)
+
+    def entity(self, model):
+        return FACES
+
+    def contributions(self, model):
+        w = self.weight
+
+        def acc(model_, fs, fs0, dt):
+            return jnp.reshape((fs["FaceVal"] - fs0["FaceVal"]) / dt
+                               - fs["FaceSource"], (1,))
+
+        def edge_flux(model_, sides, es):
+            v = sides["FaceVal"]
+            return jnp.reshape(w * (v[0] - v[1]), (1,))
+
+        out = [AccumulationContribution(acc, name="face_acc")]
+        if len(self.edges):
+            out.append(FaceFluxContribution(
+                fn=edge_flux, stencil=self.edges,
+                plus=self.edges[:, 0], minus=self.edges[:, 1],
+                name="face_graph_flux"))
+        return out
+
+
+class FaceTestSystem(JutulSystem):
+    """System whose unknowns AND equations live on Faces."""
+
+    def __init__(self, edges, weight: float = 1.0):
+        self.edges = np.asarray(edges, dtype=np.int64)
+        self.weight = float(weight)
+
+    def select_primary_variables(self, model):
+        return OrderedDict(FaceVal=FaceVal())
+
+    def select_parameters(self, model):
+        return OrderedDict(FaceSource=FaceSource())
+
+    def select_equations(self, model):
+        return OrderedDict(face_diffusion=FaceGraphDiffusionEquation(
+            self.edges, self.weight))
+
+
+def face_adjacency_edges(mesh) -> np.ndarray:
+    """(n_edges, 2) pairs of interior faces sharing a cell (build-time)."""
+    nb = np.asarray(mesh.neighborship())
+    nf = nb.shape[0]
+    by_cell: dict[int, list[int]] = {}
+    for f in range(nf):
+        for c in nb[f]:
+            by_cell.setdefault(int(c), []).append(f)
+    edges = set()
+    for faces in by_cell.values():
+        for i in range(len(faces)):
+            for j in range(i + 1, len(faces)):
+                edges.add((faces[i], faces[j]))
+    return np.asarray(sorted(edges), dtype=np.int64).reshape(-1, 2)

@@ -71,7 +71,6 @@ class CompiledModel:
         model.validate()
         self.layout = model.dof_layout()
         self.ndof = self.layout.ndof
-        self.n_cells = model.number_of_cells()
         self.secondary_order = model.sorted_secondary_variables()
 
         # classify state entries by entity
@@ -81,21 +80,41 @@ class CompiledModel:
             for name, var in group.items():
                 self.cell_entry_entity[name] = var.associated_entity(model)
 
-        # equations: stacked rows per cell
+        # equations live on ONE common row entity — Cells usually, but any
+        # entity works (reference: equations on arbitrary entities,
+        # src/equations.jl:328-434); primaries must share it so the block
+        # system stays square per row.
         self.equations: list[EquationInfo] = []
         ofs = 0
+        row_entity: JutulEntity | None = None
         for name, eq in model.equations.items():
-            if eq.entity(model) != CELLS:
+            ent = eq.entity(model)
+            if row_entity is None:
+                row_entity = ent
+            elif ent != row_entity:
                 raise NotImplementedError(
-                    "Only cell-based equations are supported so far"
+                    f"all equations must share one entity; got {row_entity}"
+                    f" and {ent} (mixed-entity systems couple via MultiModel)"
                 )
             neq = eq.number_of_equations_per_entity(model)
             self.equations.append(EquationInfo(name, eq, neq, slice(ofs, ofs + neq)))
             ofs += neq
+        self.row_entity = row_entity if row_entity is not None else CELLS
+        for name, var in model.primary_variables.items():
+            if var.associated_entity(model) != self.row_entity:
+                raise NotImplementedError(
+                    f"primary {name!r} lives on "
+                    f"{var.associated_entity(model)}, equations on "
+                    f"{self.row_entity}")
+        # row-entity count; named n_cells for the common Cells case
+        self.n_cells = model.count_entities(self.row_entity)
+        # coupling ("face") parameters: entries on Faces when rows are not
+        # Faces themselves; a Faces-row model has no distinct coupling entity
+        self.coupling_entity = FACES if self.row_entity != FACES else None
         self.neq_total = ofs
         if self.neq_total != self.ndof:
             raise ValueError(
-                f"equations per cell ({self.neq_total}) != dofs per cell "
+                f"equations per row ({self.neq_total}) != dofs per row "
                 f"({self.ndof}); square systems required"
             )
 
@@ -239,14 +258,14 @@ class CompiledModel:
 
     def _cell_entries(self, state: dict, include=("primary", "secondary",
                                                   "parameter", "extra")) -> dict:
-        """Subset of state living on Cells."""
+        """Subset of state living on the row entity (Cells usually)."""
         model = self.model
         out = {}
         for name, val in state.items():
             ent = self.cell_entry_entity.get(name)
             if ent is None:
                 continue  # unknown extra entries are ignored in local views
-            if ent == CELLS:
+            if ent == self.row_entity:
                 kind = (
                     "primary" if name in model.primary_variables
                     else "secondary" if name in model.secondary_variables
@@ -257,9 +276,12 @@ class CompiledModel:
         return out
 
     def _face_entries(self, state: dict) -> dict:
+        """Coupling-entity entries (Faces params for cell-row models)."""
         out = {}
+        if self.coupling_entity is None:
+            return out
         for name, val in state.items():
-            if self.cell_entry_entity.get(name) == FACES:
+            if self.cell_entry_entity.get(name) == self.coupling_entity:
                 out[name] = val
         return out
 

@@ -1,0 +1,122 @@
+"""Equations on NON-cell entities (VERDICT r1 item 9).
+
+The reference places equations/variables on arbitrary entities
+(src/equations.jl:328-434); round 1's engine raised NotImplementedError for
+anything but Cells. These tests drive a Faces-entity system — unknowns,
+equation rows, AND couplings all on the face-adjacency graph — through the
+standard Simulator, asserting against a dense numpy reference solve.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    SimulationModel,
+    Simulator,
+    compile_model,
+    setup_parameters,
+    setup_state,
+)
+from jutul.jl_tpu.core.domains import DataDomain
+from jutul.jl_tpu.linsolve.direct import DirectSolver
+from jutul.jl_tpu.models.test_systems import (
+    FaceTestSystem,
+    face_adjacency_edges,
+)
+
+
+def build_face_model(nx=4, ny=3, w=0.7):
+    mesh = CartesianMesh((nx, ny), (1.0, 1.0))
+    edges = face_adjacency_edges(mesh)
+    assert len(edges) > 0
+    system = FaceTestSystem(edges, weight=w)
+    model = SimulationModel(DataDomain(mesh), system)
+    return mesh, model, edges
+
+
+def dense_reference(nf, edges, w, dt, v0, q):
+    """Implicit Euler on (v - v0)/dt + w L v = q with graph Laplacian L."""
+    L = np.zeros((nf, nf))
+    for f, g in edges:
+        L[f, f] += w
+        L[f, g] -= w
+        L[g, g] += w
+        L[g, f] -= w
+    A = np.eye(nf) / dt + L
+    return np.linalg.solve(A, v0 / dt + q)
+
+
+def test_face_entity_assembles():
+    """Row entity is Faces; the compiled engine sizes rows by face count."""
+    mesh, model, edges = build_face_model()
+    comp = compile_model(model)
+    nf = mesh.number_of_faces()
+    assert comp.row_entity.name() == "Faces"
+    assert comp.n_cells == nf  # row-entity count
+    state0 = setup_state(model, FaceVal=np.full(nf, 0.37))
+    params = setup_parameters(model)
+    full = comp.evaluate_secondaries({**state0, **params})
+    r = comp.residual(full, full, 1.0)
+    # constant field, zero sources: acc = 0 and every edge flux = 0
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-14)
+
+
+def test_face_entity_solves_vs_dense():
+    """One implicit-Euler step on the face graph matches the dense solve."""
+    mesh, model, edges = build_face_model()
+    nf = mesh.number_of_faces()
+    rng = np.random.default_rng(4)
+    v0 = rng.uniform(-1.0, 1.0, nf)
+    q = rng.uniform(-0.5, 0.5, nf)
+    dt = 0.3
+    w = 0.7
+
+    state0 = setup_state(model, FaceVal=v0)
+    params = setup_parameters(model, FaceSource=q)
+    sim = Simulator(model, state0=state0, parameters=params)
+    sim._solver = DirectSolver()
+    states, reports = sim.simulate([dt], info_level=-1,
+                                   tolerances={"default": 1e-12})
+    assert all(r["success"] for r in reports)
+    expect = dense_reference(nf, edges, w, dt, v0, q)
+    np.testing.assert_allclose(np.asarray(states[-1]["FaceVal"]), expect,
+                               rtol=1e-9)
+
+
+def test_face_entity_multistep_and_jacobian():
+    """Linear problem: Newton must converge in ONE iteration per step, and
+    the assembled Jacobian must equal the dense operator."""
+    mesh, model, edges = build_face_model()
+    nf = mesh.number_of_faces()
+    w, dt = 0.7, 0.5
+    v0 = np.zeros(nf)
+    q = np.ones(nf)
+    state0 = setup_state(model, FaceVal=v0)
+    params = setup_parameters(model, FaceSource=q)
+    comp = compile_model(model)
+    full = comp.evaluate_secondaries(
+        {**{k: jnp.asarray(v) for k, v in state0.items()},
+         **{k: jnp.asarray(v) for k, v in params.items()}})
+    _r, J, _fe = comp.assemble(full, full, dt)
+    from jutul.jl_tpu.ops.blockell import ell_to_dense
+
+    dense = np.asarray(ell_to_dense(J.blocks, jnp.asarray(J.structure.cols)))
+    L = np.zeros((nf, nf))
+    for f, g in edges:
+        L[f, f] += w
+        L[f, g] -= w
+        L[g, g] += w
+        L[g, f] -= w
+    np.testing.assert_allclose(dense, np.eye(nf) / dt + L, atol=1e-12)
+
+    sim = Simulator(model, state0=state0, parameters=params)
+    sim._solver = DirectSolver()
+    states, reports = sim.simulate([dt, dt], info_level=-1,
+                                   tolerances={"default": 1e-11})
+    v = np.asarray(states[0]["FaceVal"])
+    expect = dense_reference(nf, edges, w, dt, v0, q)
+    np.testing.assert_allclose(v, expect, rtol=1e-9)
+    expect2 = dense_reference(nf, edges, w, dt, expect, q)
+    np.testing.assert_allclose(np.asarray(states[1]["FaceVal"]), expect2,
+                               rtol=1e-9)
