@@ -1,0 +1,211 @@
+"""Convex-cell geometry kernels: half-spaces, clipping, exact integrals.
+
+Build-time (numpy) geometry shared by exact trajectory intersection
+(counterpart of reference src/meshes/trajectories.jl:43), embedded-fracture
+FV coupling (reference src/meshes/EmbeddedMeshes/finite-volume.jl:1-221) and
+cut-cell utilities (reference src/meshes/CutCellMeshes/). Cells are treated
+as the intersection of the half-spaces of their faces — exact for convex
+cells (every Cartesian/corner-point cell; the standard assumption the
+reference makes for point-location too).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cell_halfspaces(mesh_or_geo):
+    """Per-cell outward face half-spaces.
+
+    Returns a list (per cell) of (points (m, dim), normals (m, dim)): the
+    planes of all incident faces with OUTWARD-oriented unit normals (interior
+    normals are stored left->right by the geometry, so they flip for the
+    right cell)."""
+    geo = (mesh_or_geo.tpfv_geometry()
+           if hasattr(mesh_or_geo, "tpfv_geometry") else mesh_or_geo)
+    nc = geo.n_cells
+    pts = [[] for _ in range(nc)]
+    nrm = [[] for _ in range(nc)]
+    nb = geo.neighbors
+    for f in range(nb.shape[0]):
+        l, r = int(nb[f, 0]), int(nb[f, 1])
+        pts[l].append(geo.face_centroids[f])
+        nrm[l].append(geo.normals[f])
+        pts[r].append(geo.face_centroids[f])
+        nrm[r].append(-geo.normals[f])
+    bn = geo.boundary_neighbors
+    for f in range(len(bn)):
+        c = int(bn[f])
+        pts[c].append(geo.boundary_centroids[f])
+        nrm[c].append(geo.boundary_normals[f])
+    return [(np.asarray(p), np.asarray(n)) for p, n in zip(pts, nrm)]
+
+
+def clip_segment(a, b, planes_pts, planes_nrm, tol: float = 1e-12):
+    """Clip segment a->b against half-spaces {x: (x-p).n <= 0}.
+
+    Returns (t0, t1) with 0 <= t0 <= t1 <= 1, or None if the segment misses
+    the convex region. Exact for convex cells (vs. the sampling heuristic)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    da = np.einsum("mi,i->m", planes_nrm, a) - np.einsum(
+        "mi,mi->m", planes_nrm, planes_pts)
+    db = np.einsum("mi,i->m", planes_nrm, b) - np.einsum(
+        "mi,mi->m", planes_nrm, planes_pts)
+    t0, t1 = 0.0, 1.0
+    for fa, fb in zip(da, db):
+        d = fb - fa
+        if abs(d) < tol:
+            if fa > tol:
+                return None
+            continue
+        t = -fa / d
+        if d > 0:  # exiting
+            t1 = min(t1, t)
+        else:  # entering
+            t0 = max(t0, t)
+        if t0 > t1 + tol:
+            return None
+    if t0 > t1:
+        return None
+    return (t0, t1)
+
+
+def clip_polygon_plane(poly, p0, n, tol: float = 1e-12):
+    """Sutherland-Hodgman: keep the part of a (planar, 3D or 2D) polygon
+    with (x - p0).n <= 0. Returns (k, dim) vertex array (possibly empty)."""
+    poly = np.asarray(poly, dtype=np.float64)
+    if len(poly) == 0:
+        return poly
+    d = (poly - np.asarray(p0)) @ np.asarray(n)
+    out = []
+    m = len(poly)
+    for i in range(m):
+        j = (i + 1) % m
+        di, dj = d[i], d[j]
+        if di <= tol:
+            out.append(poly[i])
+        if (di < -tol and dj > tol) or (di > tol and dj < -tol):
+            t = di / (di - dj)
+            out.append(poly[i] + t * (poly[j] - poly[i]))
+    return np.asarray(out) if out else np.zeros((0, poly.shape[1]))
+
+
+def polygon_area_centroid(poly):
+    """(area, centroid) of a planar polygon in 2D or 3D (fan rule)."""
+    poly = np.asarray(poly, dtype=np.float64)
+    if len(poly) < 3:
+        return 0.0, np.zeros(poly.shape[1] if poly.ndim == 2 else 3)
+    o = poly.mean(axis=0)
+    A = poly - o
+    B = np.roll(poly, -1, axis=0) - o
+    if poly.shape[1] == 2:
+        cr = 0.5 * (A[:, 0] * B[:, 1] - A[:, 1] * B[:, 0])
+        area = abs(cr.sum())
+        tri_c = (o[None] + poly + np.roll(poly, -1, axis=0)) / 3.0
+        tot = np.abs(cr).sum()
+        cen = (tri_c * np.abs(cr)[:, None]).sum(axis=0) / max(tot, 1e-300)
+        return float(area), cen
+    cr = 0.5 * np.cross(A, B)
+    tri_a = np.linalg.norm(cr, axis=1)
+    area = np.linalg.norm(cr.sum(axis=0))
+    tri_c = (o[None] + poly + np.roll(poly, -1, axis=0)) / 3.0
+    tot = max(tri_a.sum(), 1e-300)
+    cen = (tri_c * tri_a[:, None]).sum(axis=0) / tot
+    return float(area), cen
+
+
+def cell_tetrahedra(mesh, cell: int):
+    """Decompose a (3D) cell into tetrahedra (apex = face-centroid mean;
+    each face fanned from its own centroid) — the same decomposition the
+    mesh geometry uses, so volumes sum exactly."""
+    geo = mesh.tpfv_geometry()
+    pts = mesh.points
+    tets = []
+    apex = None
+    faces = []
+    nb = geo.neighbors
+    for f in range(nb.shape[0]):
+        if int(nb[f, 0]) == cell or int(nb[f, 1]) == cell:
+            faces.append(pts[np.asarray(mesh.face_nodes[f])])
+    for f in range(mesh.number_of_boundary_faces()):
+        if int(mesh.boundary_face_cells[f]) == cell:
+            faces.append(pts[np.asarray(mesh.boundary_face_nodes[f])])
+    cents = [fp.mean(axis=0) for fp in faces]
+    apex = np.mean(cents, axis=0)
+    for fp, fc in zip(faces, cents):
+        m = len(fp)
+        for i in range(m):
+            tets.append(np.stack([apex, fc, fp[i], fp[(i + 1) % m]]))
+    return tets
+
+
+def _tet_volume(t):
+    return abs(np.linalg.det(t[1:] - t[0])) / 6.0
+
+
+def _positive_part_tets(t, phi, tol: float = 1e-14):
+    """Tetrahedra covering {phi >= 0} inside tet ``t`` (phi per vertex of a
+    LINEAR field). The four classic sign cases."""
+    pos = phi > tol
+    npos = int(pos.sum())
+    if npos == 0:
+        return []
+    if npos == 4 or (phi >= -tol).all():
+        return [t]
+
+    def cut(i, j):
+        a, b = phi[i], phi[j]
+        s = a / (a - b)
+        return t[i] + s * (t[j] - t[i])
+
+    ip = np.flatnonzero(pos)
+    im = np.flatnonzero(~pos)
+    if npos == 1:
+        p = ip[0]
+        i1, i2, i3 = (cut(p, q) for q in im)
+        return [np.stack([t[p], i1, i2, i3])]
+    if npos == 3:
+        q = im[0]
+        p1, p2, p3 = (t[i] for i in ip)
+        i1, i2, i3 = (cut(i, q) for i in ip)
+        return [np.stack([p1, p2, p3, i1]),
+                np.stack([p2, p3, i1, i2]),
+                np.stack([p3, i1, i2, i3])]
+    # npos == 2: wedge p1 p2 | i11 i12 i21 i22
+    p1, p2 = ip
+    n1, n2 = im
+    A1, B1, C1 = t[p1], cut(p1, n1), cut(p1, n2)
+    A2, B2, C2 = t[p2], cut(p2, n1), cut(p2, n2)
+    return [np.stack([A1, B1, C1, A2]),
+            np.stack([B1, C1, A2, B2]),
+            np.stack([C1, A2, B2, C2])]
+
+
+def mean_abs_distance(mesh, cell: int, plane_point, plane_normal):
+    """EXACT (1/V) * integral over the cell of |signed distance to plane|
+    (reference EmbeddedMeshes/finite-volume.jl average normal distance; the
+    standard EDFM <d>). Uses int |phi| = 2 * int_{phi>0} phi - int phi over
+    each tetrahedron with phi linear."""
+    n = np.asarray(plane_normal, dtype=np.float64)
+    n = n / np.linalg.norm(n)
+    p0 = np.asarray(plane_point, dtype=np.float64)
+
+    def phi_of(pts):
+        return (pts - p0) @ n
+
+    tot_v = 0.0
+    tot_i = 0.0
+    for t in cell_tetrahedra(mesh, cell):
+        v = _tet_volume(t)
+        if v <= 0:
+            continue
+        phi = phi_of(t)
+        i_all = v * phi.mean()
+        i_pos = 0.0
+        for tp in _positive_part_tets(t, phi):
+            vp = _tet_volume(tp)
+            i_pos += vp * phi_of(tp).mean()
+        tot_i += 2.0 * i_pos - i_all
+        tot_v += v
+    return tot_i / max(tot_v, 1e-300)

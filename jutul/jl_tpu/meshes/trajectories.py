@@ -3,21 +3,89 @@
 Counterpart of the reference trajectories module (reference:
 src/meshes/trajectories.jl — ``find_enclosing_cells`` :43: which cells a
 well polyline passes through, used to place well perforations).
+
+Two methods:
+- "exact" (default): each segment is clipped against every candidate cell's
+  face half-spaces — exact for convex cells, with entry/exit parameters and
+  in-cell lengths (the reference's exact polyline-cell intersection).
+- "sampling": dense sampling + nearest-centroid (round-1 heuristic), kept
+  for non-convex cells.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .convexgeom import cell_halfspaces, clip_segment
 
-def find_enclosing_cells(mesh_or_geo, trajectory, n_samples_per_segment: int = 25):
+
+def trajectory_intersections(mesh_or_geo, trajectory):
+    """Exact polyline-cell intersections (reference trajectories.jl:43).
+
+    Returns a list of dicts {cell, segment, t0, t1, length, entry, exit}
+    ordered along the trajectory. Exact for convex cells: the segment's
+    parameter interval is clipped by each candidate cell's face planes.
+    """
+    geo = (mesh_or_geo.tpfv_geometry()
+           if hasattr(mesh_or_geo, "tpfv_geometry") else mesh_or_geo)
+    traj = np.asarray(trajectory, dtype=np.float64)
+    cc = geo.cell_centroids
+    if traj.ndim != 2 or traj.shape[1] != cc.shape[1]:
+        raise ValueError(f"trajectory must be (n, {cc.shape[1]})")
+    hs = cell_halfspaces(geo)
+    dim = cc.shape[1]
+    # candidate prefilter: bounding-sphere radius per cell
+    radius = (geo.volumes ** (1.0 / dim)) * np.sqrt(dim)
+
+    out = []
+    for s, (a, b) in enumerate(zip(traj[:-1], traj[1:])):
+        seg_len = float(np.linalg.norm(b - a))
+        if seg_len == 0.0:
+            continue
+        # cells whose bounding sphere the segment approaches
+        ab = (b - a) / seg_len
+        v = cc - a[None, :]
+        t_near = np.clip(v @ ab, 0.0, seg_len)
+        d2 = np.sum((v - t_near[:, None] * ab[None, :]) ** 2, axis=1)
+        cand = np.flatnonzero(d2 <= (1.5 * radius) ** 2)
+        hits = []
+        for c in cand:
+            pp, nn = hs[c]
+            res = clip_segment(a, b, pp, nn)
+            if res is None:
+                continue
+            t0, t1 = res
+            if t1 - t0 <= 1e-12:
+                continue
+            hits.append({
+                "cell": int(c), "segment": s, "t0": float(t0),
+                "t1": float(t1), "length": (t1 - t0) * seg_len,
+                "entry": a + t0 * (b - a), "exit": a + t1 * (b - a),
+            })
+        hits.sort(key=lambda h: h["t0"])
+        out.extend(hits)
+    return out
+
+
+def find_enclosing_cells(mesh_or_geo, trajectory,
+                         n_samples_per_segment: int = 25,
+                         method: str = "exact"):
     """Cells traversed by the polyline (reference trajectories.jl:43).
 
-    Sampling-based: each segment is sampled densely and samples are located
-    by nearest-centroid with an inside-radius check — robust for convex
-    cells and the standard approach for well paths. Returns unique cell
-    indices in traversal order.
+    method="exact" clips each segment against cell face half-spaces (exact
+    for convex cells); method="sampling" is the dense-sampling heuristic
+    (use for strongly non-convex cells). Returns unique cell indices in
+    traversal order.
     """
+    if method == "exact":
+        inter = trajectory_intersections(mesh_or_geo, trajectory)
+        seen, out = set(), []
+        for h in inter:
+            if h["cell"] not in seen:
+                seen.add(h["cell"])
+                out.append(h["cell"])
+        return np.asarray(out, dtype=np.int64)
+
     geo = mesh_or_geo.tpfv_geometry() if hasattr(mesh_or_geo, "tpfv_geometry") \
         else mesh_or_geo
     cc = geo.cell_centroids

@@ -1,0 +1,100 @@
+"""Convex geometry kernels + exact trajectory intersection
+(reference: trajectories.jl:43 exact polyline-cell location;
+EmbeddedMeshes/finite-volume.jl average-distance integrals)."""
+
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh
+from jutul.jl_tpu.meshes.convexgeom import (
+    cell_halfspaces,
+    clip_polygon_plane,
+    clip_segment,
+    mean_abs_distance,
+    polygon_area_centroid,
+)
+from jutul.jl_tpu.meshes.trajectories import (
+    find_enclosing_cells,
+    trajectory_intersections,
+)
+from jutul.jl_tpu.meshes.unstructured import UnstructuredMesh
+
+
+def test_clip_segment_unit_cube():
+    mesh = CartesianMesh((1, 1, 1), (1.0, 1.0, 1.0))
+    pp, nn = cell_halfspaces(mesh)[0]
+    # diagonal through the cube
+    t = clip_segment([-1, -1, -1], [2, 2, 2], pp, nn)
+    np.testing.assert_allclose(t, (1 / 3, 2 / 3), atol=1e-12)
+    # miss
+    assert clip_segment([2, 0.5, 0.5], [2, 2, 2], pp, nn) is None
+
+
+def test_exact_trajectory_lengths_sum():
+    """The in-cell lengths of a diagonal line must sum to the exact in-domain
+    length, and traversal order must be monotone (geometric invariant the
+    sampling heuristic cannot guarantee)."""
+    nx, ny, nz = 5, 4, 3
+    mesh = CartesianMesh((nx, ny, nz), (5.0, 4.0, 3.0))
+    a = np.array([0.1, 0.15, 0.2])
+    b = np.array([4.7, 3.8, 2.9])
+    inter = trajectory_intersections(mesh, np.stack([a, b]))
+    total = sum(h["length"] for h in inter)
+    np.testing.assert_allclose(total, np.linalg.norm(b - a), rtol=1e-10)
+    t0s = [h["t0"] for h in inter]
+    assert t0s == sorted(t0s)
+    # entry of hit k+1 == exit of hit k (watertight traversal)
+    for h1, h2 in zip(inter[:-1], inter[1:]):
+        np.testing.assert_allclose(h1["exit"], h2["entry"], atol=1e-9)
+
+
+def test_exact_vs_known_column():
+    """A vertical well through the center of column (2,1) visits exactly the
+    nz cells of that column, in order."""
+    nx, ny, nz = 4, 3, 5
+    mesh = CartesianMesh((nx, ny, nz), (4.0, 3.0, 5.0))
+    traj = np.array([[2.5, 1.5, -0.5], [2.5, 1.5, 5.5]])
+    cells = find_enclosing_cells(mesh, traj)
+    expect = [2 + 4 * 1 + 12 * k for k in range(nz)]
+    assert list(cells) == expect
+    inter = trajectory_intersections(mesh, traj)
+    for h in inter:
+        np.testing.assert_allclose(h["length"], 1.0, rtol=1e-10)
+
+
+def test_exact_on_unstructured():
+    mesh = UnstructuredMesh.from_cartesian(CartesianMesh((3, 3, 3),
+                                                         (3.0, 3.0, 3.0)))
+    traj = np.array([[0.5, 0.5, -1.0], [0.5, 0.5, 4.0]])
+    cells = find_enclosing_cells(mesh, traj)
+    assert list(cells) == [0, 9, 18]
+
+
+def test_polygon_clip_area():
+    sq = np.array([[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0]], float)
+    a0, _ = polygon_area_centroid(sq)
+    np.testing.assert_allclose(a0, 4.0)
+    half = clip_polygon_plane(sq, p0=[1, 0, 0], n=[1, 0, 0])
+    a1, c1 = polygon_area_centroid(half)
+    np.testing.assert_allclose(a1, 2.0)
+    np.testing.assert_allclose(c1, [0.5, 1.0, 0.0], atol=1e-12)
+    gone = clip_polygon_plane(sq, p0=[-1, 0, 0], n=[1, 0, 0])
+    assert polygon_area_centroid(gone)[0] == 0.0
+
+
+def test_mean_abs_distance_exact():
+    """Unit cell, plane z=z0: <|z - z0|> over the cell has the closed form
+    (h/4 at the center; quadratic off-center) — the EDFM <d> integral."""
+    mesh = CartesianMesh((1, 1, 1), (1.0, 1.0, 1.0))
+    um = UnstructuredMesh.from_cartesian(mesh)
+    # through the center: mean |z-0.5| over [0,1] = 1/4
+    d = mean_abs_distance(um, 0, [0, 0, 0.5], [0, 0, 1])
+    np.testing.assert_allclose(d, 0.25, rtol=1e-12)
+    # off-center z0=0.25: integral |z-1/4| dz = 9/32+1/32 = 10/32
+    d = mean_abs_distance(um, 0, [0, 0, 0.25], [0, 0, 1])
+    np.testing.assert_allclose(d, 10 / 32, rtol=1e-12)
+    # plane outside the cell: mean distance to z=2 is 1.5
+    d = mean_abs_distance(um, 0, [0, 0, 2.0], [0, 0, 1])
+    np.testing.assert_allclose(d, 1.5, rtol=1e-12)
+    # tilted plane through the center of a cube: symmetric, positive
+    d = mean_abs_distance(um, 0, [0.5, 0.5, 0.5], [1, 1, 1])
+    assert 0.1 < d < 0.5
