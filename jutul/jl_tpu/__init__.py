@@ -107,7 +107,7 @@ from .adjoint.optimization import (
     optimization_config,
     setup_parameter_optimization,
 )
-from .linsolve.amg import AMGPreconditioner
+from .linsolve.amg import AMGPreconditioner, SmoothedAggregationAMG
 from .linsolve.cpr import CPRPreconditioner
 from .linsolve.direct import DirectSolver
 from .linsolve.krylov import GenericKrylov, bicgstab, gmres
@@ -125,7 +125,22 @@ from .meshes.tags import (
     get_mesh_entity_tag,
     set_mesh_entity_tag,
 )
-from .meshes.trajectories import find_enclosing_cells
+from .meshes.trajectories import (
+    find_enclosing_cells,
+    trajectory_intersections,
+)
+from .meshes.embedded import (
+    SurfaceMesh,
+    embed_surface,
+    fracture_matrix_trans,
+)
+from .meshes.cutcell import (
+    PlaneCut,
+    SurfaceCut,
+    cut_mesh,
+    glue_mesh,
+    merge_faces,
+)
 from .meshes.extruded import extrude_mesh
 from .models.composite import CompositeSystem
 from .models.helper import HelperSimulator

@@ -40,6 +40,57 @@ class PlaneCut:
         return (pts - np.asarray(self.point)) @ n
 
 
+@dataclass(frozen=True)
+class SurfaceCut:
+    """Cut defined by an oriented polygonal surface (reference:
+    CutCellMeshes cutting.jl — polygonal-surface cuts, 1,001 LoC; here the
+    surface enters ``cut_mesh`` through its signed-distance field).
+
+    ``surface`` is a :class:`~.embedded.SurfaceMesh` of CONVEX planar
+    polygons. The signed distance of a query point is the distance to the
+    closest point on the surface, signed by the closest polygon's plane.
+    Edge crossings are found by linear interpolation of nodal distances —
+    exact where the surface is locally planar (every polygon interior),
+    first-order accurate across polygon creases. Surfaces that do not span
+    the domain cut along their closest-point extension.
+    """
+
+    surface: object
+
+    def signed_distance(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.asarray(pts, dtype=np.float64)
+        best = np.full(pts.shape[0], np.inf)
+        sgn = np.ones(pts.shape[0])
+        s = self.surface
+        for c in range(s.number_of_cells()):
+            poly = s.cell_polygon(c)
+            p0, n = s.cell_plane(c)
+            d_pl = (pts - p0) @ n  # signed plane distance
+            proj = pts - d_pl[:, None] * n[None, :]
+            # inside test for CONVEX polygon: same side of every edge
+            inside = np.ones(pts.shape[0], dtype=bool)
+            m = len(poly)
+            for i in range(m):
+                a, b = poly[i], poly[(i + 1) % m]
+                edge_n = np.cross(b - a, n)  # in-plane outward-ish normal
+                side = (proj - a) @ edge_n
+                ref = float((poly.mean(axis=0) - a) @ edge_n)
+                inside &= (side * np.sign(ref) >= -1e-12 * max(
+                    1.0, abs(ref)))
+            dist = np.where(inside, np.abs(d_pl), np.inf)
+            # edges: closest point on each segment
+            for i in range(m):
+                a, b = poly[i], poly[(i + 1) % m]
+                ab = b - a
+                t = np.clip(((pts - a) @ ab) / max(ab @ ab, 1e-300), 0.0, 1.0)
+                q = a[None] + t[:, None] * ab[None]
+                dist = np.minimum(dist, np.linalg.norm(pts - q, axis=1))
+            upd = dist < best
+            best = np.where(upd, dist, best)
+            sgn = np.where(upd, np.where(d_pl >= 0, 1.0, -1.0), sgn)
+        return sgn * best
+
+
 class _PointPool:
     """Deduplicating point registry for cut points."""
 
@@ -76,6 +127,10 @@ def _clip_polygon(loop, d, pool: _PointPool, side: int):
         da, db = sgn * d[a], sgn * d[b]
         if da >= 0:
             out.append(a)
+        if da == 0:
+            # existing node ON the cut: it bounds the cap polygon too
+            # (cuts through mesh corners/edges)
+            cut_nodes.append(a)
         if (da > 0 and db < 0) or (da < 0 and db > 0):
             t = da / (da - db)
             p = pool.pts[a] + t * (pool.pts[b] - pool.pts[a])
@@ -87,10 +142,13 @@ def _clip_polygon(loop, d, pool: _PointPool, side: int):
     return out, cut_nodes
 
 
-def cut_mesh(mesh: UnstructuredMesh, cut: PlaneCut,
+def cut_mesh(mesh: UnstructuredMesh, cut,
              tol: float = 1e-9) -> UnstructuredMesh:
-    """Split every cell crossed by the plane into two cells
-    (reference cut_mesh). Cells fully on one side are kept as-is."""
+    """Split every cell crossed by the cut into two cells
+    (reference cut_mesh, CutCellMeshes/cutting.jl). ``cut`` is anything
+    with a ``signed_distance(points)`` field — :class:`PlaneCut` for plane
+    cuts, :class:`SurfaceCut` for polygonal-surface (fault) cuts. Cells
+    fully on one side are kept as-is."""
     dim = mesh.dim
     pool = _PointPool(np.asarray(mesh.points, dtype=np.float64))
     d = cut.signed_distance(pool.array())
@@ -153,10 +211,14 @@ def cut_mesh(mesh: UnstructuredMesh, cut: PlaneCut,
     def face_side_pieces(f, bnd):
         loop = face_loop(f, bnd)
         dd = [d[n] for n in loop]
+        # uncut face — but when the plane CONTAINS one of its edges (>= 2
+        # zero nodes), that edge still bounds the neighbor cells' caps
+        zn = [n for n in loop if d[n] == 0]
+        zn = zn if 2 <= len(zn) < len(loop) else []
         if all(x >= 0 for x in dd):
-            return [(loop, +1)], []
+            return [(loop, +1)], zn
         if all(x <= 0 for x in dd):
-            return [(loop, -1)], []
+            return [(loop, -1)], zn
         lp, cut_p = _clip_polygon(loop, d, pool, +1)
         lm, cut_m = _clip_polygon(loop, d, pool, -1)
         pieces = []
@@ -215,7 +277,11 @@ def _stitch_cycle(edges):
     from collections import defaultdict
 
     adj = defaultdict(list)
+    seen = set()
     for a, b in edges:
+        if a == b or (min(a, b), max(a, b)) in seen:
+            continue  # degenerate / duplicate cap segments
+        seen.add((min(a, b), max(a, b)))
         adj[a].append(b)
         adj[b].append(a)
     if not adj:
@@ -322,3 +388,118 @@ def embed_mesh(host, embedded, aperture: float = 1e-3, perm_scale: float = 1.0):
     area = eg.volumes * (aperture if eg.dim < dim_h else 1.0)
     ci = perm_scale * area / np.maximum(size / 4.0, 1e-300)
     return host_cells, np.arange(len(host_cells), dtype=np.int64), ci
+
+
+def merge_faces(mesh: UnstructuredMesh, tol: float = 1e-8) -> UnstructuredMesh:
+    """Merge coplanar faces that connect the same cell pair into single
+    polygons (reference: CutCellMeshes/merge_faces.jl, 493 LoC — cutting
+    fragments faces; merging restores one face per cell pair and plane).
+
+    A group of faces is merged when (a) the faces share the SAME (left,
+    right) cells — or the same cell for boundary faces — (b) they are
+    coplanar within ``tol`` (unit normal and plane offset), and (c) the
+    union's once-only edges stitch into one closed loop. Groups failing any
+    condition are left untouched. Total area/volume are conserved exactly.
+    """
+    from collections import defaultdict
+
+    pts = mesh.points
+    scale = max(float(np.abs(pts).max()), 1.0)
+
+    def plane_key(loop):
+        P = pts[np.asarray(loop)]
+        o = P.mean(axis=0)
+        if mesh.dim == 2:
+            d = P[1] - P[0]
+            n = np.array([d[1], -d[0]])
+        else:
+            n = np.cross(P - o, np.roll(P, -1, axis=0) - o).sum(axis=0)
+        nn = np.linalg.norm(n)
+        if nn <= 0:
+            return None
+        n = n / nn
+        # canonical orientation for keying
+        for comp in n:
+            if abs(comp) > 1e-12:
+                if comp < 0:
+                    n = -n
+                break
+        off = float(o @ n)
+        return (tuple(np.round(n / tol).astype(np.int64)),
+                int(np.round(off / (tol * scale))))
+
+    def try_merge(loops):
+        """Union of coplanar loops -> single stitched loop or None."""
+        cnt = defaultdict(int)
+        for loop in loops:
+            m = len(loop)
+            for i in range(m):
+                a, b = loop[i], loop[(i + 1) % m]
+                cnt[(min(a, b), max(a, b))] += 1
+        once = [e for e, k in cnt.items() if k == 1]
+        if any(k > 2 for k in cnt.values()):
+            return None
+        loop = _stitch_cycle(once)
+        if loop is None or len(loop) != len(once):
+            return None
+        return loop
+
+    # interior faces by (l, r, plane)
+    groups = defaultdict(list)
+    nb = mesh.face_neighbors
+    for f in range(mesh.number_of_faces()):
+        k = plane_key(list(mesh.face_nodes[f]))
+        if k is None:
+            continue
+        l, r = int(nb[f, 0]), int(nb[f, 1])
+        groups[(l, r, k)].append(f)
+    new_faces, new_nbrs = [], []
+    dropped = set()
+    for (l, r, _k), fs in groups.items():
+        if len(fs) < 2:
+            continue
+        loops = [list(mesh.face_nodes[f]) for f in fs]
+        merged = try_merge(loops)
+        if merged is None:
+            continue
+        new_faces.append(merged)
+        new_nbrs.append([l, r])
+        dropped.update(fs)
+    faces = [list(mesh.face_nodes[f]) for f in range(mesh.number_of_faces())
+             if f not in dropped]
+    nbrs = [list(nb[f]) for f in range(mesh.number_of_faces())
+            if f not in dropped]
+    faces += new_faces
+    nbrs += new_nbrs
+
+    # boundary faces by (cell, plane)
+    bgroups = defaultdict(list)
+    for f in range(mesh.number_of_boundary_faces()):
+        k = plane_key(list(mesh.boundary_face_nodes[f]))
+        if k is None:
+            continue
+        bgroups[(int(mesh.boundary_face_cells[f]), k)].append(f)
+    bnew, bnew_cells = [], []
+    bdropped = set()
+    for (c, _k), fs in bgroups.items():
+        if len(fs) < 2:
+            continue
+        loops = [list(mesh.boundary_face_nodes[f]) for f in fs]
+        merged = try_merge(loops)
+        if merged is None:
+            continue
+        bnew.append(merged)
+        bnew_cells.append(c)
+        bdropped.update(fs)
+    bnd = [list(mesh.boundary_face_nodes[f])
+           for f in range(mesh.number_of_boundary_faces())
+           if f not in bdropped]
+    bnd_cells = [int(mesh.boundary_face_cells[f])
+                 for f in range(mesh.number_of_boundary_faces())
+                 if f not in bdropped]
+    bnd += bnew
+    bnd_cells += bnew_cells
+
+    return UnstructuredMesh(pts, faces,
+                            np.asarray(nbrs, dtype=np.int64).reshape(-1, 2),
+                            bnd, bnd_cells)

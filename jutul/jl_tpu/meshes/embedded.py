@@ -1,0 +1,256 @@
+"""Embedded (lower-dimensional) meshes with finite-volume coupling.
+
+Counterpart of the reference EmbeddedMeshes module (reference:
+src/meshes/EmbeddedMeshes/*.jl — ``EmbeddedMesh``, a lower-dimensional mesh
+embedded in a host, with the FV coupling computed from real intersection
+geometry in finite-volume.jl:1-221). Round 1 shipped a nearest-centroid
+heuristic; this module replaces it with the exact construction:
+
+- a ``SurfaceMesh`` is a set of planar polygons in 3D (or segments in 2D) —
+  the fracture/embedded domain — with its OWN interior FV connectivity
+  (polygons sharing an edge), so the fracture is a flow domain;
+- ``embed_surface(host, surf)`` clips every fracture polygon against every
+  candidate host cell's face half-spaces (exact for convex cells), giving
+  per-connection intersection areas A, EXACT mean normal distances
+  <d> = (1/V)*int |dist to fracture plane| dV over the host cell, and the
+  EDFM connection index CI = A/<d> — the quantity the reference computes
+  per host-cell/fracture-cell pair.
+
+Transmissibility: T = CI * k with k the matrix permeability (optionally in
+harmonic series with the fracture's aperture/2 / k_f half-trans), consumed
+as MultiModel cross-terms between the host and fracture models.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .convexgeom import (
+    cell_halfspaces,
+    clip_polygon_plane,
+    mean_abs_distance,
+    polygon_area_centroid,
+)
+from .geometry import TwoPointFiniteVolumeGeometry
+
+
+class SurfaceMesh:
+    """Planar polygons in 3D (codim-1 fracture surface) as an FV domain.
+
+    ``cells`` are the polygons; interior ``faces`` are shared polygon edges
+    (flow along the surface); geometry mimics ``tpfv_geometry`` with
+    cell "volumes" = polygon areas (multiply by aperture for pore volume)
+    and face "areas" = edge lengths (multiply by aperture for flow area).
+    """
+
+    def __init__(self, points, polygons):
+        self.points = np.asarray(points, dtype=np.float64)
+        self.polygons = [np.asarray(p, dtype=np.int64) for p in polygons]
+        self.dim = 2  # intrinsic dimension (codim-1 in a 3D host)
+        self._geo = None
+
+        # interior edges: shared (a, b) node pairs between two polygons
+        edge_owner: dict[tuple, list] = {}
+        for c, poly in enumerate(self.polygons):
+            m = len(poly)
+            for i in range(m):
+                a, b = int(poly[i]), int(poly[(i + 1) % m])
+                edge_owner.setdefault((min(a, b), max(a, b)), []).append(c)
+        nbrs, edges = [], []
+        bnd_edges, bnd_cells = [], []
+        for (a, b), owners in edge_owner.items():
+            if len(owners) == 2:
+                nbrs.append(owners)
+                edges.append((a, b))
+            else:
+                bnd_edges.append((a, b))
+                bnd_cells.append(owners[0])
+        self.edge_nodes = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        self.edge_neighbors = np.asarray(nbrs, dtype=np.int64).reshape(-1, 2)
+        self.boundary_edge_nodes = np.asarray(bnd_edges,
+                                              dtype=np.int64).reshape(-1, 2)
+        self.boundary_edge_cells = np.asarray(bnd_cells, dtype=np.int64)
+
+    def number_of_cells(self) -> int:
+        return len(self.polygons)
+
+    def number_of_faces(self) -> int:
+        return self.edge_neighbors.shape[0]
+
+    def neighborship(self) -> np.ndarray:
+        return self.edge_neighbors
+
+    def cell_polygon(self, c: int) -> np.ndarray:
+        return self.points[self.polygons[c]]
+
+    def cell_plane(self, c: int):
+        """(point, unit normal) of polygon c's plane."""
+        P = self.cell_polygon(c)
+        o = P.mean(axis=0)
+        n = np.cross(P - o, np.roll(P, -1, axis=0) - o).sum(axis=0)
+        return o, n / max(np.linalg.norm(n), 1e-300)
+
+    def tpfv_geometry(self) -> TwoPointFiniteVolumeGeometry:
+        """FV geometry of the surface itself (areas as 'volumes', edge
+        lengths as 'areas'; normals = in-plane edge normals)."""
+        if self._geo is not None:
+            return self._geo
+        nc = self.number_of_cells()
+        areas = np.zeros(nc)
+        cents = np.zeros((nc, 3))
+        for c in range(nc):
+            a, ce = polygon_area_centroid(self.cell_polygon(c))
+            areas[c] = a
+            cents[c] = ce
+        ne = self.number_of_faces()
+        elen = np.zeros(ne)
+        ecent = np.zeros((ne, 3))
+        enorm = np.zeros((ne, 3))
+        for e in range(ne):
+            a, b = self.edge_nodes[e]
+            pa, pb = self.points[a], self.points[b]
+            elen[e] = np.linalg.norm(pb - pa)
+            ecent[e] = 0.5 * (pa + pb)
+            l, r = self.edge_neighbors[e]
+            _, npl = self.cell_plane(int(l))
+            t = (pb - pa) / max(elen[e], 1e-300)
+            nrm = np.cross(t, npl)  # in-plane edge normal
+            # orient left -> right
+            if np.dot(nrm, cents[int(r)] - cents[int(l)]) < 0:
+                nrm = -nrm
+            enorm[e] = nrm
+        nbe = self.boundary_edge_nodes.shape[0]
+        blen = np.zeros(nbe)
+        bcent = np.zeros((nbe, 3))
+        bnorm = np.zeros((nbe, 3))
+        for e in range(nbe):
+            a, b = self.boundary_edge_nodes[e]
+            pa, pb = self.points[a], self.points[b]
+            blen[e] = np.linalg.norm(pb - pa)
+            bcent[e] = 0.5 * (pa + pb)
+            c = int(self.boundary_edge_cells[e])
+            _, npl = self.cell_plane(c)
+            t = (pb - pa) / max(blen[e], 1e-300)
+            nrm = np.cross(t, npl)
+            if np.dot(nrm, bcent[e] - cents[c]) < 0:
+                nrm = -nrm
+            bnorm[e] = nrm
+        geo = TwoPointFiniteVolumeGeometry(
+            neighbors=self.edge_neighbors,
+            areas=elen,
+            volumes=areas,
+            normals=enorm,
+            cell_centroids=cents,
+            face_centroids=ecent,
+            boundary_areas=blen,
+            boundary_normals=bnorm,
+            boundary_centroids=bcent,
+            boundary_neighbors=self.boundary_edge_cells,
+        )
+        self._geo = geo
+        return geo
+
+    @classmethod
+    def rectangle(cls, origin, u, v, nu: int = 1, nv: int = 1):
+        """Rectangular fracture patch origin + [0,1]u + [0,1]v, gridded
+        nu x nv (convenience constructor for planar fractures)."""
+        origin = np.asarray(origin, dtype=np.float64)
+        u = np.asarray(u, dtype=np.float64)
+        v = np.asarray(v, dtype=np.float64)
+        pts = []
+        for j in range(nv + 1):
+            for i in range(nu + 1):
+                pts.append(origin + (i / nu) * u + (j / nv) * v)
+        polys = []
+        for j in range(nv):
+            for i in range(nu):
+                a = i + (nu + 1) * j
+                polys.append([a, a + 1, a + nu + 2, a + nu + 1])
+        return cls(np.asarray(pts), polys)
+
+
+def embed_surface(host, surf: SurfaceMesh, tol: float = 1e-12):
+    """Exact EDFM embedding of a fracture surface in a 3D host mesh
+    (reference EmbeddedMeshes/finite-volume.jl:1-221).
+
+    For every (host cell, fracture polygon) pair with a nonempty
+    intersection, the fracture polygon is clipped by the host cell's face
+    half-spaces (exact for convex cells). Returns a dict of arrays:
+
+      host_cells, frac_cells : (n_conn,) int
+      areas                  : clipped intersection areas
+      mean_dist              : exact (1/V) int |dist to fracture plane| dV
+      ci                     : EDFM connection index  A / <d>
+      centroids              : (n_conn, 3) intersection-piece centroids
+    """
+    geo = host.tpfv_geometry()
+    hs = cell_halfspaces(host)
+    cc = geo.cell_centroids
+    dimf = cc.shape[1]
+    if dimf != 3:
+        raise NotImplementedError("embed_surface: 3D hosts only")
+    radius = geo.volumes ** (1.0 / 3.0) * np.sqrt(3.0)
+
+    host_cells, frac_cells, areas, mdist, ci, cents = [], [], [], [], [], []
+    for fc in range(surf.number_of_cells()):
+        poly = surf.cell_polygon(fc)
+        p0, nrm = surf.cell_plane(fc)
+        pc = poly.mean(axis=0)
+        rad_f = np.linalg.norm(poly - pc, axis=1).max()
+        cand = np.flatnonzero(
+            np.linalg.norm(cc - pc, axis=1) <= radius + rad_f)
+        for c in cand:
+            pp, nn = hs[int(c)]
+            clipped = poly
+            for q, m in zip(pp, nn):
+                clipped = clip_polygon_plane(clipped, q, m)
+                if len(clipped) < 3:
+                    break
+            if len(clipped) < 3:
+                continue
+            A, cen = polygon_area_centroid(clipped)
+            if A <= tol * geo.volumes[c] ** (2.0 / 3.0):
+                continue
+            d = mean_abs_distance(host, int(c), p0, nrm)
+            host_cells.append(int(c))
+            frac_cells.append(fc)
+            areas.append(A)
+            mdist.append(d)
+            ci.append(A / max(d, 1e-300))
+            cents.append(cen)
+    return {
+        "host_cells": np.asarray(host_cells, dtype=np.int64),
+        "frac_cells": np.asarray(frac_cells, dtype=np.int64),
+        "areas": np.asarray(areas),
+        "mean_dist": np.asarray(mdist),
+        "ci": np.asarray(ci),
+        "centroids": (np.asarray(cents).reshape(-1, 3)
+                      if cents else np.zeros((0, 3))),
+    }
+
+
+def fracture_matrix_trans(conn: dict, matrix_perm, fracture_perm=None,
+                          aperture: float = 1e-3):
+    """Per-connection transmissibility from an ``embed_surface`` result:
+    matrix half-trans  T_m = k_m * CI  in harmonic series with the fracture
+    half-trans  T_f = k_f * A / (aperture / 2)  (reference finite-volume.jl
+    fracture-matrix trans; reduces to k_m * CI when k_f is None)."""
+    km = np.asarray(matrix_perm, dtype=np.float64)
+    if km.ndim == 0:
+        km = np.full(conn["host_cells"].shape, float(km))
+    else:
+        km = km[conn["host_cells"]]
+        if km.ndim > 1:  # tensor perm: use the trace mean
+            km = np.trace(km.reshape(km.shape[0], 3, 3), axis1=1,
+                          axis2=2) / 3.0 if km[0].size == 9 else km.mean(
+                              axis=tuple(range(1, km.ndim)))
+    Tm = km * conn["ci"]
+    if fracture_perm is None:
+        return Tm
+    kf = np.asarray(fracture_perm, dtype=np.float64)
+    if kf.ndim == 0:
+        kf = np.full(conn["frac_cells"].shape, float(kf))
+    else:
+        kf = kf[conn["frac_cells"]]
+    Tf = kf * conn["areas"] / max(aperture / 2.0, 1e-300)
+    return Tm * Tf / np.maximum(Tm + Tf, 1e-300)

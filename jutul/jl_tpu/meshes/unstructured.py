@@ -86,7 +86,11 @@ def _polygon_geometry(points, face_nodes: IndirectionMap, dim: int):
         normals = normals / np.where(nrm > 0, nrm, 1.0)
         centroids = 0.5 * (a + b)
         return areas, normals, centroids
-    mean = P.sum(axis=1) / np.maximum(mask.sum(axis=1, keepdims=True), 1)
+    # fan origin = mean of the REAL nodes (padding repeats the last node;
+    # summing it would pull the origin off the face plane and corrupt the
+    # area-weighted centroid for meshes with heterogeneous face sizes)
+    Pm = np.where(mask[..., None], P, 0.0)
+    mean = Pm.sum(axis=1) / np.maximum(mask.sum(axis=1, keepdims=True), 1)
     A = P - mean[:, None, :]
     B = np.roll(P, -1, axis=1) - mean[:, None, :]
     cr = 0.5 * np.cross(A, B)  # (nf, m, 3) triangle area vectors
