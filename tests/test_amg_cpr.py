@@ -134,3 +134,99 @@ def test_cpr_accuracy():
     got = np.asarray(du).reshape(-1)
     scale = np.abs(expected).max()
     assert np.allclose(got, expected, rtol=1e-4, atol=1e-6 * scale)
+
+
+# ---------------------------------------------------------------------------
+# Smoothed aggregation (reference AMGPreconditioner{:smoothed_aggregation})
+# ---------------------------------------------------------------------------
+def hetero_system(nx, ny, sigma=2.0, seed=3, Lx=1.0, Ly=1.0, dt=1e-2):
+    """Heterogeneous diffusion (lognormal coefficient); pass Ly << Lx for
+    the anisotropic regime where plain aggregation degrades."""
+    g = CartesianMesh((nx, ny), (Lx, Ly))
+    dd = DataDomain(g)
+    rng = np.random.default_rng(seed)
+    dd.set("heat_coefficient", rng.lognormal(0.0, sigma, nx * ny))
+    model = SimulationModel(dd, SimpleHeatSystem())
+    comp = compile_model(model)
+    n = nx * ny
+    state = {**setup_state(model, T=rng.normal(size=n)),
+             **setup_parameters(model)}
+    state = comp.evaluate_secondaries(state)
+    r = comp.residual(state, {**state, "T": jnp.zeros(n)}, dt)
+    blocks = comp.jacobian_blocks(state, state, dt)
+    return comp, BlockELL(comp.ell, blocks), r
+
+
+def test_smoothed_aggregation_galerkin_consistency():
+    """Level-1 operator must equal the dense P^T A P with the P the
+    hierarchy actually built (exactness of the static scatter tables)."""
+    from jutul.jl_tpu.linsolve.amg import SmoothedAggregationAMG
+    from jutul.jl_tpu.ops import tables as _tbl
+
+    comp, J, r = hetero_system(12, 12)
+    sa = SmoothedAggregationAMG(min_coarse=8)
+    ops, Ps, dense = sa.update(J)
+    lvl = sa._levels[0]
+    n = lvl.n_fine
+    A = np.asarray(ell_to_dense(J.blocks, J.structure.cols))
+    # dense P from the padded P values + pattern
+    P = np.zeros((n, lvl.n_coarse))
+    pat = _tbl.table(lvl.k_pattern)
+    Pv = np.asarray(Ps[0])[:, :-1]
+    for i in range(n):
+        for p in range(lvl.Sp):
+            if pat[i, p] < lvl.n_coarse:
+                P[i, pat[i, p]] += Pv[i, p]
+    Ac_dense = P.T @ A @ P
+    Ac = np.zeros((lvl.n_coarse, lvl.n_coarse))
+    cstruct = lvl.coarse
+    vals1 = np.asarray(ops[1])
+    for i in range(lvl.n_coarse):
+        for s in range(cstruct.n_slots):
+            Ac[i, np.asarray(cstruct.cols)[i, s]] += vals1[i, s]
+    np.testing.assert_allclose(Ac, Ac_dense, atol=1e-10 * np.abs(A).max())
+
+
+def test_smoothed_aggregation_beats_plain_on_anisotropic():
+    """VERDICT r1 AMG-quality item: on anisotropic + heterogeneous
+    diffusion (100:1 aspect, 3-orders contrast) plain aggregation needs
+    hundreds of iterations (measured 309); SA with strength-of-connection
+    must stay in the tens and beat it by >3x."""
+    from jutul.jl_tpu.linsolve.amg import SmoothedAggregationAMG
+
+    comp, J, r = hetero_system(48, 48, sigma=1.5, Ly=0.01, dt=10.0)
+    its = {}
+    for name, p in [("plain", AMGPreconditioner()),
+                    ("sa", SmoothedAggregationAMG())]:
+        if name == "sa":
+            p.update(J)  # prime the hierarchy with concrete values
+        solver = GenericKrylov("gmres", preconditioner=p, rtol=1e-10,
+                               max_iterations=400)
+        du, stats = solver.solve(J, r)
+        assert bool(stats["converged"]), (name, stats)
+        its[name] = int(stats["iterations"])
+    assert its["sa"] * 3 < its["plain"], its
+    assert its["sa"] < 50, its
+
+
+def test_smoothed_aggregation_update_is_jit_safe():
+    """After priming, value-only updates run under jit (the reference's
+    partial hierarchy update, amg.jl:165)."""
+    import jax
+
+    from jutul.jl_tpu.linsolve.amg import SmoothedAggregationAMG
+
+    comp, J, r = hetero_system(12, 12)
+    sa = SmoothedAggregationAMG(min_coarse=8)
+    sa.update(J)  # prime
+
+    @jax.jit
+    def solve_with(blocks, rvec):
+        J2 = BlockELL(J.structure, blocks)
+        st = sa.update(J2)
+        return sa.apply(st, J2, rvec.reshape(-1, 1))
+
+    out = solve_with(J.blocks * 1.5, jnp.asarray(r).reshape(-1))
+    out2 = sa.apply(sa.update(BlockELL(J.structure, J.blocks * 1.5)),
+                    J, jnp.asarray(r).reshape(-1, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-10)
