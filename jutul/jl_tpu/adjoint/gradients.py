@@ -376,9 +376,27 @@ def solve_adjoint_sensitivities_multimodel(
         full = comp.evaluate_secondaries(merge_all(u_n, params))
         full0 = comp.evaluate_secondaries(merge_all(u_prev, params))
         _r, J, _fe = comp.assemble(full, full0, dt_n, f_n)
-        dense = J.to_dense()
         rhs = jnp.concatenate([rhs_dofs[m].reshape(-1) for m in lay.names])
-        lam = jnp.linalg.solve(dense.T, rhs)
+        if lay.total_dof <= direct_limit:
+            lam = jnp.linalg.solve(J.to_dense().T, rhs)
+            return unflatten_res(lam)
+        # large coupled systems: matrix-free transposed Krylov (densifying
+        # the whole MultiLinearizedSystem is dead past ~10k coupling rows)
+        from ..linsolve.krylov import bicgstab
+        from ..ops.smallmat import block_inv, bmv
+
+        matvec_T = jax.linear_transpose(J.matvec_flat,
+                                        jnp.zeros(lay.total_dof))
+        dinvT = {m: jnp.swapaxes(block_inv(J.diag[m].blocks[:, 0]), 1, 2)
+                 for m in lay.names}
+
+        def precond(v):
+            x = J.unflatten_res(v)
+            return jnp.concatenate(
+                [bmv(dinvT[m], x[m]).reshape(-1) for m in lay.names])
+
+        lam, _stats = bicgstab(lambda v: matvec_T(v)[0], rhs,
+                               maxiter=1000, rtol=1e-10, precond=precond)
         return unflatten_res(lam)
 
     grad_p = jax.tree_util.tree_map(jnp.zeros_like, params)

@@ -58,13 +58,17 @@ class SchurComplementSolver:
             E = E.at[o:o + d.shape[0], o:o + d.shape[1]].set(d)
         for cb in J.couplings:
             if cb.target in offs and cb.source in offs:
-                neq_t = cb.blocks.shape[1]
-                ndof_s = cb.blocks.shape[2]
-                ot, os_ = offs[cb.target], offs[cb.source]
-                for k in range(cb.rows.shape[0]):
-                    rr = ot + int(cb.rows[k]) * neq_t
-                    cc = os_ + int(cb.cols[k]) * ndof_s
-                    E = E.at[rr:rr + neq_t, cc:cc + ndof_s].add(cb.blocks[k])
+                # one flat scatter-add for ALL connections (a Python loop of
+                # .at[].add per connection is dead at 10k+ coupling rows)
+                m, neq_t, ndof_s = cb.blocks.shape
+                rr = (offs[cb.target] + np.asarray(cb.rows) * neq_t)
+                cc = (offs[cb.source] + np.asarray(cb.cols) * ndof_s)
+                flat = ((rr[:, None, None] + np.arange(neq_t)[None, :, None])
+                        * NE
+                        + cc[:, None, None]
+                        + np.arange(ndof_s)[None, None, :]).reshape(-1)
+                E = E.reshape(-1).at[jnp.asarray(flat)].add(
+                    cb.blocks.reshape(-1)).reshape(NE, NE)
 
         lu, piv = jax.scipy.linalg.lu_factor(E)
 

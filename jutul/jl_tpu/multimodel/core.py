@@ -181,14 +181,16 @@ class MultiLinearizedSystem:
             c0 = lay.dof_slices[n][0].start
             out = out.at[r0:r0 + d.shape[0], c0:c0 + d.shape[1]].set(d)
         for cb in self.couplings:
-            neq_t = cb.blocks.shape[1]
-            ndof_s = cb.blocks.shape[2]
+            m, neq_t, ndof_s = cb.blocks.shape
             r0 = self.layout.res_slices[cb.target][0].start
             c0 = self.layout.dof_slices[cb.source][0].start
-            for k in range(cb.rows.shape[0]):
-                r = r0 + int(cb.rows[k]) * neq_t
-                c = c0 + int(cb.cols[k]) * ndof_s
-                out = out.at[r:r + neq_t, c:c + ndof_s].add(cb.blocks[k])
+            rr = r0 + np.asarray(cb.rows) * neq_t
+            cc = c0 + np.asarray(cb.cols) * ndof_s
+            flat = ((rr[:, None, None] + np.arange(neq_t)[None, :, None]) * M
+                    + cc[:, None, None]
+                    + np.arange(ndof_s)[None, None, :]).reshape(-1)
+            out = out.reshape(-1).at[jnp.asarray(flat)].add(
+                cb.blocks.reshape(-1)).reshape(N, M)
         return out
 
 
