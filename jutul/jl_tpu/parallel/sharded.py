@@ -461,9 +461,43 @@ class DistributedSimulator:
         return step
 
     # ------------------------------------------------------------------
-    def solve_timestep(self, state, state0, dt, max_newton: int = 15,
-                       tol_cnv: float = 1e-3, forces=None):
-        """Python-driven Newton loop over the jitted SPMD step."""
+    def solve_ministep(self, state, state0, dt, q, bc,
+                       max_newton: int = 15, tol_cnv: float = 1e-3):
+        """One ministep's Newton loop over the jitted SPMD step. Returns
+        (ok, state, newton_its, linear_its). Non-finite criteria or hitting
+        the iteration cap without convergence FAIL the ministep (reference
+        failure handling, simulator.jl:779-795) — the caller cuts dt."""
+        state = dict(state)
+        its = 0
+        lin_total = 0
+        for it in range(max_newton + 1):
+            new_state, crit, lin_its, _lin_res = self._newton_jit(
+                state, state0, dt, q, bc)
+            err = max(
+                float(np.max(np.asarray(v)))
+                for c in crit.values() for v in c.values()
+            )
+            if not np.isfinite(err):
+                return False, state, its, lin_total
+            if err < tol_cnv and it > 0:
+                return True, state, its, lin_total
+            if it == max_newton:
+                return False, state, its, lin_total
+            state = new_state
+            its += 1
+            lin_total += int(np.asarray(lin_its))
+        return False, state, its, lin_total
+
+    def solve_timestep(self, state, state0, dT, max_newton: int = 15,
+                       tol_cnv: float = 1e-3, forces=None,
+                       max_timestep_cuts: int = 5, cut_factor: float = 0.5,
+                       growth_factor: float = 2.0):
+        """Report step = ministep loop with dt cutting on failure (the
+        nonlinear machinery the reference reuses per-rank, ext
+        overloads.jl:155 + simulator/timesteps.jl:51; round 1's distributed
+        loop had a single fixed-dt Newton sweep). Returns (state, total
+        Newton iterations); the detailed per-ministep report is stored in
+        ``self.last_report``."""
         if self._newton_jit is None:
             self._newton_jit = self.newton_step_fn()
         q = (jnp.asarray(self.stack_cell_sources(forces))
@@ -471,20 +505,39 @@ class DistributedSimulator:
         bc = self.stack_boundary_conditions(forces) if forces else None
         if bc is not None:
             bc = tuple(jnp.asarray(a) for a in bc)
-        state = dict(state)
-        its = 0
-        for it in range(max_newton):
-            new_state, crit, lin_its, lin_res = self._newton_jit(
-                state, state0, dt, q, bc)
-            err = max(
-                float(np.max(np.asarray(v)))
-                for c in crit.values() for v in c.values()
-            )
-            if err < tol_cnv and it > 0:
-                break
-            state = new_state
-            its += 1
-        return state, its
+
+        dT = float(dT)
+        t_done = 0.0
+        dt = dT
+        cuts = 0
+        its_total = 0
+        minis = []
+        cur = dict(state)
+        prev = state0
+        while t_done < dT * (1 - 1e-12):
+            dt_eff = min(dt, dT - t_done)
+            ok, cur_new, its, lin = self.solve_ministep(
+                cur, prev, dt_eff, q, bc, max_newton=max_newton,
+                tol_cnv=tol_cnv)
+            its_total += its
+            minis.append({"dt": dt_eff, "success": ok, "iterations": its,
+                          "linear_iterations": lin})
+            if ok:
+                t_done += dt_eff
+                prev = cur = cur_new
+                cuts = 0
+                dt = min(dt * growth_factor, dT - t_done
+                         if t_done < dT else dt)
+            else:
+                cuts += 1
+                if cuts > max_timestep_cuts:
+                    raise RuntimeError(
+                        f"distributed ministep failed after "
+                        f"{max_timestep_cuts} cuts (dt={dt_eff:g})")
+                dt = dt_eff * cut_factor
+                cur = dict(prev)
+        self.last_report = {"ministeps": minis, "success": True}
+        return cur, its_total
 
 
     # ------------------------------------------------------------------
@@ -509,10 +562,10 @@ class DistributedSimulator:
             wall = _time.perf_counter() - t0
             prev = cur
             host = {k: np.asarray(v) for k, v in cur.items()}
-            rep = {"ministeps": [{"dt": float(dt), "success": True,
-                                  "iterations": int(its),
-                                  "wall_time": wall,
-                                  "linear_iterations": 0}]}
+            rep = dict(self.last_report)
+            rep["ministeps"] = [dict(m, wall_time=wall / max(
+                len(self.last_report["ministeps"]), 1))
+                for m in self.last_report["ministeps"]]
             states.append(host)
             reports.append(rep)
             if output_path is not None:
