@@ -146,7 +146,10 @@ from .models.composite import CompositeSystem
 from .models.helper import HelperSimulator
 from .models.transport import TransportSystem
 from .models.vectorization import (
+    data_domain_parameter_gradient,
     devectorize_variables,
+    parameters_from_data_domain,
+    parameters_jacobian_wrt_data_domain,
     vectorize_variables,
 )
 from .adjoint.generic import solve_adjoint_generic

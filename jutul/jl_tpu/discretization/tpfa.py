@@ -183,3 +183,80 @@ def half_face_map(neighbors: np.ndarray, n_cells: int):
         "mask": mask,
         "degree": deg.astype(np.int32),
     }
+
+
+# ---------------------------------------------------------------------------
+# Differentiable (JAX) variants — the DataDomain -> parameters chain rule.
+#
+# The reference exposes this chain via parameters_jacobian_wrt_data_domain
+# (variables/vectorization.jl:281): gradients of an objective with respect to
+# model parameters (transmissibilities, pore volumes) pull back to raw
+# DataDomain fields (permeability, porosity). TPU-native: the geometry stays
+# static numpy; the differentiable fields are traced with jnp so jax.vjp /
+# jacfwd give the chain-rule Jacobian with no sparsity tracing.
+# ---------------------------------------------------------------------------
+
+
+def expand_perm_ad(perm, dim: int):
+    """jnp counterpart of expand_perm (differentiable in perm)."""
+    import jax.numpy as jnp
+
+    perm = jnp.asarray(perm)
+    n = perm.shape[0]
+    if perm.ndim == 3:
+        return perm
+    if perm.ndim == 1:
+        return perm[:, None, None] * jnp.eye(dim)
+    m = perm.shape[1]
+    if m == dim:  # diagonal
+        return perm[:, :, None] * jnp.eye(dim)
+    if dim == 2 and m == 3:
+        xx, xy, yy = perm[:, 0], perm[:, 1], perm[:, 2]
+        return jnp.stack([jnp.stack([xx, xy], -1),
+                          jnp.stack([xy, yy], -1)], -2)
+    if dim == 3 and m == 6:
+        xx, xy, xz, yy, yz, zz = (perm[:, i] for i in range(6))
+        return jnp.stack([jnp.stack([xx, xy, xz], -1),
+                          jnp.stack([xy, yy, yz], -1),
+                          jnp.stack([xz, yz, zz], -1)], -2)
+    raise ValueError(f"Cannot interpret permeability of shape {perm.shape} "
+                     f"in {dim}D")
+
+
+def _half_trans_ad(cells, centroids, face_centroids, normals, areas, K, sgn):
+    import jax.numpy as jnp
+
+    d = jnp.asarray(face_centroids) - jnp.asarray(centroids)[cells]
+    Kd = jnp.einsum("fij,fj->fi", K[cells], d)
+    num = jnp.asarray(areas) * sgn * jnp.einsum("fi,fi->f", Kd,
+                                                jnp.asarray(normals))
+    den = jnp.einsum("fi,fi->f", d, d)
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+
+def compute_face_trans_ad(geo_or_mesh, perm):
+    """Differentiable face transmissibilities: jnp in, jnp out, same math as
+    compute_face_trans (signed harmonic mean of signed half-trans)."""
+    import jax.numpy as jnp
+
+    geo = _as_geo(geo_or_mesh)
+    K = expand_perm_ad(perm, geo.dim)
+    L = geo.neighbors[:, 0]
+    R = geo.neighbors[:, 1]
+    T_l = _half_trans_ad(L, geo.cell_centroids, geo.face_centroids,
+                         geo.normals, geo.areas, K, +1.0)
+    T_r = _half_trans_ad(R, geo.cell_centroids, geo.face_centroids,
+                         geo.normals, geo.areas, K, -1.0)
+    ok = (T_l != 0) & (T_r != 0)
+    s = (1.0 / jnp.where(ok, T_l, 1.0)) + (1.0 / jnp.where(ok, T_r, 1.0))
+    ok = ok & (s != 0)
+    return jnp.where(ok, 1.0 / jnp.where(ok, s, 1.0), 0.0)
+
+
+def compute_boundary_trans_ad(geo_or_mesh, perm):
+    """Differentiable boundary half-face transmissibilities."""
+    geo = _as_geo(geo_or_mesh)
+    K = expand_perm_ad(perm, geo.dim)
+    return _half_trans_ad(geo.boundary_neighbors, geo.cell_centroids,
+                          geo.boundary_centroids, geo.boundary_normals,
+                          geo.boundary_areas, K, +1.0)

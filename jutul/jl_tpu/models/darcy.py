@@ -95,6 +95,16 @@ class Transmissibilities(JutulParameter):
             perm = np.ones(model.number_of_cells()) * 1e-13
         return compute_face_trans(dd.geometry, perm)
 
+    # DataDomain -> parameter chain rule (reference vectorization.jl:281):
+    # jnp-traceable recompute from the differentiable DataDomain fields.
+    data_domain_dependencies = ("permeability",)
+
+    def initialize_parameter_ad(self, model, dd_fields: dict):
+        from ..discretization.tpfa import compute_face_trans_ad
+
+        return compute_face_trans_ad(model.data_domain.geometry,
+                                     dd_fields["permeability"])
+
 
 class GravityPotentialDifference(JutulParameter):
     def __init__(self, gravity=None):
@@ -127,6 +137,14 @@ class FluidVolume(JutulParameter):
         if poro is None:
             poro = np.ones(n)
         return vol * poro
+
+    data_domain_dependencies = ("porosity", "volumes")
+
+    def initialize_parameter_ad(self, model, dd_fields: dict):
+        import jax.numpy as jnp
+
+        return jnp.asarray(dd_fields["volumes"]) * jnp.asarray(
+            dd_fields["porosity"])
 
 
 class PhaseMassDensities(SecondaryVariable):

@@ -115,3 +115,111 @@ def descalarize_primary_variables(model, packed) -> dict:
     comp = compile_model(model)
     out = comp.unpack_dofs(jnp.asarray(packed))
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# DataDomain -> model parameters chain rule
+# (reference: parameters_jacobian_wrt_data_domain, variables/vectorization.jl
+# :281 — there built with DifferentiationInterface + sparse coloring; here the
+# map is a pure jnp function of the differentiable DataDomain fields, so
+# jax.jacfwd / jax.vjp give the Jacobian and its transpose action directly).
+# ---------------------------------------------------------------------------
+
+
+def data_domain_dependencies(model) -> list[str]:
+    """Names of DataDomain fields any parameter differentiably depends on."""
+    fields: list[str] = []
+    for var in model.parameters.values():
+        for f in getattr(var, "data_domain_dependencies", ()):
+            if f not in fields and model.data_domain.get(f) is not None:
+                fields.append(f)
+    return fields
+
+
+def parameters_from_data_domain(model, dd_fields: dict) -> dict:
+    """Recompute derived parameters from DataDomain fields, jnp-traceable.
+
+    Parameters whose class defines ``initialize_parameter_ad`` are recomputed
+    from ``dd_fields``; everything else keeps its setup_parameters value.
+    """
+    import jax.numpy as jnp
+
+    out = {}
+    for name, var in model.parameters.items():
+        deps = getattr(var, "data_domain_dependencies", ())
+        if (hasattr(var, "initialize_parameter_ad")
+                and any(f in dd_fields for f in deps)):
+            fields = dict(dd_fields)
+            for f in deps:  # fall back to stored values for missing deps
+                if f not in fields:
+                    fields[f] = jnp.asarray(model.data_domain[f])
+            out[name] = var.initialize_parameter_ad(model, fields)
+    return out
+
+
+def parameters_jacobian_wrt_data_domain(model, fields=None, targets=None):
+    """Dense Jacobian d(parameter vector)/d(DataDomain field vector).
+
+    Returns (J, field_slices, param_slices): J has one row block per derived
+    parameter and one column block per DataDomain field. Intended for small
+    models / testing; use data_domain_parameter_gradient for the scalable
+    vjp pull-back.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fields = list(fields) if fields is not None else \
+        data_domain_dependencies(model)
+    base = {f: np.asarray(model.data_domain[f], dtype=np.float64)
+            for f in fields}
+    field_slices, ofs = {}, 0
+    for f in fields:
+        field_slices[f] = slice(ofs, ofs + base[f].size)
+        ofs += base[f].size
+    n_in = ofs
+
+    def flat_map(x):
+        dd = {f: x[field_slices[f]].reshape(base[f].shape) for f in fields}
+        params = parameters_from_data_domain(model, dd)
+        names = targets if targets is not None else sorted(params)
+        return jnp.concatenate([jnp.ravel(params[k]) for k in names]), \
+            [(k, params[k].shape) for k in names]
+
+    x0 = jnp.asarray(np.concatenate([base[f].reshape(-1) for f in fields])
+                     if fields else np.zeros(0))
+    _, shapes = flat_map(x0)
+    J = jax.jacfwd(lambda x: flat_map(x)[0])(x0)
+    param_slices, ofs = {}, 0
+    for k, shp in shapes:
+        size = int(np.prod(shp)) if shp else 1
+        param_slices[k] = slice(ofs, ofs + size)
+        ofs += size
+    return np.asarray(J), field_slices, param_slices
+
+
+def data_domain_parameter_gradient(model, dG_dparams: dict,
+                                   fields=None) -> dict:
+    """Pull an objective gradient w.r.t. model parameters back to DataDomain
+    fields: dG/dfield = (d params/d field)^T dG/dparams, via jax.vjp.
+
+    ``dG_dparams`` maps parameter names (e.g. from
+    solve_adjoint_sensitivities) to cotangent arrays; parameters not derived
+    from the data domain are ignored. Returns {field: gradient array}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fields = list(fields) if fields is not None else \
+        data_domain_dependencies(model)
+    base = {f: jnp.asarray(np.asarray(model.data_domain[f],
+                                      dtype=np.float64)) for f in fields}
+
+    def fwd(dd):
+        params = parameters_from_data_domain(model, dd)
+        return {k: v for k, v in params.items() if k in dG_dparams}
+
+    out, pull = jax.vjp(fwd, base)
+    cot = {k: jnp.asarray(np.asarray(dG_dparams[k])).reshape(out[k].shape)
+           for k in out}
+    (grads,) = pull(cot)
+    return {f: np.asarray(g) for f, g in grads.items()}

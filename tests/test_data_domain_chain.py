@@ -1,0 +1,159 @@
+"""DataDomain -> parameters chain rule
+(reference: parameters_jacobian_wrt_data_domain, variables/vectorization.jl
+:281 — gradients w.r.t. model parameters pull back to raw DataDomain fields
+like permeability/porosity)."""
+
+import numpy as np
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    setup_parameters,
+    setup_state,
+    si_unit,
+    simulate,
+)
+from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+from jutul.jl_tpu.models.vectorization import (
+    data_domain_dependencies,
+    data_domain_parameter_gradient,
+    parameters_from_data_domain,
+    parameters_jacobian_wrt_data_domain,
+)
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def _darcy(nx=4, ny=3):
+    mesh = CartesianMesh((nx, ny), (10.0, 6.0))
+    nc = nx * ny
+    rng = np.random.default_rng(7)
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(
+        mesh, fluid,
+        permeability=rng.uniform(0.2, 1.0, nc) * DARCY,
+        porosity=rng.uniform(0.1, 0.3, nc),
+        gravity=False,
+    )
+    return model, nc
+
+
+def test_parameters_from_data_domain_matches_setup():
+    import jax.numpy as jnp
+
+    model, nc = _darcy()
+    params_np = setup_parameters(model)
+    dd = {f: jnp.asarray(np.asarray(model.data_domain[f]))
+          for f in data_domain_dependencies(model)}
+    params_ad = parameters_from_data_domain(model, dd)
+    assert set(params_ad) == {"Transmissibilities", "FluidVolume"}
+    for k in params_ad:
+        np.testing.assert_allclose(np.asarray(params_ad[k]), params_np[k],
+                                   rtol=1e-12)
+
+
+def test_jacobian_vs_finite_differences():
+    model, nc = _darcy()
+    J, fslices, pslices = parameters_jacobian_wrt_data_domain(model)
+    fields = data_domain_dependencies(model)
+    assert "permeability" in fields and "porosity" in fields
+
+    # FD through the *numpy* setup path: perturb a DataDomain field, rerun
+    # setup_parameters, difference the parameter vector.
+    base = {f: np.asarray(model.data_domain[f], dtype=np.float64).copy()
+            for f in fields}
+    rng = np.random.default_rng(3)
+    for f in fields:
+        for _ in range(3):
+            i = rng.integers(base[f].size)
+            eps = 1e-6 * max(abs(base[f].flat[i]), 1e-30)
+            pert = base[f].copy().reshape(-1)
+            pert[i] += eps
+            model.data_domain.set(f, pert.reshape(base[f].shape))
+            p_plus = setup_parameters(model)
+            pert[i] -= 2 * eps
+            model.data_domain.set(f, pert.reshape(base[f].shape))
+            p_minus = setup_parameters(model)
+            model.data_domain.set(f, base[f])
+            col = J[:, fslices[f].start + i]
+            for k, sl in pslices.items():
+                fd = (np.ravel(p_plus[k]) - np.ravel(p_minus[k])) / (2 * eps)
+                scale = max(np.abs(fd).max(), np.abs(col[sl]).max(), 1e-30)
+                np.testing.assert_allclose(col[sl] / scale, fd / scale,
+                                           atol=5e-6)
+
+
+def test_vjp_pullback_matches_dense_jacobian():
+    model, nc = _darcy()
+    J, fslices, pslices = parameters_jacobian_wrt_data_domain(model)
+    rng = np.random.default_rng(11)
+    cot = {k: rng.normal(size=sl.stop - sl.start)
+           for k, sl in pslices.items()}
+    g = data_domain_parameter_gradient(model, cot)
+    y = np.zeros(J.shape[0])
+    for k, sl in pslices.items():
+        y[sl] = cot[k]
+    ref = J.T @ y
+    for f, sl in fslices.items():
+        np.testing.assert_allclose(np.ravel(g[f]), ref[sl], rtol=1e-10,
+                                   atol=1e-22)
+
+
+def test_full_chain_objective_gradient_wrt_permeability():
+    """Adjoint dG/dTrans pulled back to dG/dperm, FD-checked end-to-end."""
+    import jax.numpy as jnp
+
+    from jutul.jl_tpu.adjoint.gradients import solve_adjoint_sensitivities
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    model, nc = _darcy()
+    state0 = setup_state(model, Pressure=100 * BAR, Saturations=[0.3, 0.7])
+    params = setup_parameters(model)
+    forces = {"sources": PhaseSourceTerm([0], np.array([[0.01, 0.0]]))}
+    dts = [0.2 * DAY]
+    tight = {"tolerances": {"mass_conservation": 1e-10},
+             "max_nonlinear_iterations": 30, "info_level": -1}
+
+    def run(perm=None):
+        if perm is not None:
+            model.data_domain.set("permeability", perm)
+        p = setup_parameters(model)
+        states, reports = simulate(state0, model, dts, forces=forces,
+                                   parameters=p, **tight)
+        assert all(r["success"] for r in reports)
+        return states, p
+
+    def G(model_, state, dt, n_, forces_):
+        return dt * jnp.sum(state["Saturations"][:, 0] ** 2)
+
+    def G_value(states):
+        tot = 0.0
+        for i, dt in enumerate(dts):
+            tot += float(G(model, states[i], dt, i, forces))
+        return tot
+
+    base_perm = np.asarray(model.data_domain["permeability"]).copy()
+    states, p = run()
+    adj = solve_adjoint_sensitivities(model, states, dts, G,
+                                      parameters=p, state0=state0,
+                                      forces=forces)
+    gdd = data_domain_parameter_gradient(model, {
+        "Transmissibilities": adj["Transmissibilities"],
+        "FluidVolume": adj["FluidVolume"],
+    })
+    gperm = np.ravel(gdd["permeability"])
+
+    rng = np.random.default_rng(5)
+    for i in rng.choice(nc, size=3, replace=False):
+        eps = 1e-4 * base_perm[i]
+        pp = base_perm.copy()
+        pp[i] += eps
+        sp, _ = run(pp)
+        pm = base_perm.copy()
+        pm[i] -= eps
+        sm, _ = run(pm)
+        model.data_domain.set("permeability", base_perm)
+        fd = (G_value(sp) - G_value(sm)) / (2 * eps)
+        scale = max(abs(fd), np.abs(gperm).max() * 1e-3, 1e-30)
+        assert abs(gperm[i] - fd) / scale < 5e-3, (i, gperm[i], fd)
