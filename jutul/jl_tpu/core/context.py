@@ -67,7 +67,17 @@ class TPUContext(JutulContext):
 
 
 def select_contexts(kind: str = "default") -> JutulContext:
-    """reference select_contexts (src/context.jl:96)."""
+    """reference select_contexts (src/context.jl:96).
+
+    ``"auto"`` picks TPUContext when a TPU backend is attached, else
+    DefaultContext — the recommended entry point for portable scripts.
+    """
+    if kind == "auto":
+        try:
+            has_tpu = any(d.platform == "tpu" for d in jax.devices())
+        except Exception:
+            has_tpu = False
+        return TPUContext() if has_tpu else DefaultContext()
     if kind in ("default", "cpu", "csr"):
         return DefaultContext()
     if kind in ("tpu", "cuda", "gpu"):

@@ -471,7 +471,9 @@ class CompiledModel:
 
         def _sum(parts, zero_shape):
             if not parts:
-                return jnp.zeros(zero_shape)
+                # match the working dtype — a default-dtype zeros block here
+                # would promote the whole Jacobian to f64 under x64
+                return jnp.zeros(zero_shape, U_all.dtype)
             tot = parts[0]
             for p in parts[1:]:
                 tot = tot + p

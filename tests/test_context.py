@@ -1,0 +1,53 @@
+"""Execution contexts drive working precision and placement
+(reference: src/core_types/contexts/, src/context.jl:12-96 —
+float_type/index_type/transfer/select_contexts)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    SimulationModel,
+    Simulator,
+    setup_parameters,
+    setup_state,
+)
+from jutul.jl_tpu.core.context import (
+    DefaultContext,
+    TPUContext,
+    select_contexts,
+)
+from jutul.jl_tpu.models.test_systems import ScalarTestForce, ScalarTestSystem
+
+
+def _model(ctx):
+    return SimulationModel(CartesianMesh((4,), (1.0,)), ScalarTestSystem(),
+                           context=ctx)
+
+
+def test_select_contexts():
+    assert isinstance(select_contexts("default"), DefaultContext)
+    assert isinstance(select_contexts("tpu"), TPUContext)
+    # CPU-only test rig: auto must not pick TPU
+    assert isinstance(select_contexts("auto"), DefaultContext)
+
+
+def test_context_controls_simulator_dtype():
+    for ctx, want in ((DefaultContext(), jnp.float64),
+                      (TPUContext(), jnp.float32)):
+        model = _model(ctx)
+        sim = Simulator(model,
+                        state0=setup_state(model, XVar=1.0),
+                        parameters=setup_parameters(model))
+        assert sim.state0["XVar"].dtype == want, ctx
+        res = sim.simulate([1.0], forces={"sources": ScalarTestForce(3.0)},
+                           info_level=-1)
+        x = np.asarray(res.states[-1]["XVar"])
+        assert x.dtype == np.dtype(want)
+        np.testing.assert_allclose(x, 4.0, rtol=1e-6)
+
+
+def test_transfer_preserves_integer_arrays():
+    ctx = TPUContext()
+    idx = ctx.transfer(np.arange(5, dtype=np.int32))
+    assert idx.dtype == jnp.int32
