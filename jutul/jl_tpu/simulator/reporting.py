@@ -92,8 +92,15 @@ def convergence_table(crit: dict, tolerances=None) -> str:
         for crit_name, arr in criteria.items():
             val = float(np.max(np.asarray(arr)))
             tol = ""
-            if tolerances:
-                t = tolerances.get(eq_name, tolerances.get("default"))
+            if callable(tolerances):
+                t = tolerances(eq_name, crit_name)
+                tol = f"{t:.1e}" if t is not None else ""
+            elif tolerances:
+                t = tolerances.get(f"{eq_name}/{crit_name}",
+                                   tolerances.get(eq_name,
+                                                  tolerances.get("default")))
+                if isinstance(t, dict):
+                    t = t.get(crit_name)
                 tol = f"{t:.1e}" if t is not None else ""
             lines.append(f"{eq_name:<24}{crit_name:<12}{val:>12.4e}{tol:>10}")
     return "\n".join(lines)
