@@ -141,7 +141,13 @@ from .meshes.cutcell import (
     glue_mesh,
     merge_faces,
 )
-from .meshes.extruded import extrude_mesh
+from .meshes.extruded import (
+    check_and_fix_mesh,
+    check_mesh,
+    check_mesh_quality,
+    extrude_mesh,
+    face_planarity,
+)
 from .models.composite import CompositeSystem
 from .models.helper import HelperSimulator
 from .models.transport import TransportSystem

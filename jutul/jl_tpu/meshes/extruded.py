@@ -153,3 +153,74 @@ def check_mesh_quality(mesh: UnstructuredMesh, planarity_tol: float = 0.05):
         "nonplanar_faces": bad,
         "negative_volume_cells": np.where(geo.volumes <= 0)[0],
     }
+
+
+def check_mesh(mesh: UnstructuredMesh, verbose: bool = False,
+               extra_out: bool = False):
+    """Full mesh quality check (reference MeshQualityControl/interface.jl
+    check_mesh): non-positive/non-finite cell volumes and face areas, and
+    face-normal orientation (normal must point away from the left cell,
+    check_faces.jl check_normal)."""
+    try:
+        geo = mesh.tpfv_geometry(strict=False)
+    except TypeError:  # mesh types without a non-strict path
+        geo = mesh.tpfv_geometry()
+
+    def _bad_positive(arr):
+        arr = np.asarray(arr)
+        return np.where(~np.isfinite(arr) | (arr <= 0.0))[0]
+
+    bad = {"bad_volumes": _bad_positive(geo.volumes),
+           "bad_internal_areas": _bad_positive(geo.areas),
+           "bad_boundary_areas": _bad_positive(geo.boundary_areas)}
+
+    def _bad_normals(cells, fcent, normals):
+        if len(cells) == 0:
+            return np.zeros(0, dtype=np.int64)
+        to_face = fcent - geo.cell_centroids[cells]
+        return np.where(np.einsum("fi,fi->f", to_face, normals) < 0.0)[0]
+
+    bad["bad_internal_faces"] = _bad_normals(
+        geo.neighbors[:, 0], geo.face_centroids, geo.normals)
+    bad["bad_boundary_faces"] = _bad_normals(
+        geo.boundary_neighbors, geo.boundary_centroids, geo.boundary_normals)
+    ok = all(len(v) == 0 for v in bad.values())
+    if verbose:
+        from ..simulator.reporting import jutul_message
+
+        for key, v in bad.items():
+            if len(v):
+                jutul_message("Mesh quality", f"{key}: {len(v)} offenders",
+                              color="yellow")
+        if ok:
+            jutul_message("Mesh quality", "No issues detected.",
+                          color="green")
+    return (ok, bad) if extra_out else ok
+
+
+def check_and_fix_mesh(mesh: UnstructuredMesh, verbose: bool = False):
+    """Check and automatically fix what can be fixed (reference
+    check_and_fix_mesh!, interface.jl): wrongly-oriented face normals are
+    repaired by reversing the face's node order; non-positive volumes/areas
+    are reported but not fixable. Returns a fixed copy."""
+    import copy
+
+    ok, bad = check_mesh(mesh, verbose=verbose, extra_out=True)
+    if ok:
+        return mesh
+    mesh = copy.deepcopy(mesh)
+    for key, fn in (("bad_internal_faces", mesh.face_nodes),
+                    ("bad_boundary_faces", mesh.boundary_face_nodes)):
+        for f in bad[key]:
+            lo, hi = fn.pos[f], fn.pos[f + 1]
+            fn.vals[lo:hi] = fn.vals[lo:hi][::-1]
+    mesh._geo = None  # geometry cache now stale
+    if verbose:
+        from ..simulator.reporting import jutul_message
+
+        ok_after = check_mesh(mesh, verbose=verbose)
+        color = "green" if ok_after else "yellow"
+        msg = ("issues resolved" if ok_after
+               else "issues remain; manual intervention may be required")
+        jutul_message("Mesh fixing", msg, color=color)
+    return mesh

@@ -154,7 +154,9 @@ class UnstructuredMesh(JutulMesh):
         return self.face_neighbors
 
     # --- geometry --------------------------------------------------------
-    def tpfv_geometry(self) -> TwoPointFiniteVolumeGeometry:
+    def tpfv_geometry(self, strict: bool = True) -> TwoPointFiniteVolumeGeometry:
+        """``strict=False`` skips the positivity/shape validation so quality
+        control (check_mesh) can inspect broken meshes without raising."""
         if self._geo is not None:
             return self._geo
         dim = self._dim
@@ -212,8 +214,9 @@ class UnstructuredMesh(JutulMesh):
             boundary_centroids=b_cent,
             boundary_neighbors=self.boundary_face_cells,
         )
-        geo.validate()
-        self._geo = geo
+        if strict:
+            geo.validate()
+            self._geo = geo  # cache only validated geometry
         return geo
 
     # --- constructors ----------------------------------------------------

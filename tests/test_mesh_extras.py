@@ -43,3 +43,39 @@ def test_find_enclosing_cells_diagonal():
     # diagonal passes at least through the 4 diagonal cells
     diag = {i + 4 * i for i in range(4)}
     assert diag.issubset(set(cells.tolist()))
+
+
+def test_check_mesh_quality_full():
+    """check_mesh/check_and_fix_mesh (reference MeshQualityControl)."""
+    import numpy as np
+
+    from jutul.jl_tpu import CartesianMesh
+    from jutul.jl_tpu.meshes.extruded import check_and_fix_mesh, check_mesh
+    from jutul.jl_tpu.meshes.unstructured import UnstructuredMesh
+
+    mesh = UnstructuredMesh.from_cartesian(CartesianMesh((3, 2, 2),
+                                                         (3.0, 2.0, 2.0)))
+    ok, bad = check_mesh(mesh, extra_out=True)
+    assert ok and all(len(v) == 0 for v in bad.values())
+    assert check_and_fix_mesh(mesh) is mesh  # clean mesh: no copy
+
+    # poison one node -> non-finite areas/volumes are detected and reported
+    # as unfixable (reference fix_nonpositive_areas!: report-only)
+    import copy
+
+    bad_mesh = copy.deepcopy(mesh)
+    bad_mesh.points[0, 0] = np.nan
+    bad_mesh._geo = None
+    ok2, bad2 = check_mesh(bad_mesh, extra_out=True)
+    assert not ok2
+    assert len(bad2["bad_internal_areas"]) + len(bad2["bad_volumes"]) > 0
+
+    # scrambled winding self-heals: geometry is orientation-derived
+    scr = copy.deepcopy(mesh)
+    lo, hi = scr.face_nodes.pos[0], scr.face_nodes.pos[1]
+    scr.face_nodes.vals[lo:hi] = scr.face_nodes.vals[lo:hi][::-1]
+    scr._geo = None
+    g0, g1 = mesh.tpfv_geometry(), scr.tpfv_geometry()
+    np.testing.assert_allclose(g1.volumes, g0.volumes)
+    np.testing.assert_allclose(g1.normals, g0.normals, atol=1e-12)
+    assert check_mesh(scr)
