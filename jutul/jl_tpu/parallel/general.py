@@ -259,29 +259,44 @@ class GeneralDistributedSimulator:
     # -- halo exchange ---------------------------------------------------
     def _halo(self, own, send_idx, recv_slot):
         """(n_own_max, ...) -> (n_loc, ...) with ghosts filled by
-        all_to_all of packed buffers."""
+        all_to_all of packed buffers.
+
+        Linear in ``own`` and built from transpose-friendly primitives
+        only (scatter-ADD, not scatter-set, since unused buffer slots all
+        alias the dump row): ``jax.linear_transpose`` of this is the exact
+        reverse exchange, which the distributed adjoint relies on."""
         dec = self.dec
         packed = own[send_idx]  # (D, M, ...)
         recv = jax.lax.all_to_all(packed, self.axis, 0, 0, tiled=False)
         ext = jnp.zeros((dec.n_loc,) + own.shape[1:], own.dtype)
         ext = ext.at[:dec.n_own_max].set(own)
         flat_slots = recv_slot.reshape(-1)
-        return ext.at[flat_slots].set(
+        ext = ext.at[flat_slots].add(
             recv.reshape((-1,) + recv.shape[2:]), mode="drop")
+        # dump row accumulated every unused buffer slot; pin it to zero
+        return ext.at[dec.dump].set(0.0)
 
-    # -- the SPMD Newton body -------------------------------------------
-    def _local_newton(self, state_own, state0_own, cp, fp, tables, q, dt,
-                      rtol, max_lin_it):
+    # -- the SPMD assembly body (shared by Newton and the adjoint) --------
+    def _local_system(self, state_own, state0_own, cp, fp, tables, q, dt,
+                      with_jac: bool = True, with_crit: bool = True):
+        """Assemble this shard's owned-row residual (and optionally the
+        face-block Jacobian pieces + global convergence criteria).
+
+        ``cp``/``fp``/tables are the shard-local (leading axis stripped)
+        stacks. Pure in all traced inputs, so ``jax.vjp`` of the
+        ``with_jac=False`` path yields exact parameter/state cotangents —
+        ghost contributions ride the transposed all_to_all automatically.
+        Returns a dict (keys: r_own, halo, am, and with_jac: diag_own, jL,
+        jR, face_l, face_r, row_plus, row_minus; with_crit: crit).
+        """
         comp = self.comp
         model = self.global_model
         dec = self.dec
         ax = self.axis
-        nom, dump = dec.n_own_max, dec.dump
+        nom = dec.n_own_max
         neq, ndof = comp.neq_total, comp.ndof
-        cp = {k: v[0] for k, v in cp.items()}      # (n_loc, ...)
-        fp = {k: v[0] for k, v in fp.items()}      # (nf_max, ...)
         (send_idx, recv_slot, face_l, face_r, row_plus, row_minus,
-         face_alive, own_alive) = (t[0] for t in tables)
+         face_alive, own_alive) = tables
 
         halo = partial(self._halo, send_idx=send_idx, recv_slot=recv_slot)
         state_ext = {k: halo(v) for k, v in state_own.items()}
@@ -293,12 +308,15 @@ class GeneralDistributedSimulator:
         params_cell = comp._cell_entries(cp, include=("parameter", "extra"))
         cs0 = comp._cell_entries(full0)
 
+        out = {"halo": halo}
+
         # --- accumulation (+ jacfwd diagonal) on owned rows -------------
-        r = jnp.zeros((nom + 1, neq))
-        diag = jnp.zeros((nom + 1, neq, ndof))
+        r = jnp.zeros((nom + 1, neq), U_ext.dtype)
+        diag = jnp.zeros((nom + 1, neq, ndof), U_ext.dtype)
         U_own = U_ext[:nom]
         p_own = {k: v[:nom] for k, v in params_cell.items()}
         cs0_own = {k: v[:nom] for k, v in cs0.items()}
+        am = own_alive[:, None]
         for con in self.acc_cons:
             def local_fn(u_c, p_c, cs0_c, _c=con):
                 local = dict(p_c)
@@ -307,13 +325,14 @@ class GeneralDistributedSimulator:
                 return _c.fn(model, local, cs0_c, dt)
 
             vals = jax.vmap(local_fn)(U_own, p_own, cs0_own)  # (nom, neq)
-            jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
-                U_own, p_own, cs0_own)  # (nom, neq, ndof)
-            am = own_alive[:, None]
             r = r.at[:nom].add(vals * am)
-            diag = diag.at[:nom].add(jac * am[..., None])
+            if with_jac:
+                jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
+                    U_own, p_own, cs0_own)  # (nom, neq, ndof)
+                diag = diag.at[:nom].add(jac * am[..., None])
 
         # --- face fluxes (+ jacfwd wrt both sides) ----------------------
+        jL = jR = None
         if self.flux_con is not None:
             con = self.flux_con
             pl = {k: v[face_l] for k, v in params_cell.items()}
@@ -333,62 +352,93 @@ class GeneralDistributedSimulator:
 
             u2 = jnp.stack([uL, uR], axis=1)  # (nf, 2, ndof)
             flux = jax.vmap(flux_fn)(u2, pl, pr, fp)  # (nf, neq)
-            jac2 = jax.vmap(jax.jacfwd(flux_fn, argnums=0))(
-                u2, pl, pr, fp)  # (nf, neq, 2, ndof)
             fam = face_alive[:, None]
             flux = flux * fam
-            jL = jac2[:, :, 0, :] * fam[..., None]  # dF/du_L
-            jR = jac2[:, :, 1, :] * fam[..., None]
-
             r = r.at[row_plus].add(flux)
             r = r.at[row_minus].add(-flux)
-            diag = diag.at[row_plus].add(
-                jnp.where((face_l < nom)[:, None, None], jL, 0.0))
-            diag = diag.at[row_minus].add(
-                jnp.where((face_r < nom)[:, None, None], -jR, 0.0))
+            if with_jac:
+                jac2 = jax.vmap(jax.jacfwd(flux_fn, argnums=0))(
+                    u2, pl, pr, fp)  # (nf, neq, 2, ndof)
+                jL = jac2[:, :, 0, :] * fam[..., None]  # dF/du_L
+                jR = jac2[:, :, 1, :] * fam[..., None]
+                diag = diag.at[row_plus].add(
+                    jnp.where((face_l < nom)[:, None, None], jL, 0.0))
+                diag = diag.at[row_minus].add(
+                    jnp.where((face_r < nom)[:, None, None], -jR, 0.0))
 
-        r_own = r[:nom] - q[0]
-        diag_own = diag[:nom]
-        # dead padding rows: zero residual, identity diagonal
-        am = own_alive[:, None]
-        r_own = r_own * am
-        eye = jnp.eye(max(neq, ndof))[:neq, :ndof]
-        diag_own = jnp.where(am[..., None] > 0, diag_own, eye[None])
+        r_own = (r[:nom] - q) * am
+        out["r_own"] = r_own
+        out["am"] = am
+        if with_jac:
+            # dead padding rows: zero residual, identity diagonal
+            eye = jnp.eye(max(neq, ndof))[:neq, :ndof]
+            out["diag_own"] = jnp.where(am[..., None] > 0, diag[:nom],
+                                        eye[None])
+            out.update(jL=jL, jR=jR, face_l=face_l, face_r=face_r,
+                       row_plus=row_plus, row_minus=row_minus)
 
-        # --- convergence (global reductions on owned alive rows) --------
-        own_state = {k: (v[:nom] if v.ndim and v.shape[0] == dec.n_loc
-                         else v) for k, v in full.items()}
-        crit = {}
-        for info in comp.equations:
-            parts = info.eq.convergence_parts(
-                model, info.name, r_own[:, info.row_slice], own_state, dt)
-            combined = {}
-            for name, (kind, payload) in parts.items():
-                if kind == "max":
-                    combined[name] = jax.lax.pmax(
-                        jnp.where(jnp.isfinite(payload), payload, 0.0), ax)
-                else:
-                    num, den = payload
-                    combined[name] = jnp.abs(jax.lax.psum(num, ax)) / \
-                        jax.lax.psum(den, ax)
-            crit[info.name] = combined
+        if with_crit:
+            own_state = {k: (v[:nom] if v.ndim and v.shape[0] == dec.n_loc
+                             else v) for k, v in full.items()}
+            crit = {}
+            for info in comp.equations:
+                parts = info.eq.convergence_parts(
+                    model, info.name, r_own[:, info.row_slice], own_state, dt)
+                combined = {}
+                for name, (kind, payload) in parts.items():
+                    if kind == "max":
+                        combined[name] = jax.lax.pmax(
+                            jnp.where(jnp.isfinite(payload), payload, 0.0),
+                            ax)
+                    else:
+                        num, den = payload
+                        combined[name] = jnp.abs(jax.lax.psum(num, ax)) / \
+                            jax.lax.psum(den, ax)
+                crit[info.name] = combined
+            out["crit"] = crit
+        return out
 
-        # --- distributed Krylov ----------------------------------------
-        if self.flux_con is not None:
-            jLc, jRc = jL, jR
+    def _system_matvec(self, sys):
+        """Distributed SpMV closure from a ``_local_system`` result."""
+        nom = self.dec.n_own_max
+        neq, ndof = self.comp.neq_total, self.comp.ndof
+        halo, am = sys["halo"], sys["am"]
+        diag_own = sys["diag_own"]
 
         def matvec(x_flat):
             x = x_flat.reshape(nom, ndof)
             x_ext = halo(x)
-            y = jnp.zeros((nom + 1, neq))
+            y = jnp.zeros((nom + 1, neq), x.dtype)
             y = y.at[:nom].add(bmv(diag_own, x))
             if self.flux_con is not None:
                 # row L couples to u_R (and itself via diag), row R to u_L
-                y = y.at[row_plus].add(bmv(jRc, x_ext[face_r]))
-                y = y.at[row_minus].add(-bmv(jLc, x_ext[face_l]))
+                y = y.at[sys["row_plus"]].add(
+                    bmv(sys["jR"], x_ext[sys["face_r"]]))
+                y = y.at[sys["row_minus"]].add(
+                    -bmv(sys["jL"], x_ext[sys["face_l"]]))
             return (y[:nom] * am).reshape(-1)
 
-        dinv = block_inv(diag_own)
+        return matvec
+
+    # -- the SPMD Newton body -------------------------------------------
+    def _local_newton(self, state_own, state0_own, cp, fp, tables, q, dt,
+                      rtol, max_lin_it):
+        comp = self.comp
+        dec = self.dec
+        ax = self.axis
+        nom = dec.n_own_max
+        neq, ndof = comp.neq_total, comp.ndof
+        cp = {k: v[0] for k, v in cp.items()}      # (n_loc, ...)
+        fp = {k: v[0] for k, v in fp.items()}      # (nf_max, ...)
+        tabs = tuple(t[0] for t in tables)
+
+        sys = self._local_system(state_own, state0_own, cp, fp, tabs, q[0],
+                                 dt)
+        r_own, am, crit = sys["r_own"], sys["am"], sys["crit"]
+
+        # --- distributed Krylov ----------------------------------------
+        matvec = self._system_matvec(sys)
+        dinv = block_inv(sys["diag_own"])
 
         def precond(x_flat):
             return bmv(dinv, x_flat.reshape(nom, neq)).reshape(-1)

@@ -1,0 +1,244 @@
+"""Distributed discrete adjoint over GENERAL partitions.
+
+Counterpart of the reference's dd-partitioned adjoint (reference:
+src/ad/gradients.jl:17-284 driven per-rank through the PArray machinery,
+ext/JutulPartitionedArraysExt/; BASELINE config 5 is "1M-cell adjoint,
+dd-partitioned") for the general-partition SPMD engine
+(parallel/general.py) — any Metis-style partition of any mesh, not just
+Cartesian slabs (parallel/adjoint.py).
+
+One backward report step is ONE jitted SPMD program under jax.shard_map:
+
+- λ solve: the transposed distributed operator is ``jax.linear_transpose``
+  of the forward face-block matvec — the packed ``lax.all_to_all`` halo
+  transposes to the reverse exchange automatically, so ghost-row couplings
+  flow back to their owner shard with no hand-written reverse plan;
+- parameter cotangents are per-shard ``jax.vjp`` pulls of the owned-row
+  residual (the with_jac=False path of ``_local_system``). Cell parameters
+  enter the residual through the same halo exchange, so the vjp returns
+  EXTENDED-stack cotangents whose ghost entries are routed home by one
+  transposed-halo application per step;
+- face parameters (e.g. Transmissibilities) are replicated on both
+  adjacent shards (each assembles only its own rows), so the global
+  gradient is the shard-sum over the face localization tables;
+- objective gradients assume the sum-objective form (reference
+  core_types.jl:1582): G = Σ_shards g(owned cells).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..linsolve.krylov import bicgstab
+from ..models.setup import setup_parameters
+from ..ops.smallmat import block_inv, bmv
+
+
+class GeneralDistributedAdjoint:
+    """Adjoint sweeps over a ``GeneralDistributedSimulator``'s partition."""
+
+    def __init__(self, dsim, parameters: dict | None = None):
+        self.dsim = dsim
+        self.global_params = parameters or setup_parameters(dsim.global_model)
+        # extended cell-parameter stacks and face stacks as the forward sim
+        # built them (ghosts included; vjp cotangents routed home below)
+        self.cp = {k: jnp.asarray(v) for k, v in dsim.cell_params.items()}
+        self.fp = {k: jnp.asarray(v) for k, v in dsim.face_params.items()}
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------
+    def _local_g(self, u_own, cp, G, dt, n, am):
+        """Shard-local objective over owned alive cells."""
+        comp = self.dsim.comp
+        nom = self.dsim.dec.n_own_max
+        state = {**comp.unpack_dofs(u_own),
+                 **{k: v[:nom] for k, v in cp.items()}}
+        state = comp._eval_secondaries_local(state)
+        # mask dead padding rows out of the shard's sum
+        state = {k: (v * am if (hasattr(v, "ndim") and v.ndim == 2)
+                     else (v * am[:, 0] if hasattr(v, "ndim")
+                           and v.ndim == 1 else v))
+                 for k, v in state.items()}
+        return G(self.dsim.global_model, state, dt, n, None)
+
+    # ------------------------------------------------------------------
+    def _build_step(self, G: Callable, n: int, has_next: bool):
+        dsim = self.dsim
+        comp = dsim.comp
+        dec = dsim.dec
+        ax = dsim.axis
+        nom, ndof, neq = dec.n_own_max, comp.ndof, comp.neq_total
+
+        def local_step(u_n, u_prev, u_next, lam_next, cp, fp, tb, q, dts):
+            cp = {k: v[0] for k, v in cp.items()}
+            fp = {k: v[0] for k, v in fp.items()}
+            tabs = tuple(t[0] for t in tb)
+            q1 = q[0]
+            dt_n, dt_next = dts[0], dts[1]
+            own_alive = tabs[7]
+            am = own_alive[:, None]
+
+            def r_fn(u_own, u0_own, cp_, fp_, dt_):
+                sys = dsim._local_system(
+                    comp.unpack_dofs(u_own), comp.unpack_dofs(u0_own),
+                    cp_, fp_, tabs, q1, dt_,
+                    with_jac=False, with_crit=False)
+                return sys["r_own"]
+
+            # rhs = -dG/du_n - (dF_{n+1}/du_n)^T λ_{n+1}
+            g_u, g_cp = jax.grad(
+                lambda u, c: self._local_g(u, c, G, dt_n, n, am),
+                argnums=(0, 1))(u_n, cp)
+            rhs = -g_u
+            if has_next:
+                _, pull0 = jax.vjp(
+                    lambda u0_: r_fn(u_next, u0_, cp, fp, dt_next), u_n)
+                (du0_bar,) = pull0(lam_next)
+                rhs = rhs - du0_bar
+
+            # J_n at (u_n, u_prev); transposed distributed solve
+            sys = dsim._local_system(
+                comp.unpack_dofs(u_n), comp.unpack_dofs(u_prev),
+                cp, fp, tabs, q1, dt_n, with_jac=True, with_crit=False)
+            matvec = dsim._system_matvec(sys)
+            matvec_T = jax.linear_transpose(matvec,
+                                            jnp.zeros(nom * ndof))
+            dinvT = jnp.swapaxes(block_inv(sys["diag_own"]), 1, 2)
+
+            def precond(x_flat):
+                return bmv(dinvT, x_flat.reshape(nom, neq)).reshape(-1)
+
+            def dot(a, b):
+                return jax.lax.psum(jnp.dot(a, b), ax)
+
+            lam_flat, stats = bicgstab(
+                lambda y: matvec_T(y)[0], rhs.reshape(-1),
+                maxiter=self.max_lin_it, rtol=self.rtol, precond=precond,
+                dot_fn=dot)
+            lam = lam_flat.reshape(nom, neq) * am
+
+            # parameter cotangents: ∇_p G += (dF_n/dp)^T λ + dG/dp
+            _, pull = jax.vjp(
+                lambda cp_, fp_: r_fn(u_n, u_prev, cp_, fp_, dt_n), cp, fp)
+            cp_bar_ext, fp_bar = pull(lam)
+            # route ghost-slot cell cotangents home: transpose of the halo
+            send_idx, recv_slot = tabs[0], tabs[1]
+            cp_bar_own = {}
+            for k, v in cp_bar_ext.items():
+                v = v + g_cp[k]
+                halo_T = jax.linear_transpose(
+                    lambda o: dsim._halo(o, send_idx, recv_slot),
+                    jnp.zeros((nom,) + v.shape[1:], v.dtype))
+                (own_bar,) = halo_T(v)
+                cp_bar_own[k] = own_bar
+            fp_bar = {k: v[None] for k, v in fp_bar.items()}
+            cp_bar_own = {k: v[None] for k, v in cp_bar_own.items()}
+            return lam, cp_bar_own, fp_bar, stats["iterations"]
+
+        cp_spec = {k: P(ax) for k in self.cp}
+        fp_spec = {k: P(ax) for k in self.fp}
+        tables = (dec.send_idx, dec.recv_slot, dec.face_l, dec.face_r,
+                  dec.row_plus, dec.row_minus, dec.face_alive,
+                  dec.own_alive)
+        self._tables = tuple(jnp.asarray(t) for t in tables)
+        tab_spec = tuple(P(ax) for _ in tables)
+        u_spec = P(ax)
+        return jax.jit(jax.shard_map(
+            local_step,
+            mesh=dsim.device_mesh,
+            in_specs=(u_spec, u_spec, u_spec, u_spec, cp_spec, fp_spec,
+                      tab_spec, P(ax), P()),
+            out_specs=(u_spec, cp_spec, fp_spec, P()),
+            check_vma=False,
+        ))
+
+    # ------------------------------------------------------------------
+    def solve(self, states: list, timesteps, G: Callable, state0: dict,
+              forces=None, rtol: float = 1e-10, max_lin_it: int = 400):
+        """Backward sweep; returns GLOBAL gradient arrays for all model
+        parameters (cells in mesh order, faces in global face order).
+
+        ``states``/``state0`` are GLOBAL states (mesh order); the sweep
+        shards them internally. ``G(model, state, dt, n, forces)`` must be
+        a sum over cells.
+        """
+        dsim = self.dsim
+        comp = dsim.comp
+        dec = dsim.dec
+        self.rtol = rtol
+        self.max_lin_it = max_lin_it
+        dts = np.atleast_1d(np.asarray(timesteps, dtype=np.float64))
+        N = len(states)
+        assert N == len(dts)
+
+        sh = NamedSharding(dsim.device_mesh, P(dsim.axis))
+
+        def dofs_of(state):
+            own = dsim.shard_state(
+                {k: v for k, v in state.items()
+                 if k in dsim.global_model.primary_variables})
+            u = comp.get_dofs({k: jnp.asarray(v) for k, v in own.items()})
+            return jax.device_put(u, sh)
+
+        u0 = dofs_of(state0)
+        us = [dofs_of(s) for s in states]
+        q = (jnp.asarray(dsim.stack_cell_sources(forces)) if forces
+             else jnp.zeros((dsim.n_devices, dec.n_own_max,
+                             comp.neq_total)))
+
+        cp_grad = {k: np.zeros((dsim.n_devices, dec.n_own_max)
+                               + np.asarray(v).shape[2:])
+                   for k, v in self.cp.items()}
+        fp_grad = {k: np.zeros(np.asarray(v).shape)
+                   for k, v in self.fp.items()}
+        lam = jnp.zeros((dsim.n_devices * dec.n_own_max, comp.neq_total))
+        lam = jax.device_put(lam, sh)
+        u_next = us[-1]
+
+        for n in range(N - 1, -1, -1):
+            has_next = n < N - 1
+            key = (n, has_next)
+            if key not in self._step_cache:
+                self._step_cache[key] = self._build_step(G, n, has_next)
+            step = self._step_cache[key]
+            u_prev = us[n - 1] if n > 0 else u0
+            dt_pair = jnp.asarray([dts[n],
+                                   dts[n + 1] if has_next else dts[n]])
+            lam, cp_bar, fp_bar, _lin = step(
+                us[n], u_prev, u_next, lam, self.cp, self.fp,
+                self._tables, q, dt_pair)
+            for k in cp_grad:
+                cp_grad[k] += np.asarray(cp_bar[k], dtype=np.float64) \
+                    .reshape(cp_grad[k].shape)
+            for k in fp_grad:
+                fp_grad[k] += np.asarray(fp_bar[k], dtype=np.float64)
+            u_next = us[n]
+
+        # owned cell gradients -> global mesh order
+        out = {}
+        for k, v in cp_grad.items():
+            out[k] = dec.unshard_cells(
+                v.reshape((dsim.n_devices * dec.n_own_max,) + v.shape[2:]))
+        # face gradients: shard-sum over the face localization tables
+        for k, v in fp_grad.items():
+            nfg = dsim.mesh.number_of_faces()
+            g = np.zeros((nfg,) + v.shape[2:])
+            for d in range(dsim.n_devices):
+                alive = dec.face_alive[d] > 0
+                np.add.at(g, dec.face_g[d][alive], v[d][alive])
+            out[k] = g
+        return out
+
+
+def solve_adjoint_sensitivities_general(
+        dsim, states: list, timesteps, G: Callable, state0: dict,
+        forces=None, parameters: dict | None = None, **kw):
+    """General-partition counterpart of ``solve_adjoint_sensitivities``
+    (reference: src/ad/gradients.jl:17 through the PArray machinery)."""
+    return GeneralDistributedAdjoint(dsim, parameters=parameters).solve(
+        states, timesteps, G, state0, forces=forces, **kw)
