@@ -51,3 +51,51 @@ def test_transfer_preserves_integer_arrays():
     ctx = TPUContext()
     idx = ctx.transfer(np.arange(5, dtype=np.int32))
     assert idx.dtype == jnp.int32
+
+
+def test_mixed_precision_refinement():
+    """f32 solve + f64-residual iterative refinement reaches <=1e-8
+    (SURVEY hard part (e); the BASELINE north-star residual)."""
+    import numpy as np
+
+    from jutul.jl_tpu import si_unit
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        setup_darcy_model,
+    )
+
+    BAR = si_unit("bar")
+    DARCY = si_unit("darcy")
+    nx, ny = 8, 6
+    nc = nx * ny
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny), (80.0, 60.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(
+        mesh, fluid, permeability=rng.uniform(0.2, 1.0, nc) * DARCY,
+        porosity=0.25, gravity=False)
+
+    model.context = TPUContext()  # f32 working precision
+    sw = rng.uniform(0.3, 0.7, nc)
+    state0 = setup_state(model, Pressure=100.0 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], axis=1))
+    params = setup_parameters(model)
+    forces = {"src": PhaseSourceTerm([0], np.array([[0.02, 0.0]]))}
+    sim = Simulator(model, state0=state0, parameters=params)
+    assert sim.state0["Pressure"].dtype == jnp.float32
+    dt = 3600.0
+    res = sim.simulate([dt], forces=forces, info_level=-1,
+                       tolerances={"default": 1e-5},
+                       max_nonlinear_iterations=20)
+    assert res.reports[-1]["success"]
+
+    # refinement: f64 state carry, f64 residual, f32 Jacobian solves
+    final = {k: np.asarray(res.states[-1][k])
+             for k in model.primary_variables}
+    st64, info = sim.refine_solution(final, state0, dt, forces=forces,
+                                     tol=1e-9, max_refine=10)
+    assert info["converged"], info
+    assert info["f64_max_abs_residual"] <= 1e-9
+    # refinement must have actually improved on the f32 result
+    assert info["f64_residual_history"][0] > info["f64_max_abs_residual"]
