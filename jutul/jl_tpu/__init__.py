@@ -98,8 +98,10 @@ from .simulator.timesteps import (
 )
 from .adjoint.dict_opt import DictParameters
 from .adjoint.gradients import (
+    solve_adjoint_forces,
     solve_adjoint_sensitivities,
     solve_numerical_sensitivities,
+    state_gradient,
 )
 from .adjoint.lbfgs import unit_box_bfgs
 from .adjoint.trust_region import box_trust_region
@@ -167,6 +169,13 @@ from .ops.stencil import (
     StencilCompiledModel,
     StencilKrylovSolver,
 )
+from .parallel.dd import subforces, submodel, substate
+from .parallel.sharded import DistributedSimulator, simulate_parray
 from .units import convert_from_si, convert_to_si, si_unit, si_units
+from .utils.gmsh import mesh_from_gmsh
+from .utils.mrst import mesh_from_mat, mesh_from_mrst_grid
+
+# Reference-compatible aliases (SURVEY appendix export list)
+LUSolver = DirectSolver  # reference LUSolver = dense/direct fallback
 
 __version__ = "0.1.0"
