@@ -1,0 +1,7 @@
+"""Pallas TPU kernels (interpret-mode fallback off-TPU)."""
+
+from .stencil_kernels import (  # noqa: F401
+    PallasStencilMatvec,
+    lattice_coefficients,
+    stencil_matvec,
+)

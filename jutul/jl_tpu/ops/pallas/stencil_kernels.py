@@ -1,0 +1,179 @@
+"""Pallas TPU kernels for the structured-grid hot path.
+
+The 7-point block-stencil SpMV (ops/stencil.py StencilMatrix.matvec /
+ScalarStencil.matvec) runs inside every Krylov iteration and every GMG
+smoothing sweep — it is the single hottest op of the product bench
+(reference counterpart: the threaded CSR SpMV of StaticCSR/mat.jl:44 that
+sits inside Krylov.jl). The XLA version is a chain of slice/pad/add ops;
+this kernel fuses all seven coefficient streams and the (haloed) input
+reads into ONE pass over the lattice:
+
+    y[c, i] = sum_k  D[c,k,i]   * x[k, i]
+            + sum_a  P_a[c,k,i] * x[k, i + e_a]   (0 on the +a boundary)
+            + sum_a  M_a[c,k,i] * x[k, i - e_a]   (0 on the -a boundary)
+
+Layout: coefficients are embedded on the FULL cell lattice (face-lattice
+arrays zero-padded at the boundary slice), stacked as
+``coeffs (7, C*K, nz, ny, nx)`` with term order
+[diag, Px, Mx, Py, My, Pz, Mz]; ``x`` is zero-padded by one cell on every
+axis so every shifted read is an in-bounds static slice of the DMA'd slab.
+The grid tiles the z axis; each program DMAs its (Tz+2) input slab from
+HBM into VMEM scratch and writes a (Tz) output tile.
+
+Falls back to interpret mode off-TPU (used by the CPU test rig).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TERMS = 7  # diag, +x, -x, +y, -y, +z, -z
+
+
+def _kernel(coef_ref, xpad_hbm, y_ref, xs, sem, *, C, K, Tz):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    # DMA the haloed input slab: (K, Tz+2, ny+2, nx+2) at z-offset i*Tz
+    dma = pltpu.make_async_copy(
+        xpad_hbm.at[:, pl.ds(i * Tz, Tz + 2)], xs, sem)
+    dma.start()
+    dma.wait()
+
+    def xm(k):  # center view on the cell lattice
+        return xs[k, 1:Tz + 1, 1:-1, 1:-1]
+
+    # shifted views: +x reads x at (.., .., x+1) etc.
+    shifts = (
+        lambda k: xm(k),                       # diag
+        lambda k: xs[k, 1:Tz + 1, 1:-1, 2:],   # +x
+        lambda k: xs[k, 1:Tz + 1, 1:-1, :-2],  # -x
+        lambda k: xs[k, 1:Tz + 1, 2:, 1:-1],   # +y
+        lambda k: xs[k, 1:Tz + 1, :-2, 1:-1],  # -y
+        lambda k: xs[k, 2:Tz + 2, 1:-1, 1:-1],  # +z
+        lambda k: xs[k, 0:Tz, 1:-1, 1:-1],     # -z
+    )
+    for c in range(C):
+        acc = None
+        for t in range(_TERMS):
+            for k in range(K):
+                term = coef_ref[t, c * K + k] * shifts[t](k)
+                acc = term if acc is None else acc + term
+        y_ref[c] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("L", "C", "K", "interpret"))
+def _stencil_matvec_call(coeffs, xpad, L, C, K, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nz, ny, nx = L
+    # z-tile: keep the coefficient block + slab within a VMEM budget
+    budget = 6 * 1024 * 1024  # bytes for the coefficient tile
+    per_z = _TERMS * C * K * ny * nx * 4
+    Tz = max(1, min(nz, budget // max(per_z, 1)))
+    while nz % Tz:
+        Tz -= 1
+    grid = (nz // Tz,)
+
+    kern = functools.partial(_kernel, C=C, K=K, Tz=Tz)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TERMS, C * K, Tz, ny, nx),
+                         lambda i: (0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # xpad stays in HBM
+        ],
+        out_specs=pl.BlockSpec((C, Tz, ny, nx), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nz, ny, nx), coeffs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((K, Tz + 2, ny + 2, nx + 2), coeffs.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(coeffs, xpad)
+
+
+def lattice_coefficients(L, diag, plus: dict, minus: dict):
+    """Embed face-lattice stencil coefficients on the full cell lattice.
+
+    ``diag`` (C, K, n); ``plus[a]``/``minus[a]`` (C, K, *face_lat) as in
+    StencilMatrix (axis 0=x, 1=y, 2=z on the (nz, ny, nx) lattice).
+    Returns ``coeffs (7, C*K, nz, ny, nx)``.
+    """
+    nz, ny, nx = L
+    C, K = diag.shape[0], diag.shape[1]
+    coeffs = jnp.zeros((_TERMS, C * K, nz, ny, nx), diag.dtype)
+    coeffs = coeffs.at[0].set(diag.reshape(C * K, nz, ny, nx))
+    # axis -> (term index P, term index M, cell-lattice slices)
+    emb = {
+        0: (1, 2, (slice(None), slice(None), slice(0, nx - 1)),
+            (slice(None), slice(None), slice(1, nx))),
+        1: (3, 4, (slice(None), slice(0, ny - 1), slice(None)),
+            (slice(None), slice(1, ny), slice(None))),
+        2: (5, 6, (slice(0, nz - 1), slice(None), slice(None)),
+            (slice(1, nz), slice(None), slice(None))),
+    }
+    for a, arr in plus.items():
+        tP, tM, slP, slM = emb[a]
+        coeffs = coeffs.at[(tP, slice(None)) + slP].set(
+            arr.reshape((C * K,) + arr.shape[2:]))
+        coeffs = coeffs.at[(tM, slice(None)) + slM].set(
+            minus[a].reshape((C * K,) + minus[a].shape[2:]))
+    return coeffs
+
+
+def stencil_matvec(coeffs, x, L, C, K, interpret: bool | None = None):
+    """y = A x for the lattice-embedded 7-point stencil.
+
+    ``x`` (n, K) column-of-dofs layout as StencilMatrix.matvec takes;
+    returns (n, C). ``interpret=None`` auto-selects interpret mode off-TPU.
+    """
+    nz, ny, nx = L
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x_lat = x.T.reshape(K, nz, ny, nx).astype(coeffs.dtype)
+    xpad = jnp.pad(x_lat, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    y = _stencil_matvec_call(coeffs, xpad, tuple(L), int(C), int(K),
+                             bool(interpret))
+    return y.reshape(C, -1).T
+
+
+class PallasStencilMatvec:
+    """Drop-in fused matvec for a StencilMatrix / ScalarStencil.
+
+    Build once per Jacobian (embeds coefficients on the cell lattice),
+    then call with dof vectors. ``StencilKrylovSolver(use_pallas=True)``
+    wires this into the Krylov loop.
+    """
+
+    def __init__(self, A, interpret: bool | None = None):
+        if hasattr(A, "diag") and A.diag.ndim == 3:  # StencilMatrix
+            C, K = A.diag.shape[0], A.diag.shape[1]
+            diag = A.diag.reshape(C, K, -1)
+            plus = {a: v for a, v in A.plus.items()}
+            minus = {a: v for a, v in A.minus.items()}
+        else:  # ScalarStencil
+            C = K = 1
+            diag = A.diag.reshape(1, 1, -1)
+            plus = {a: v[None, None] for a, v in A.plus.items()}
+            minus = {a: v[None, None] for a, v in A.minus.items()}
+        self.L, self.C, self.K = tuple(A.L), C, K
+        self.interpret = interpret
+        self.coeffs = lattice_coefficients(self.L, diag, plus, minus)
+
+    def __call__(self, x):
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        y = stencil_matvec(self.coeffs, x, self.L, self.C, self.K,
+                           self.interpret)
+        return y[:, 0] if squeeze else y

@@ -1,0 +1,71 @@
+"""Micro-benchmark: XLA slice/pad stencil matvec vs the Pallas fused kernel.
+
+One device execution per process (tunnel constraint): pass mode=xla|pallas.
+Chains N matvecs in one fori_loop program; prints seconds per matvec.
+
+    python scripts/bench_pallas_matvec.py xla 64 200
+    python scripts/bench_pallas_matvec.py pallas 64 200
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import jutul.jl_tpu  # noqa: F401
+
+jax.config.update("jax_enable_x64", False)
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "xla"
+    m = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    C = K = 2
+    L = (m, m, m)
+    n = m ** 3
+    rng = np.random.default_rng(0)
+
+    from jutul.jl_tpu.ops.stencil import StencilMatrix
+
+    f32 = jnp.float32
+    diag = jnp.asarray(rng.normal(size=(C, K, n)), f32)
+    plus, minus = {}, {}
+    fs = {0: (m, m, m - 1), 1: (m, m - 1, m), 2: (m - 1, m, m)}
+    for a, s in fs.items():
+        plus[a] = jnp.asarray(rng.normal(size=(C, K) + s), f32)
+        minus[a] = jnp.asarray(rng.normal(size=(C, K) + s), f32)
+    A = StencilMatrix(L, diag, plus, minus)
+    x0 = jnp.asarray(rng.normal(size=(n, K)), f32)
+
+    if mode == "pallas":
+        from jutul.jl_tpu.ops.pallas import PallasStencilMatvec
+
+        mv = PallasStencilMatvec(A, interpret=None)
+    else:
+        mv = A.matvec
+
+    @jax.jit
+    def chain(x):
+        def body(_, x):
+            y = mv(x)
+            return y / (jnp.max(jnp.abs(y)) + 1e-30)  # keep finite
+
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    y = jax.block_until_ready(chain(x0))  # compile + warm
+    t0 = time.perf_counter()
+    y = jax.block_until_ready(chain(x0))
+    dt = time.perf_counter() - t0
+    print(f"{mode}: {m}^3 x{reps}: {dt:.3f}s total, "
+          f"{1e3 * dt / reps:.3f} ms/matvec, fingerprint={float(y[0, 0]):.6e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Pallas fused stencil-SpMV kernel vs the XLA slice/pad reference
+(interpret mode on the CPU rig; compiled on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _random_stencil_matrix(L, C, K, seed=0):
+    from jutul.jl_tpu.ops.stencil import StencilMatrix
+
+    nz, ny, nx = L
+    n = nz * ny * nx
+    rng = np.random.default_rng(seed)
+    diag = jnp.asarray(rng.normal(size=(C, K, n)))
+    plus, minus = {}, {}
+    face_shapes = {0: (nz, ny, nx - 1), 1: (nz, ny - 1, nx),
+                   2: (nz - 1, ny, nx)}
+    for a, fs in face_shapes.items():
+        if fs[0] and fs[1] and fs[2]:
+            plus[a] = jnp.asarray(rng.normal(size=(C, K) + fs))
+            minus[a] = jnp.asarray(rng.normal(size=(C, K) + fs))
+    return StencilMatrix(L, diag, plus, minus)
+
+
+@pytest.mark.parametrize("L,C,K", [((4, 5, 6), 2, 2), ((3, 4, 8), 1, 1),
+                                   ((2, 1, 7), 2, 2)])
+def test_pallas_matvec_matches_xla(L, C, K):
+    from jutul.jl_tpu.ops.pallas import PallasStencilMatvec
+
+    A = _random_stencil_matrix(L, C, K)
+    n = A.n
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(n, K)))
+    y_ref = A.matvec(x)
+    y_pal = PallasStencilMatvec(A, interpret=True)(x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_scalar_stencil():
+    from jutul.jl_tpu.ops.pallas import PallasStencilMatvec
+    from jutul.jl_tpu.ops.stencil import ScalarStencil
+
+    L = (3, 4, 4)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(2)
+    diag = jnp.asarray(rng.normal(size=n))
+    plus = {0: jnp.asarray(rng.normal(size=(3, 4, 3))),
+            1: jnp.asarray(rng.normal(size=(3, 3, 4))),
+            2: jnp.asarray(rng.normal(size=(2, 4, 4)))}
+    minus = {a: jnp.asarray(rng.normal(size=v.shape))
+             for a, v in plus.items()}
+    A = ScalarStencil(L, diag, plus, minus)
+    x = jnp.asarray(rng.normal(size=n))
+    np.testing.assert_allclose(
+        np.asarray(PallasStencilMatvec(A, interpret=True)(x)),
+        np.asarray(A.matvec(x)), rtol=1e-12, atol=1e-12)
