@@ -316,10 +316,13 @@ def run_product(nx, ny, nz, n_lin_it):
     st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
     pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
     n_smooth = int(os.environ.get("BENCH_GMG_SMOOTH", "2"))
+    pallas_env = os.environ.get("BENCH_PALLAS")  # unset -> auto (TPU on)
+    use_pallas = None if pallas_env is None else pallas_env == "1"
     solver = StencilKrylovSolver(
         preconditioner=StencilCPR(gmg=GMG(n_smooth=n_smooth,
                                           n_coarse_sweeps=12,
-                                          min_cells=16384)),
+                                          min_cells=16384,
+                                          use_pallas=use_pallas)),
         rtol=float(os.environ.get("BENCH_RTOL", "0.0")),
         max_iterations=n_lin_it)  # rtol=0 pins the Krylov work; rtol>0
     # enables the in-jit early exit (reference CPR practice: rtol ~1e-3)

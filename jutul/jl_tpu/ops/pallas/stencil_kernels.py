@@ -2,25 +2,33 @@
 
 The 7-point block-stencil SpMV (ops/stencil.py StencilMatrix.matvec /
 ScalarStencil.matvec) runs inside every Krylov iteration and every GMG
-smoothing sweep — it is the single hottest op of the product bench
-(reference counterpart: the threaded CSR SpMV of StaticCSR/mat.jl:44 that
-sits inside Krylov.jl). The XLA version is a chain of slice/pad/add ops;
-this kernel fuses all seven coefficient streams and the (haloed) input
-reads into ONE pass over the lattice:
+smoothing sweep — the hottest op of the product bench (reference
+counterpart: the threaded CSR SpMV of StaticCSR/mat.jl:44 inside
+Krylov.jl). The XLA version is a chain of ~20 slice/pad/add ops per
+matvec; this kernel fuses all seven coefficient streams and the haloed
+input reads into ONE pass over the lattice:
 
     y[c, i] = sum_k  D[c,k,i]   * x[k, i]
             + sum_a  P_a[c,k,i] * x[k, i + e_a]   (0 on the +a boundary)
             + sum_a  M_a[c,k,i] * x[k, i - e_a]   (0 on the -a boundary)
 
-Layout: coefficients are embedded on the FULL cell lattice (face-lattice
-arrays zero-padded at the boundary slice), stacked as
-``coeffs (7, C*K, nz, ny, nx)`` with term order
-[diag, Px, Mx, Py, My, Pz, Mz]; ``x`` is zero-padded by one cell on every
-axis so every shifted read is an in-bounds static slice of the DMA'd slab.
-The grid tiles the z axis; each program DMAs its (Tz+2) input slab from
-HBM into VMEM scratch and writes a (Tz) output tile.
+TPU-layout design (Mosaic tiles the last two dims (8,128) for f32, and
+rejects lane/sublane slices at unaligned offsets):
 
-Falls back to interpret mode off-TPU (used by the CPU test rig).
+- the (nz, ny, nx) lattice is flattened to rows r = z*ny + y (sublane
+  axis) with x on the lane axis, zero-padded to a 128 multiple;
+- ALL neighbor reads are ``pltpu.roll``s — +x is a lane roll, +y a row
+  roll by 1, +z a row roll by ny. Rolls wrap, but every wrapped read is
+  multiplied by a boundary coefficient that is exactly zero (the
+  face-lattice embedding below), so wraparound never leaks;
+- the grid tiles whole z-slabs of rows; each program DMAs its slab with
+  an ny-row halo on both sides from HBM into VMEM, rolls within the
+  slab (wrong values can only appear in the halo rows, which are not
+  written), and writes the interior tile.
+
+Requires ny % 8 == 0 (f32 sublane tiling); callers fall back to the XLA
+path otherwise. Interpret mode (off-TPU) is exact and used by the CPU
+test rig.
 """
 
 from __future__ import annotations
@@ -34,72 +42,84 @@ import numpy as np
 _TERMS = 7  # diag, +x, -x, +y, -y, +z, -z
 
 
-def _kernel(coef_ref, xpad_hbm, y_ref, xs, sem, *, C, K, Tz):
+def _roll(v, shift, axis):
+    from jax.experimental.pallas import tpu as pltpu
+
+    # pltpu.roll only takes non-negative shifts; -k == +(N - k)
+    return pltpu.roll(v, shift % v.shape[axis], axis)
+
+
+def _kernel(coef_ref, xpad_hbm, y_ref, xs, sem, *, C, K, Rt, ny):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    # DMA the haloed input slab: (K, Tz+2, ny+2, nx+2) at z-offset i*Tz
+    # DMA the haloed slab: (K, Rt + 2*ny, nxp) at row offset i*Rt
     dma = pltpu.make_async_copy(
-        xpad_hbm.at[:, pl.ds(i * Tz, Tz + 2)], xs, sem)
+        xpad_hbm.at[:, pl.ds(i * Rt, Rt + 2 * ny)], xs, sem)
     dma.start()
     dma.wait()
 
-    def xm(k):  # center view on the cell lattice
-        return xs[k, 1:Tz + 1, 1:-1, 1:-1]
-
-    # shifted views: +x reads x at (.., .., x+1) etc.
-    shifts = (
-        lambda k: xm(k),                       # diag
-        lambda k: xs[k, 1:Tz + 1, 1:-1, 2:],   # +x
-        lambda k: xs[k, 1:Tz + 1, 1:-1, :-2],  # -x
-        lambda k: xs[k, 1:Tz + 1, 2:, 1:-1],   # +y
-        lambda k: xs[k, 1:Tz + 1, :-2, 1:-1],  # -y
-        lambda k: xs[k, 2:Tz + 2, 1:-1, 1:-1],  # +z
-        lambda k: xs[k, 0:Tz, 1:-1, 1:-1],     # -z
+    x = xs[:]  # (K, Rt + 2ny, nxp)
+    # neighbor slabs via rolls; wrapped rows land in the halo only
+    views = (
+        x,                      # diag
+        _roll(x, -1, 2),        # +x (lane)
+        _roll(x, 1, 2),         # -x
+        _roll(x, -1, 1),        # +y (row)
+        _roll(x, 1, 1),         # -y
+        _roll(x, -ny, 1),       # +z (row block)
+        _roll(x, ny, 1),        # -z
     )
     for c in range(C):
         acc = None
         for t in range(_TERMS):
             for k in range(K):
-                term = coef_ref[t, c * K + k] * shifts[t](k)
+                term = coef_ref[t, c * K + k] * views[t][k, ny:ny + Rt]
                 acc = term if acc is None else acc + term
         y_ref[c] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("L", "C", "K", "interpret"))
-def _stencil_matvec_call(coeffs, xpad, L, C, K, interpret):
+@functools.partial(jax.jit, static_argnames=("L", "C", "K", "nxp",
+                                             "interpret"))
+def _stencil_matvec_call(coeffs, xpad, L, C, K, nxp, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nz, ny, nx = L
-    # z-tile: keep the coefficient block + slab within a VMEM budget
-    budget = 6 * 1024 * 1024  # bytes for the coefficient tile
-    per_z = _TERMS * C * K * ny * nx * 4
-    Tz = max(1, min(nz, budget // max(per_z, 1)))
-    while nz % Tz:
-        Tz -= 1
-    grid = (nz // Tz,)
+    R = nz * ny
+    # z-slab tile: whole multiples of ny rows, within a VMEM budget
+    budget = 6 * 1024 * 1024
+    per_row = _TERMS * C * K * nxp * 4
+    tz = max(1, min(nz, budget // max(per_row * ny, 1)))
+    while nz % tz:
+        tz -= 1
+    Rt = tz * ny
+    grid = (nz // tz,)
 
-    kern = functools.partial(_kernel, C=C, K=K, Tz=Tz)
+    kern = functools.partial(_kernel, C=C, K=K, Rt=Rt, ny=ny)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TERMS, C * K, Tz, ny, nx),
-                         lambda i: (0, 0, i, 0, 0),
+            pl.BlockSpec((_TERMS, C * K, Rt, nxp),
+                         lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # xpad stays in HBM
         ],
-        out_specs=pl.BlockSpec((C, Tz, ny, nx), lambda i: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((C, Rt, nxp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, nz, ny, nx), coeffs.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, R, nxp), coeffs.dtype),
         scratch_shapes=[
-            pltpu.VMEM((K, Tz + 2, ny + 2, nx + 2), coeffs.dtype),
+            pltpu.VMEM((K, Rt + 2 * ny, nxp), coeffs.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(coeffs, xpad)
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
 
 
 def lattice_coefficients(L, diag, plus: dict, minus: dict):
@@ -107,13 +127,13 @@ def lattice_coefficients(L, diag, plus: dict, minus: dict):
 
     ``diag`` (C, K, n); ``plus[a]``/``minus[a]`` (C, K, *face_lat) as in
     StencilMatrix (axis 0=x, 1=y, 2=z on the (nz, ny, nx) lattice).
-    Returns ``coeffs (7, C*K, nz, ny, nx)``.
+    Returns ``coeffs (7, C*K, nz*ny, nxp)`` with the boundary zeros that
+    make the kernel's wrapped rolls harmless.
     """
     nz, ny, nx = L
     C, K = diag.shape[0], diag.shape[1]
-    coeffs = jnp.zeros((_TERMS, C * K, nz, ny, nx), diag.dtype)
-    coeffs = coeffs.at[0].set(diag.reshape(C * K, nz, ny, nx))
-    # axis -> (term index P, term index M, cell-lattice slices)
+    full = jnp.zeros((_TERMS, C * K, nz, ny, nx), diag.dtype)
+    full = full.at[0].set(diag.reshape(C * K, nz, ny, nx))
     emb = {
         0: (1, 2, (slice(None), slice(None), slice(0, nx - 1)),
             (slice(None), slice(None), slice(1, nx))),
@@ -124,35 +144,44 @@ def lattice_coefficients(L, diag, plus: dict, minus: dict):
     }
     for a, arr in plus.items():
         tP, tM, slP, slM = emb[a]
-        coeffs = coeffs.at[(tP, slice(None)) + slP].set(
+        full = full.at[(tP, slice(None)) + slP].set(
             arr.reshape((C * K,) + arr.shape[2:]))
-        coeffs = coeffs.at[(tM, slice(None)) + slM].set(
+        full = full.at[(tM, slice(None)) + slM].set(
             minus[a].reshape((C * K,) + minus[a].shape[2:]))
-    return coeffs
+    nxp = _round_up(nx, 128)
+    out = full.reshape(_TERMS, C * K, nz * ny, nx)
+    return jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, nxp - nx)))
 
 
 def stencil_matvec(coeffs, x, L, C, K, interpret: bool | None = None):
     """y = A x for the lattice-embedded 7-point stencil.
 
     ``x`` (n, K) column-of-dofs layout as StencilMatrix.matvec takes;
-    returns (n, C). ``interpret=None`` auto-selects interpret mode off-TPU.
+    returns (n, C). ``interpret=None`` auto-selects interpret mode
+    off-TPU.
     """
     nz, ny, nx = L
+    nxp = coeffs.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    x_lat = x.T.reshape(K, nz, ny, nx).astype(coeffs.dtype)
-    xpad = jnp.pad(x_lat, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    x_lat = x.T.reshape(K, nz * ny, nx).astype(coeffs.dtype)
+    xpad = jnp.pad(x_lat, ((0, 0), (ny, ny), (0, nxp - nx)))
     y = _stencil_matvec_call(coeffs, xpad, tuple(L), int(C), int(K),
-                             bool(interpret))
-    return y.reshape(C, -1).T
+                             int(nxp), bool(interpret))
+    return y[:, :, :nx].reshape(C, -1).T
+
+
+def pallas_supported(L) -> bool:
+    """ny must respect the f32 sublane tiling for the roll/slice layout."""
+    _nz, ny, _nx = L
+    return ny % 8 == 0 and ny >= 8
 
 
 class PallasStencilMatvec:
     """Drop-in fused matvec for a StencilMatrix / ScalarStencil.
 
     Build once per Jacobian (embeds coefficients on the cell lattice),
-    then call with dof vectors. ``StencilKrylovSolver(use_pallas=True)``
-    wires this into the Krylov loop.
+    then call with dof vectors.
     """
 
     def __init__(self, A, interpret: bool | None = None):
@@ -177,3 +206,147 @@ class PallasStencilMatvec:
         y = stencil_matvec(self.coeffs, x, self.L, self.C, self.K,
                            self.interpret)
         return y[:, 0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# Fused smoother / residual variants: one kernel per GMG sweep instead of a
+# pallas matvec + 3 small XLA ops (the V-cycle is launch-overhead-bound at
+# typical level sizes — see probe measurements in scripts/bench_pallas_*).
+#
+#   residual: out = b - A u
+#   smooth:   out = u + omega * (b - A u) / diag      (weighted Jacobi)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_fused(coef_ref, b_ref, xpad_hbm, y_ref, xs, sem, *, C, K, Rt,
+                  ny, mode, omega):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        xpad_hbm.at[:, pl.ds(i * Rt, Rt + 2 * ny)], xs, sem)
+    dma.start()
+    dma.wait()
+
+    x = xs[:]
+    views = (
+        x,
+        _roll(x, -1, 2), _roll(x, 1, 2),
+        _roll(x, -1, 1), _roll(x, 1, 1),
+        _roll(x, -ny, 1), _roll(x, ny, 1),
+    )
+    for c in range(C):
+        acc = None
+        for t in range(_TERMS):
+            for k in range(K):
+                term = coef_ref[t, c * K + k] * views[t][k, ny:ny + Rt]
+                acc = term if acc is None else acc + term
+        resid = b_ref[c] - acc
+        if mode == 1:  # residual
+            y_ref[c] = resid
+        else:  # weighted-Jacobi smooth (scalar: C == K == 1, c == k)
+            u_c = views[0][c, ny:ny + Rt]
+            y_ref[c] = u_c + omega * resid / coef_ref[0, c * K + c]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "C", "K", "nxp", "mode",
+                                             "omega", "interpret"))
+def _stencil_fused_call(coeffs, b, xpad, L, C, K, nxp, mode, omega,
+                        interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nz, ny, nx = L
+    R = nz * ny
+    budget = 6 * 1024 * 1024
+    per_row = _TERMS * C * K * nxp * 4
+    tz = max(1, min(nz, budget // max(per_row * ny, 1)))
+    while nz % tz:
+        tz -= 1
+    Rt = tz * ny
+    grid = (nz // tz,)
+
+    kern = functools.partial(_kernel_fused, C=C, K=K, Rt=Rt, ny=ny,
+                             mode=mode, omega=omega)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TERMS, C * K, Rt, nxp),
+                         lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Rt, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((C, Rt, nxp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, R, nxp), coeffs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((K, Rt + 2 * ny, nxp), coeffs.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(coeffs, b, xpad)
+
+
+class PallasScalarLevel:
+    """Fused per-level ops for a ScalarStencil GMG level: matvec,
+    residual (b - A u) and weighted-Jacobi smooth, each one kernel."""
+
+    def __init__(self, A, interpret: bool | None = None):
+        self.base = PallasStencilMatvec(A, interpret)
+        nz, ny, nx = self.base.L
+        self.ny, self.nx = ny, nx
+        self.nxp = self.base.coeffs.shape[-1]
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+
+    def matvec(self, x):
+        return self.base(x)
+
+    def _fused(self, u, b, mode, omega=0.0):
+        L = self.base.L
+        nz, ny, nx = L
+        u_lat = u.reshape(1, nz * ny, nx).astype(self.base.coeffs.dtype)
+        upad = jnp.pad(u_lat, ((0, 0), (ny, ny), (0, self.nxp - nx)))
+        b_lat = jnp.pad(b.reshape(1, nz * ny, nx),
+                        ((0, 0), (0, 0), (0, self.nxp - nx)))
+        y = _stencil_fused_call(self.base.coeffs, b_lat, upad, L, 1, 1,
+                                self.nxp, mode, float(omega),
+                                self.interpret)
+        return y[:, :, :nx].reshape(-1)
+
+    def residual(self, u, b):
+        return self._fused(u, b, mode=1)
+
+    def smooth(self, u, b, omega):
+        return self._fused(u, b, mode=2, omega=omega)
+
+
+class XLAScalarLevel:
+    """XLA fallback with the same per-level interface."""
+
+    def __init__(self, A):
+        self.A = A
+        self._dinv = 1.0 / A.diag
+
+    def matvec(self, x):
+        return self.A.matvec(x)
+
+    def residual(self, u, b):
+        return b - self.A.matvec(u)
+
+    def smooth(self, u, b, omega):
+        return u + omega * self._dinv * (b - self.A.matvec(u))
+
+
+def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536):
+    """Level-op factory: fused Pallas on TPU for big, tiling-compatible
+    levels; XLA otherwise."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and A.n >= min_cells and pallas_supported(A.L):
+        return PallasScalarLevel(A)
+    return XLAScalarLevel(A)

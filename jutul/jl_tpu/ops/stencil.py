@@ -406,6 +406,22 @@ def _coarsen_scalar(A: ScalarStencil) -> ScalarStencil:
     return ScalarStencil(cL, diag_c.reshape(-1), plus_c, minus_c)
 
 
+def fused_matvec(A, use_pallas=None, min_cells: int = 65536):
+    """Matvec callable for a StencilMatrix/ScalarStencil: the Pallas fused
+    kernel (ops/pallas/stencil_kernels.py, measured 1.4x the XLA
+    slice/pad chain at 64^3 on TPU) when on-TPU, the lattice respects the
+    sublane tiling, and the level is big enough to amortize the kernel
+    launch; the XLA chain otherwise."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and A.n >= min_cells:
+        from .pallas import PallasStencilMatvec, pallas_supported
+
+        if pallas_supported(A.L):
+            return PallasStencilMatvec(A)
+    return A.matvec
+
+
 class GMG:
     """Geometric multigrid V-cycle on a scalar 7-point stencil (the CPR
     pressure stage on structured grids — replaces AMG with exact
@@ -413,12 +429,13 @@ class GMG:
 
     def __init__(self, omega: float = 0.8, n_smooth: int = 2,
                  n_coarse_sweeps: int = 40, min_cells: int = 32,
-                 max_levels: int = 10):
+                 max_levels: int = 10, use_pallas=None):
         self.omega = omega
         self.n_smooth = n_smooth
         self.n_coarse_sweeps = n_coarse_sweeps
         self.min_cells = min_cells
         self.max_levels = max_levels
+        self.use_pallas = use_pallas
 
     def hierarchy(self, A: ScalarStencil) -> list:
         ops = [A]
@@ -428,18 +445,28 @@ class GMG:
             ops.append(_coarsen_scalar(ops[-1]))
         return ops
 
-    def vcycle(self, ops: list, b, level: int = 0):
+    def matvecs(self, ops: list) -> list:
+        """Per-level fused level ops (built once per update): matvec,
+        residual and weighted-Jacobi smooth, each ONE Pallas kernel on
+        big TPU levels (the V-cycle is launch-overhead-bound)."""
+        from .pallas.stencil_kernels import scalar_level_ops
+
+        return [scalar_level_ops(A, self.use_pallas) for A in ops]
+
+    def vcycle(self, ops: list, b, level: int = 0, mvs: list | None = None):
+        from .pallas.stencil_kernels import XLAScalarLevel
+
         A = ops[level]
-        dinv = 1.0 / A.diag
+        lv = mvs[level] if mvs is not None else XLAScalarLevel(A)
         if level == len(ops) - 1:
             u = jnp.zeros_like(b)
             for _ in range(self.n_coarse_sweeps):
-                u = u + self.omega * dinv * (b - A.matvec(u))
+                u = lv.smooth(u, b, self.omega)
             return u
-        u = self.omega * dinv * b
+        u = lv.smooth(jnp.zeros_like(b), b, self.omega)
         for _ in range(self.n_smooth - 1):
-            u = u + self.omega * dinv * (b - A.matvec(u))
-        r = b - A.matvec(u)
+            u = lv.smooth(u, b, self.omega)
+        r = lv.residual(u, b)
         # restrict (pw-constant sum) onto the padded-even lattice
         Ap = _pad_even(A)
         r_lat = jnp.pad(r.reshape(A.L),
@@ -449,7 +476,7 @@ class GMG:
         for axis, n in enumerate(Ap.L):
             if n > 1:
                 rc = _fold(rc, axis)
-        ec = self.vcycle(ops, rc.reshape(-1), level + 1)
+        ec = self.vcycle(ops, rc.reshape(-1), level + 1, mvs)
         # prolong: inject the coarse value into each child cell
         e_lat = ec.reshape(ops[level + 1].L)
         for axis, n in enumerate(Ap.L):
@@ -458,7 +485,7 @@ class GMG:
         e_lat = e_lat[: A.L[0], : A.L[1], : A.L[2]]
         u = u + e_lat.reshape(-1)
         for _ in range(self.n_smooth):
-            u = u + self.omega * dinv * (b - A.matvec(u))
+            u = lv.smooth(u, b, self.omega)
         return u
 
 
@@ -467,6 +494,8 @@ class StencilCPRState:
     w: jnp.ndarray  # (neq, n) quasi-IMPES row weights
     dinv: tuple  # 2x2 inverse components of the diagonal blocks
     ops: list  # GMG hierarchy of the pressure stencil
+    mvs: list | None = None  # per-level fused matvec closures
+    mv_A: object = None  # fused matvec for the full block matrix
 
 
 class StencilCPR:
@@ -501,17 +530,20 @@ class StencilCPR:
                           + wr[1] * A.minus[a][1, self.p])
         Ap = ScalarStencil(A.L, diag_p.reshape(-1), plus_p, minus_p)
         ops = self.gmg.hierarchy(Ap)
-        return StencilCPRState(w, (i00, i01, i10, i11), ops)
+        return StencilCPRState(w, (i00, i01, i10, i11), ops,
+                               mvs=self.gmg.matvecs(ops),
+                               mv_A=fused_matvec(A, self.gmg.use_pallas))
 
     def apply(self, state: StencilCPRState, A: StencilMatrix, x):
         """x (n, neq) residual -> du (n, ndof)."""
         n = A.n
         w = state.w
         r_p = w[0] * x[:, 0] + w[1] * x[:, 1]
-        dp = self.gmg.vcycle(state.ops, r_p)
+        dp = self.gmg.vcycle(state.ops, r_p, mvs=state.mvs)
         du = jnp.zeros((n, A.diag.shape[1]), x.dtype)
         du = du.at[:, self.p].set(dp)
-        r2 = x - A.matvec(du)
+        mv_A = state.mv_A if state.mv_A is not None else A.matvec
+        r2 = x - mv_A(du)
         i00, i01, i10, i11 = state.dinv
         du2_0 = i00 * r2[:, 0] + i01 * r2[:, 1]
         du2_1 = i10 * r2[:, 0] + i11 * r2[:, 1]
@@ -537,9 +569,10 @@ class StencilKrylovSolver:
         pstate = self.preconditioner.update(A)
         n = A.n
         neq, ndof, _ = A.diag.shape
+        mv = pstate.mv_A if pstate.mv_A is not None else A.matvec
 
         def matvec(x):
-            return A.matvec(x.reshape(n, ndof)).reshape(-1)
+            return mv(x.reshape(n, ndof)).reshape(-1)
 
         def M(x):
             return self.preconditioner.apply(pstate, A,

@@ -56,3 +56,54 @@ def test_pallas_scalar_stencil():
     np.testing.assert_allclose(
         np.asarray(PallasStencilMatvec(A, interpret=True)(x)),
         np.asarray(A.matvec(x)), rtol=1e-12, atol=1e-12)
+
+
+def test_fused_smoother_and_residual():
+    """Fused residual/smooth kernels vs the XLA formulas (interpret)."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasScalarLevel,
+        XLAScalarLevel,
+    )
+    from jutul.jl_tpu.ops.stencil import ScalarStencil
+
+    L = (4, 8, 5)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(3)
+    diag = jnp.asarray(rng.normal(size=n) + 8.0)  # diagonally dominant
+    fs = {0: (4, 8, 4), 1: (4, 7, 5), 2: (3, 8, 5)}
+    plus = {a: jnp.asarray(rng.normal(size=s)) for a, s in fs.items()}
+    minus = {a: jnp.asarray(rng.normal(size=s)) for a, s in fs.items()}
+    A = ScalarStencil(L, diag, plus, minus)
+    u = jnp.asarray(rng.normal(size=n))
+    b = jnp.asarray(rng.normal(size=n))
+    pal = PallasScalarLevel(A, interpret=True)
+    xla = XLAScalarLevel(A)
+    np.testing.assert_allclose(np.asarray(pal.residual(u, b)),
+                               np.asarray(xla.residual(u, b)),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pal.smooth(u, b, 0.8)),
+                               np.asarray(xla.smooth(u, b, 0.8)),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_gmg_vcycle_with_pallas_levels():
+    """GMG driven through fused level ops equals the plain path."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import PallasScalarLevel
+    from jutul.jl_tpu.ops.stencil import GMG, ScalarStencil
+
+    L = (4, 8, 8)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(4)
+    diag = jnp.asarray(np.full(n, 6.0))
+    fs = {0: (4, 8, 7), 1: (4, 7, 8), 2: (3, 8, 8)}
+    plus = {a: jnp.asarray(-np.abs(rng.normal(size=s))) for a, s in fs.items()}
+    minus = {a: jnp.asarray(-np.abs(rng.normal(size=s))) for a, s in fs.items()}
+    A = ScalarStencil(L, diag, plus, minus)
+    b = jnp.asarray(rng.normal(size=n))
+    gmg = GMG(n_smooth=2, n_coarse_sweeps=6, min_cells=16)
+    ops = gmg.hierarchy(A)
+    u_ref = gmg.vcycle(ops, b)
+    mvs = [PallasScalarLevel(Ai, interpret=True) for Ai in ops]
+    u_pal = gmg.vcycle(ops, b, mvs=mvs)
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
+                               rtol=1e-11, atol=1e-11)
