@@ -492,7 +492,7 @@ class GMG:
 @dataclass
 class StencilCPRState:
     w: jnp.ndarray  # (neq, n) quasi-IMPES row weights
-    dinv: tuple  # 2x2 inverse components of the diagonal blocks
+    dinv: jnp.ndarray  # (n, ndof, neq) inverse diagonal blocks
     ops: list  # GMG hierarchy of the pressure stencil
     mvs: list | None = None  # per-level fused matvec closures
     mv_A: object = None  # fused matvec for the full block matrix
@@ -508,46 +508,47 @@ class StencilCPR:
         self.gmg = gmg or GMG()
 
     def update(self, A: StencilMatrix):
+        """General NxN blocks (r2: the 2x2 hard-limit is gone): quasi-IMPES
+        weights w = row p of D^{-1}; the scalar pressure stencil collapses
+        every coupling block B through Ap[i,j] = sum_e w_i[e] * B[e, p]."""
         neq, ndof, n = A.diag.shape
-        if neq != 2 or ndof != 2:
-            raise NotImplementedError("StencilCPR: 2x2 blocks only (v1)")
-        d00, d01 = A.diag[0, 0], A.diag[0, 1]
-        d10, d11 = A.diag[1, 0], A.diag[1, 1]
-        i00, i01, i10, i11 = _inv2x2(d00, d01, d10, d11)
-        # w = row p of D^{-1}
-        w = jnp.stack([i00, i01] if self.p == 0 else [i10, i11])
+        if neq != ndof:
+            raise NotImplementedError("StencilCPR: square cell blocks only")
+        # (n, neq, ndof) inverse diagonal blocks
+        from .smallmat import block_inv
+
+        dinv = block_inv(jnp.moveaxis(A.diag, -1, 0))  # (n, neq, ndof)
+        w = jnp.moveaxis(dinv[:, self.p, :], 0, -1)  # (neq, n): row p
         # scalar pressure stencil: Ap[i,j] = sum_e w_i[e] * B[i,j][e, p]
-        w_lat = w.reshape((2,) + A.L)
-        diag_p = w[0] * A.diag[0, self.p] + w[1] * A.diag[1, self.p]
+        w_lat = w.reshape((neq,) + A.L)
+        diag_p = jnp.einsum("en,en->n", w, A.diag[:, self.p])
         plus_p, minus_p = {}, {}
         for a in A.plus:
             sl_l, sl_r = _SLICES[a]
             wl = w_lat[(slice(None),) + sl_l]
             wr = w_lat[(slice(None),) + sl_r]
-            plus_p[a] = (wl[0] * A.plus[a][0, self.p]
-                         + wl[1] * A.plus[a][1, self.p])
-            minus_p[a] = (wr[0] * A.minus[a][0, self.p]
-                          + wr[1] * A.minus[a][1, self.p])
+            plus_p[a] = jnp.einsum("e...,e...->...", wl,
+                                   A.plus[a][:, self.p])
+            minus_p[a] = jnp.einsum("e...,e...->...", wr,
+                                    A.minus[a][:, self.p])
         Ap = ScalarStencil(A.L, diag_p.reshape(-1), plus_p, minus_p)
         ops = self.gmg.hierarchy(Ap)
-        return StencilCPRState(w, (i00, i01, i10, i11), ops,
+        return StencilCPRState(w, dinv, ops,
                                mvs=self.gmg.matvecs(ops),
                                mv_A=fused_matvec(A, self.gmg.use_pallas))
 
     def apply(self, state: StencilCPRState, A: StencilMatrix, x):
         """x (n, neq) residual -> du (n, ndof)."""
+        from .smallmat import bmv
+
         n = A.n
-        w = state.w
-        r_p = w[0] * x[:, 0] + w[1] * x[:, 1]
+        r_p = jnp.einsum("en,ne->n", state.w, x)
         dp = self.gmg.vcycle(state.ops, r_p, mvs=state.mvs)
         du = jnp.zeros((n, A.diag.shape[1]), x.dtype)
         du = du.at[:, self.p].set(dp)
         mv_A = state.mv_A if state.mv_A is not None else A.matvec
         r2 = x - mv_A(du)
-        i00, i01, i10, i11 = state.dinv
-        du2_0 = i00 * r2[:, 0] + i01 * r2[:, 1]
-        du2_1 = i10 * r2[:, 0] + i11 * r2[:, 1]
-        return du + jnp.stack([du2_0, du2_1], axis=1)
+        return du + bmv(state.dinv, r2)
 
 
 class StencilKrylovSolver:

@@ -177,3 +177,62 @@ def test_simulator_stencil_path_matches_generic():
     assert np.allclose(s_gen[-1]["Pressure"], s_st[-1]["Pressure"], rtol=1e-7)
     assert np.allclose(s_gen[-1]["Saturations"], s_st[-1]["Saturations"],
                        atol=1e-8)
+
+
+def test_three_phase_stencil_cpr():
+    """StencilCPR general NxN blocks (r2: the 2x2 hard-limit is gone):
+    a three-phase model runs through Simulator(use_stencil=True) +
+    StencilKrylovSolver and matches the generic-path solution."""
+    import numpy as np
+
+    from jutul.jl_tpu import CartesianMesh, Simulator, si_unit
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        setup_darcy_model,
+    )
+    from jutul.jl_tpu.models.setup import setup_parameters, setup_state
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
+
+    BAR = si_unit("bar")
+    nx, ny, nz = 6, 5, 4
+    nc = nx * ny * nz
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny, nz), (60.0, 50.0, 20.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3, 5e-4),
+                            reference_densities=(1000.0, 800.0, 100.0),
+                            compressibilities=(1e-9, 1e-9, 5e-9),
+                            corey_exponents=(2.0, 2.0, 2.0),
+                            residual_saturations=(0.0, 0.0, 0.0))
+    model = setup_darcy_model(
+        mesh, fluid,
+        permeability=rng.uniform(0.2, 1.0, nc) * si_unit("darcy"),
+        porosity=0.25, gravity=False)
+    s = rng.uniform(0.2, 0.5, (nc, 3))
+    s = s / s.sum(axis=1, keepdims=True)
+    state0 = setup_state(model, Pressure=100.0 * BAR, Saturations=s)
+    params = setup_parameters(model)
+    q = np.array([[0.01, 0.0, 0.0]])
+    forces = {"src": PhaseSourceTerm([0], q)}
+    dts = [3600.0, 7200.0]
+    kw = dict(forces=forces, info_level=-1,
+              tolerances={"mass_conservation": 1e-9},
+              max_nonlinear_iterations=25)
+
+    sim_ref = Simulator(model, state0=state0, parameters=params)
+    ref = sim_ref.simulate(dts, **kw)
+
+    sim_st = Simulator(model, state0=state0, parameters=params,
+                       use_stencil=True)
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(min_cells=8, n_coarse_sweeps=20)),
+        rtol=1e-12, max_iterations=300)
+    st = sim_st.simulate(dts, linear_solver=solver, **kw)
+
+    assert all(r["success"] for r in ref.reports + st.reports)
+    np.testing.assert_allclose(np.asarray(st.states[-1]["Pressure"]),
+                               np.asarray(ref.states[-1]["Pressure"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.states[-1]["Saturations"]),
+                               np.asarray(ref.states[-1]["Saturations"]),
+                               atol=1e-8)
