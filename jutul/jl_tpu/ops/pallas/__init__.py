@@ -1,7 +1,11 @@
 """Pallas TPU kernels (interpret-mode fallback off-TPU)."""
 
 from .stencil_kernels import (  # noqa: F401
+    PallasScalarLevel,
     PallasStencilMatvec,
+    XLAScalarLevel,
     lattice_coefficients,
+    pallas_supported,
+    scalar_level_ops,
     stencil_matvec,
 )

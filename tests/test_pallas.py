@@ -107,3 +107,34 @@ def test_gmg_vcycle_with_pallas_levels():
     u_pal = gmg.vcycle(ops, b, mvs=mvs)
     np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_fused_matvec_selection_path():
+    """fused_matvec with use_pallas=True must import and return the fused
+    kernel (regression: the TPU-only import path was broken while all CPU
+    tests auto-selected XLA)."""
+    from jutul.jl_tpu.ops.pallas import PallasStencilMatvec
+    from jutul.jl_tpu.ops.stencil import fused_matvec
+
+    A = _random_stencil_matrix((8, 8, 8), 2, 2)
+    mv = fused_matvec(A, use_pallas=True, min_cells=1)
+    assert isinstance(mv, PallasStencilMatvec)
+    mv.interpret = True  # CPU rig
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(A.n, 2)))
+    np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(A.matvec(x)),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_scalar_level_ops_selection_path():
+    from jutul.jl_tpu.ops.pallas import PallasScalarLevel, XLAScalarLevel
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import scalar_level_ops
+    from jutul.jl_tpu.ops.stencil import ScalarStencil
+
+    L = (4, 8, 8)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(5)
+    A = ScalarStencil(L, jnp.asarray(rng.normal(size=n) + 6.0), {}, {})
+    assert isinstance(scalar_level_ops(A, use_pallas=True, min_cells=1),
+                      PallasScalarLevel)
+    assert isinstance(scalar_level_ops(A, use_pallas=False),
+                      XLAScalarLevel)
