@@ -510,40 +510,109 @@ class GeneralDistributedSimulator:
             self.dec.own_alive[..., None]
 
     # -- outer loops (mirror of the slab surface) ------------------------
-    def solve_timestep(self, state, state0, dt, max_newton: int = 15,
-                       tol_cnv: float = 1e-3, forces=None):
+    def solve_ministep(self, state, state0, dt, q, max_newton: int = 15,
+                       tol_cnv: float = 1e-3):
+        """One ministep's Newton loop over the jitted SPMD step. Returns
+        (ok, state, newton_its, linear_its); non-finite criteria or the
+        iteration cap FAIL the ministep so the caller cuts dt (reference
+        failure handling, simulator.jl:779-795)."""
+        state = dict(state)
+        its = 0
+        lin_total = 0
+        for it in range(max_newton + 1):
+            new_state, crit, lin_its, _lin_res = self._newton_jit(
+                state, state0, dt, q)
+            err = max(float(np.max(np.asarray(v)))
+                      for c in crit.values() for v in c.values())
+            if not np.isfinite(err):
+                return False, state, its, lin_total
+            if err < tol_cnv and it > 0:
+                return True, state, its, lin_total
+            if it == max_newton:
+                return False, state, its, lin_total
+            state = new_state
+            its += 1
+            lin_total += int(np.asarray(lin_its))
+        return False, state, its, lin_total
+
+    def solve_timestep(self, state, state0, dT, max_newton: int = 15,
+                       tol_cnv: float = 1e-3, forces=None,
+                       max_timestep_cuts: int = 5, cut_factor: float = 0.5,
+                       growth_factor: float = 2.0):
+        """Report step = ministep loop with dt cutting on failure (same
+        nonlinear machinery as the slab path; reference reuses its
+        single-process loop per rank, ext overloads.jl:155 +
+        simulator/timesteps.jl:51). Returns (state, total Newton its);
+        per-ministep detail in ``self.last_report``."""
         if self._newton_jit is None:
             self._newton_jit = self.newton_step_fn()
         q = (jnp.asarray(self.stack_cell_sources(forces))
              if forces else None)
-        state = dict(state)
-        its = 0
-        for it in range(max_newton):
-            new_state, crit, lin_its, lin_res = self._newton_jit(
-                state, state0, dt, q)
-            err = max(float(np.max(np.asarray(v)))
-                      for c in crit.values() for v in c.values())
-            if err < tol_cnv and it > 0:
-                break
-            state = new_state
-            its += 1
-        return state, its
+        dT = float(dT)
+        t_done = 0.0
+        dt = dT
+        cuts = 0
+        its_total = 0
+        minis = []
+        cur = dict(state)
+        prev = state0
+        while t_done < dT * (1 - 1e-12):
+            dt_eff = min(dt, dT - t_done)
+            ok, cur_new, its, lin = self.solve_ministep(
+                cur, prev, dt_eff, q, max_newton=max_newton,
+                tol_cnv=tol_cnv)
+            its_total += its
+            minis.append({"dt": dt_eff, "success": ok, "iterations": its,
+                          "linear_iterations": lin})
+            if ok:
+                t_done += dt_eff
+                prev = cur = cur_new
+                cuts = 0
+                dt = min(dt * growth_factor,
+                         dT - t_done if t_done < dT else dt)
+            else:
+                cuts += 1
+                if cuts > max_timestep_cuts:
+                    raise RuntimeError(
+                        f"general-partition ministep failed after "
+                        f"{max_timestep_cuts} cuts (dt={dt_eff:g})")
+                dt = dt_eff * cut_factor
+                cur = dict(prev)
+        self.last_report = {"ministeps": minis, "success": True}
+        return cur, its_total
 
     def simulate(self, state0, timesteps, forces=None, max_newton: int = 15,
-                 tol_cnv: float = 1e-3, info_level: int = 0):
+                 tol_cnv: float = 1e-3, output_path=None,
+                 info_level: int = 0):
+        """Schedule-driven run mirroring the slab surface: per-step forces
+        (dict or list), optional per-step npz output, states gathered to
+        global mesh order."""
+        import time as _time
+
         cur = self.shard_state(state0)
         prev = cur
         states, reports = [], []
         for n, dt in enumerate(timesteps):
             f = forces[n] if isinstance(forces, (list, tuple)) else forces
+            t0 = _time.perf_counter()
             cur, its = self.solve_timestep(cur, prev, dt,
                                            max_newton=max_newton,
                                            tol_cnv=tol_cnv, forces=f)
+            wall = _time.perf_counter() - t0
             prev = cur
-            states.append(self.gather_state(cur))
-            reports.append({"ministeps": [{"dt": float(dt), "success": True,
-                                           "iterations": int(its)}]})
+            host = self.gather_state(cur)
+            minis = self.last_report["ministeps"]
+            rep = {"ministeps": [dict(m, wall_time=wall / max(len(minis), 1))
+                                 for m in minis],
+                   "success": True, "dt": float(dt)}
+            states.append(host)
+            reports.append(rep)
+            if output_path is not None:
+                from ..simulator.io import store_output
+
+                store_output(output_path, n, host, rep)
             if info_level >= 0:
-                print(f"Step {n + 1}/{len(timesteps)}: {its} its "
+                print(f"Step {n + 1}/{len(timesteps)}: {its} its, "
+                      f"{len(minis)} ministeps, {wall:.2f}s "
                       f"({self.n_devices} shards, general partition)")
         return states, reports

@@ -188,3 +188,38 @@ def test_general_partition_adjoint_matches_single():
         scale = max(np.abs(gr).max(), 1e-30)
         np.testing.assert_allclose(gd, gr, atol=1e-6 * scale,
                                    err_msg=name)
+
+
+def test_general_partition_ministep_cutting(tmp_path):
+    """dt cutting + per-step output in the general-partition outer loop:
+    an aggressive dt fails the first Newton attempt and the step is cut
+    (round-2 parity with the slab path's nonlinear machinery)."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+    from jutul.jl_tpu.simulator.io import read_results
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(seed=5)
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    # strong source + huge dt: first attempt must fail, cutting must save it
+    q = np.zeros((1, 2))
+    q[0, 0] = 2.0
+    forces = {"src": PhaseSourceTerm([0], q)}
+    out = str(tmp_path / "gdd")
+    states, reports = dsim.simulate(
+        state0, [2.0 * DAY], forces=forces, max_newton=6, tol_cnv=1e-4,
+        output_path=out, info_level=-1)
+    minis = reports[0]["ministeps"]
+    assert any(not m["success"] for m in minis), "expected at least one cut"
+    assert sum(m["dt"] for m in minis if m["success"]) == pytest.approx(
+        2.0 * DAY)
+    assert np.all(np.isfinite(states[-1]["Pressure"]))
+    # per-step output written and readable
+    st_read, rep_read = read_results(out)
+    np.testing.assert_allclose(st_read[-1]["Pressure"],
+                               states[-1]["Pressure"])
