@@ -169,7 +169,10 @@ from .ops.stencil import (
     StencilCompiledModel,
     StencilKrylovSolver,
 )
+from .parallel.adjoint import solve_adjoint_sensitivities_distributed
 from .parallel.dd import subforces, submodel, substate
+from .parallel.general import GeneralDistributedSimulator
+from .parallel.general_adjoint import solve_adjoint_sensitivities_general
 from .parallel.sharded import DistributedSimulator, simulate_parray
 from .units import convert_from_si, convert_to_si, si_unit, si_units
 from .utils.gmsh import mesh_from_gmsh
