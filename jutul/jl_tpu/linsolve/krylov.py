@@ -216,8 +216,10 @@ class GenericKrylov:
         self.restart = restart
         self.verbose = verbose
 
-    def solve(self, J, r):
+    def solve(self, J, r, rtol=None):
         """Solve J du = -r; shapes (n, neq) -> (n, ndof). Jit-compatible.
+        ``rtol`` overrides the configured relative tolerance (may be a
+        traced scalar — Eisenstat-Walker forcing in the jitted Newton).
 
         Also accepts a coupled MultiLinearizedSystem (dict-valued r/du),
         defaulting to a per-model block-Jacobi (GroupWise) preconditioner.
@@ -226,6 +228,7 @@ class GenericKrylov:
 
         if isinstance(J, MultiLinearizedSystem):
             return self._solve_multi(J, r)
+        rtol = self.rtol if rtol is None else rtol
         n, _, neq, ndof = J.blocks.shape
         pstate = self.preconditioner.update(J)
 
@@ -239,11 +242,11 @@ class GenericKrylov:
         b = (-r).reshape(n * neq)
         if self.solver == "gmres":
             x, stats = gmres(matvec, b, restart=self.restart,
-                             maxiter=self.max_iterations, rtol=self.rtol,
+                             maxiter=self.max_iterations, rtol=rtol,
                              atol=self.atol, precond=precond)
         else:
             x, stats = bicgstab(matvec, b, maxiter=self.max_iterations,
-                                rtol=self.rtol, atol=self.atol,
+                                rtol=rtol, atol=self.atol,
                                 precond=precond)
         return x.reshape(n, ndof), stats
 

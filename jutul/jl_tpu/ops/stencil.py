@@ -564,7 +564,7 @@ class StencilKrylovSolver:
         self.atol = atol
         self.max_iterations = max_iterations
 
-    def solve(self, A: StencilMatrix, r):
+    def solve(self, A: StencilMatrix, r, rtol=None):
         from ..linsolve.krylov import bicgstab
 
         pstate = self.preconditioner.update(A)
@@ -580,6 +580,7 @@ class StencilKrylovSolver:
                                              x.reshape(n, neq)).reshape(-1)
 
         du, stats = bicgstab(matvec, (-r).reshape(-1),
-                             maxiter=self.max_iterations, rtol=self.rtol,
+                             maxiter=self.max_iterations,
+                             rtol=self.rtol if rtol is None else rtol,
                              atol=self.atol, precond=M)
         return du.reshape(n, ndof), stats

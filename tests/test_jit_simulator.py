@@ -185,3 +185,56 @@ def test_relaxation_jit_matches_python():
             jnp.asarray(omega), jnp.asarray(err), jnp.asarray(prev)))
         assert np.isclose(py, jt), (err, py, jt)
         omega = py
+
+
+def test_eisenstat_walker_forcing():
+    """linear_forcing="ew" adapts the Krylov rtol inside the jitted
+    Newton: same converged answer, fewer total linear iterations than a
+    tight fixed-rtol solve."""
+    import numpy as np
+
+    from jutul.jl_tpu import CartesianMesh, Simulator, si_unit
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        setup_darcy_model,
+    )
+    from jutul.jl_tpu.models.setup import setup_parameters, setup_state
+
+    BAR = si_unit("bar")
+    nx, ny = 10, 8
+    nc = nx * ny
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny), (100.0, 80.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(
+        mesh, fluid, permeability=rng.uniform(0.2, 1.0, nc) * si_unit("darcy"),
+        porosity=0.25, gravity=False)
+    sw = rng.uniform(0.3, 0.7, nc)
+    state0 = setup_state(model, Pressure=100 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], axis=1))
+    params = setup_parameters(model)
+    forces = {"src": PhaseSourceTerm([0], np.array([[0.02, 0.0]]))}
+    dts = [3600.0, 7200.0]
+
+    def run(**cfg):
+        sim = Simulator(model, state0=state0, parameters=params)
+        solver = GenericKrylov("bicgstab",
+                               preconditioner=ILU0Preconditioner(),
+                               rtol=1e-10, max_iterations=200)
+        res = sim.simulate(dts, forces=forces, info_level=-1,
+                           jit_ministep=True, linear_solver=solver,
+                           tolerances={"mass_conservation": 1e-8},
+                           max_nonlinear_iterations=20, **cfg)
+        assert all(r["success"] for r in res.reports)
+        lin = sum(m["linear_iterations"] for r in res.reports
+                  for m in r["ministeps"])
+        return res.states[-1], lin
+
+    s_fixed, lin_fixed = run()
+    s_ew, lin_ew = run(linear_forcing="ew")
+    np.testing.assert_allclose(np.asarray(s_ew["Pressure"]),
+                               np.asarray(s_fixed["Pressure"]), rtol=1e-7)
+    assert lin_ew < lin_fixed, (lin_ew, lin_fixed)
