@@ -326,7 +326,7 @@ def run_product(nx, ny, nz, n_lin_it):
         rtol=float(os.environ.get("BENCH_RTOL", "0.0")),
         max_iterations=n_lin_it)  # rtol=0 pins the Krylov work; rtol>0
     # enables the in-jit early exit (reference CPR practice: rtol ~1e-3)
-    n_step = int(os.environ.get("BENCH_NSTEP", "25"))
+    n_step = int(os.environ.get("BENCH_NSTEP", "6"))
     if jax.default_backend() == "cpu":
         n_step = min(n_step, 3)
     dt = 6 * 3600.0
@@ -420,7 +420,11 @@ def _orchestrate():
     emitting one JSON line (with a ``degraded`` field when not the full run).
     """
     base_rep = int(os.environ.get("BENCH_NREP", "100"))
-    base_step = int(os.environ.get("BENCH_NSTEP", "25"))
+    # Measured (r2): 1M-cell executions survive at ~60s (3 steps) and
+    # ~120s (884k) but reliably crash the shared worker at ~8x that, so the
+    # default schedule keeps the single execution inside the survivable
+    # window (6 report steps ~= 40 Newtons, plenty to amortize overhead).
+    base_step = int(os.environ.get("BENCH_NSTEP", "6"))
     base_grid = os.environ.get("BENCH_GRID", "128,128,64")
     # each rung reduces BOTH the raw-mode reps and the product-mode report
     # steps, so the ladder shrinks work whichever mode is selected.
