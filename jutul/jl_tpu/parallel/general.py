@@ -5,8 +5,9 @@ TPU-native counterpart of the reference's general domain decomposition
 ghost buffers; ext/JutulPartitionedArraysExt/interface.jl:2-97 per-rank
 submodels over Metis/KaHyPar partitions). Where the slab path
 (parallel/sharded.py) requires a 1-D plane decomposition of a
-CartesianMesh, this engine consumes ANY cell partition of ANY mesh with
-TPFA-style (K=2) conservation laws.
+CartesianMesh, this engine consumes ANY cell partition of ANY mesh, for
+conservation laws with ANY face read-stencil width — TPFA (K=2) through
+WENO/NFVM (K-wide stencils get k-ring ghost buffers automatically).
 
 Design (SPMD under jax.shard_map — one program, topology as DATA):
 - every shard's local layout is padded to common maxima
@@ -19,9 +20,9 @@ Design (SPMD under jax.shard_map — one program, topology as DATA):
 - halo exchange is one ``lax.all_to_all`` on packed send buffers (the
   general-graph equivalent of the slab path's plane ppermute; reference:
   PartitionedArrays ``consistent!``, ext interface.jl:189);
-- the Jacobian stays in face-block form (diag blocks + two off-diagonal
-  blocks per face) — SpMV is gather + scatter-add over faces, no global
-  ELL needed;
+- the Jacobian stays in face-block form (accumulation diag blocks + K
+  coupling blocks per face) — SpMV is gather + scatter-add over faces,
+  no global ELL needed;
 - Krylov = the same psum-dot bicgstab as the slab path; the local
   preconditioner is owned-diagonal block-Jacobi (additive Schwarz).
 """
@@ -47,9 +48,17 @@ from .partition import GreedyGraphPartitioner
 
 
 class GeneralDecomposition:
-    """Host-side partition tables (numpy; built once)."""
+    """Host-side partition tables (numpy; built once).
 
-    def __init__(self, mesh, partition: np.ndarray, n_devices: int):
+    ``stencil`` (nf, K): the cells each face's flux READS. For TPFA this
+    is just [L, R]; wider stencils (WENO/NFVM) automatically produce the
+    k-ring ghost buffers the reference's ``buffer`` argument provides
+    (dd/subdomains.jl:77): every stencil cell of a face whose row lands
+    on an owned cell becomes a ghost.
+    """
+
+    def __init__(self, mesh, partition: np.ndarray, n_devices: int,
+                 stencil: np.ndarray | None = None):
         self.n_devices = D = int(n_devices)
         part = np.asarray(partition, dtype=np.int64)
         nc = mesh.number_of_cells()
@@ -57,10 +66,13 @@ class GeneralDecomposition:
         neighbors = np.asarray(mesh.neighborship(), dtype=np.int64)
         nf = neighbors.shape[0]
         self.partition = part
+        if stencil is None:
+            stencil = neighbors
+        stencil = np.asarray(stencil, dtype=np.int64)
+        assert stencil.shape[0] == nf
+        self.K = K = stencil.shape[1]
 
         own_lists = [np.flatnonzero(part == d) for d in range(D)]
-        # 1-ring ghosts (TPFA stencil width; reference buffer arg
-        # dd/subdomains.jl:77 generalizes to k rings)
         ghost_lists = []
         face_lists = []
         L, R = neighbors[:, 0], neighbors[:, 1]
@@ -69,8 +81,7 @@ class GeneralDecomposition:
             touch = own_mask[L] | own_mask[R]
             faces_d = np.flatnonzero(touch)
             face_lists.append(faces_d)
-            cells_touched = np.unique(np.concatenate(
-                [L[faces_d], R[faces_d]]))
+            cells_touched = np.unique(stencil[faces_d].reshape(-1))
             ghost_lists.append(
                 cells_touched[~own_mask[cells_touched]])
 
@@ -101,6 +112,9 @@ class GeneralDecomposition:
         self.face_alive = np.zeros((D, self.nf_max))
         self.face_l = np.full((D, self.nf_max), self.dump, dtype=np.int32)
         self.face_r = np.full((D, self.nf_max), self.dump, dtype=np.int32)
+        # K-wide read stencil in local indices (dump for dead faces)
+        self.face_st = np.full((D, self.nf_max, K), self.dump,
+                               dtype=np.int32)
         # scatter rows for +/- flux: owned local row or the dump row
         self.row_plus = np.full((D, self.nf_max), self.n_own_max,
                                 dtype=np.int32)
@@ -115,6 +129,8 @@ class GeneralDecomposition:
                 rr = g2l[d][int(R[f])]
                 self.face_l[d, i] = ll
                 self.face_r[d, i] = rr
+                for k in range(K):
+                    self.face_st[d, i, k] = g2l[d][int(stencil[f, k])]
                 if ll < self.n_own_max:
                     self.row_plus[d, i] = ll
                 if rr < self.n_own_max:
@@ -148,9 +164,14 @@ class GeneralDecomposition:
         return out
 
     def gather_faces(self, g: np.ndarray, fill=0.0) -> np.ndarray:
+        g = np.asarray(g)
         out = np.full((self.n_devices, self.nf_max) + g.shape[1:], fill,
-                      dtype=np.asarray(g).dtype)
-        out[:] = np.asarray(g)[self.face_g]
+                      dtype=g.dtype)
+        out[:] = g[self.face_g]
+        if np.issubdtype(g.dtype, np.integer):
+            # index tables (e.g. WENO memb): zero dead faces, keep dtype
+            out[self.face_alive == 0] = int(fill)
+            return out
         alive = self.face_alive.reshape(
             (self.n_devices, self.nf_max) + (1,) * (out.ndim - 2))
         return out * alive + fill * (1 - alive)
@@ -196,8 +217,6 @@ class GeneralDistributedSimulator:
         if partition is None:
             partition = GreedyGraphPartitioner().partition(
                 mesh.neighborship(), mesh.number_of_cells(), D)
-        self.dec = GeneralDecomposition(mesh, partition, D)
-        dec = self.dec
 
         gdd = DataDomain(mesh)
         for k, v in (data_fields or {}).items():
@@ -208,23 +227,30 @@ class GeneralDistributedSimulator:
         if self.comp.neq_total != self.comp.ndof:
             raise NotImplementedError("square cell systems only")
 
-        # contributions: exactly one K=2 flux + cell terms (TPFA family)
+        # contributions: one face flux (any stencil width K — wide WENO/
+        # NFVM stencils get k-ring ghosts) + cell terms
         self.acc_cons, self.flux_con = [], None
         for info, con, meta in self.comp.contribs:
             if isinstance(con, (AccumulationContribution,
                                 CellTermContribution)):
                 self.acc_cons.append(con)
             elif isinstance(con, FaceFluxContribution):
-                if self.flux_con is not None or meta["K"] != 2:
+                if self.flux_con is not None:
                     raise NotImplementedError(
-                        "general DD v1: a single TPFA (K=2) flux term")
+                        "general DD: a single face-flux term")
                 self.flux_con = con
-                # faces must follow mesh orientation (plus=L, minus=R)
+                # rows must follow mesh orientation (plus=L, minus=R)
                 nb = np.asarray(mesh.neighborship())
                 if not (np.array_equal(con.plus, nb[:, 0])
                         and np.array_equal(con.minus, nb[:, 1])):
                     raise NotImplementedError(
-                        "flux stencil must follow mesh neighbor order")
+                        "flux rows must follow mesh neighbor order")
+
+        self.dec = GeneralDecomposition(
+            mesh, partition, D,
+            stencil=(self.flux_con.stencil if self.flux_con is not None
+                     else None))
+        dec = self.dec
 
         # per-shard parameter stacks
         self.cell_params, self.face_params = {}, {}
@@ -296,7 +322,7 @@ class GeneralDistributedSimulator:
         nom = dec.n_own_max
         neq, ndof = comp.neq_total, comp.ndof
         (send_idx, recv_slot, face_l, face_r, row_plus, row_minus,
-         face_alive, own_alive) = tables
+         face_alive, own_alive, face_st) = tables
 
         halo = partial(self._halo, send_idx=send_idx, recv_slot=recv_slot)
         state_ext = {k: halo(v) for k, v in state_own.items()}
@@ -331,40 +357,43 @@ class GeneralDistributedSimulator:
                     U_own, p_own, cs0_own)  # (nom, neq, ndof)
                 diag = diag.at[:nom].add(jac * am[..., None])
 
-        # --- face fluxes (+ jacfwd wrt both sides) ----------------------
-        jL = jR = None
+        # --- face fluxes (+ jacfwd wrt the FULL K-wide read stencil) ----
+        # diag_acc = accumulation-only diagonal (the SpMV applies every
+        # face-stencil coupling explicitly, including self-couplings);
+        # diag (full) additionally collects the face self-couplings for
+        # the block-Jacobi preconditioner.
+        diag_acc = diag
+        jacK = None
         if self.flux_con is not None:
             con = self.flux_con
-            pl = {k: v[face_l] for k, v in params_cell.items()}
-            pr = {k: v[face_r] for k, v in params_cell.items()}
-            uL, uR = U_ext[face_l], U_ext[face_r]
+            K = self.dec.K
+            u_st = U_ext[face_st]  # (nf, K, ndof)
+            p_st = {k: v[face_st] for k, v in params_cell.items()}
 
-            def flux_fn(u2, p_l, p_r, f, _c=con):
-                ll = dict(p_l)
-                ll.update(comp.unpack_dofs(u2[0]))
-                ll = comp._eval_secondaries_local(ll)
-                rr_ = dict(p_r)
-                rr_.update(comp.unpack_dofs(u2[1]))
-                rr_ = comp._eval_secondaries_local(rr_)
-                local = jax.tree_util.tree_map(
-                    lambda a, b: jnp.stack([a, b]), ll, rr_)
+            def flux_fn(u_stk, p_stk, f, _c=con):
+                local = dict(p_stk)
+                local.update(comp.unpack_dofs(u_stk))
+                local = comp._eval_secondaries_local(local)
                 return _c.fn(model, local, f)
 
-            u2 = jnp.stack([uL, uR], axis=1)  # (nf, 2, ndof)
-            flux = jax.vmap(flux_fn)(u2, pl, pr, fp)  # (nf, neq)
+            flux = jax.vmap(flux_fn)(u_st, p_st, fp)  # (nf, neq)
             fam = face_alive[:, None]
             flux = flux * fam
             r = r.at[row_plus].add(flux)
             r = r.at[row_minus].add(-flux)
             if with_jac:
-                jac2 = jax.vmap(jax.jacfwd(flux_fn, argnums=0))(
-                    u2, pl, pr, fp)  # (nf, neq, 2, ndof)
-                jL = jac2[:, :, 0, :] * fam[..., None]  # dF/du_L
-                jR = jac2[:, :, 1, :] * fam[..., None]
-                diag = diag.at[row_plus].add(
-                    jnp.where((face_l < nom)[:, None, None], jL, 0.0))
-                diag = diag.at[row_minus].add(
-                    jnp.where((face_r < nom)[:, None, None], -jR, 0.0))
+                jacK = jax.vmap(jax.jacfwd(flux_fn, argnums=0))(
+                    u_st, p_st, fp)  # (nf, neq, K, ndof)
+                jacK = jacK * fam[..., None, None]
+                for k in range(K):
+                    mP = ((face_st[:, k] == face_l)
+                          & (face_l < nom))[:, None, None]
+                    mM = ((face_st[:, k] == face_r)
+                          & (face_r < nom))[:, None, None]
+                    diag = diag.at[row_plus].add(
+                        jnp.where(mP, jacK[:, :, k, :], 0.0))
+                    diag = diag.at[row_minus].add(
+                        jnp.where(mM, -jacK[:, :, k, :], 0.0))
 
         r_own = (r[:nom] - q) * am
         out["r_own"] = r_own
@@ -374,7 +403,7 @@ class GeneralDistributedSimulator:
             eye = jnp.eye(max(neq, ndof))[:neq, :ndof]
             out["diag_own"] = jnp.where(am[..., None] > 0, diag[:nom],
                                         eye[None])
-            out.update(jL=jL, jR=jR, face_l=face_l, face_r=face_r,
+            out.update(diag_acc=diag_acc[:nom], jacK=jacK, face_st=face_st,
                        row_plus=row_plus, row_minus=row_minus)
 
         if with_crit:
@@ -399,23 +428,29 @@ class GeneralDistributedSimulator:
         return out
 
     def _system_matvec(self, sys):
-        """Distributed SpMV closure from a ``_local_system`` result."""
+        """Distributed SpMV closure from a ``_local_system`` result:
+        accumulation diagonal + EVERY face-stencil coupling applied
+        explicitly (K slots per face, including self-couplings — they are
+        NOT in diag_acc)."""
         nom = self.dec.n_own_max
         neq, ndof = self.comp.neq_total, self.comp.ndof
         halo, am = sys["halo"], sys["am"]
-        diag_own = sys["diag_own"]
+        diag_acc = sys["diag_acc"]
+        K = self.dec.K
 
         def matvec(x_flat):
             x = x_flat.reshape(nom, ndof)
             x_ext = halo(x)
             y = jnp.zeros((nom + 1, neq), x.dtype)
-            y = y.at[:nom].add(bmv(diag_own, x))
+            y = y.at[:nom].add(bmv(diag_acc, x))
             if self.flux_con is not None:
-                # row L couples to u_R (and itself via diag), row R to u_L
-                y = y.at[sys["row_plus"]].add(
-                    bmv(sys["jR"], x_ext[sys["face_r"]]))
-                y = y.at[sys["row_minus"]].add(
-                    -bmv(sys["jL"], x_ext[sys["face_l"]]))
+                jacK, face_st = sys["jacK"], sys["face_st"]
+                for k in range(K):
+                    xk = x_ext[face_st[:, k]]
+                    y = y.at[sys["row_plus"]].add(
+                        bmv(jacK[:, :, k, :], xk))
+                    y = y.at[sys["row_minus"]].add(
+                        -bmv(jacK[:, :, k, :], xk))
             return (y[:nom] * am).reshape(-1)
 
         return matvec
@@ -471,7 +506,7 @@ class GeneralDistributedSimulator:
 
         tables = (dec.send_idx, dec.recv_slot, dec.face_l, dec.face_r,
                   dec.row_plus, dec.row_minus, dec.face_alive,
-                  dec.own_alive)
+                  dec.own_alive, dec.face_st)
         tables = tuple(jnp.asarray(t) for t in tables)
         tab_spec = tuple(P(ax) for _ in tables)
 

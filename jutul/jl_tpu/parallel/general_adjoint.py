@@ -144,7 +144,7 @@ class GeneralDistributedAdjoint:
         fp_spec = {k: P(ax) for k in self.fp}
         tables = (dec.send_idx, dec.recv_slot, dec.face_l, dec.face_r,
                   dec.row_plus, dec.row_minus, dec.face_alive,
-                  dec.own_alive)
+                  dec.own_alive, dec.face_st)
         self._tables = tuple(jnp.asarray(t) for t in tables)
         tab_spec = tuple(P(ax) for _ in tables)
         u_spec = P(ax)

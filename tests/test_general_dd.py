@@ -223,3 +223,45 @@ def test_general_partition_ministep_cutting(tmp_path):
     st_read, rep_read = read_results(out)
     np.testing.assert_allclose(st_read[-1]["Pressure"],
                                states[-1]["Pressure"])
+
+
+def test_general_partition_weno_wide_stencil():
+    """K-wide stencils (round 2): WENO transport — a K=2+2*Dmax read
+    stencil per face — runs through the general-partition SPMD engine
+    with automatically widened (k-ring) ghost buffers and matches the
+    single-device simulator (reference: the buffer argument of
+    dd/subdomains.jl:77 that sizes ghosts to the stencil width)."""
+    from jutul.jl_tpu import DataDomain, SimulationModel
+    from jutul.jl_tpu.models.transport import (
+        TransportSystem,
+        uniform_face_velocity,
+    )
+
+    require_devices(4)
+    n = 30
+    mesh = CartesianMesh((n,), (1.0,))
+    geo = mesh.tpfv_geometry()
+    system = TransportSystem("weno")
+    # single-device reference
+    model = SimulationModel(DataDomain(mesh), system)
+    C0 = np.where(np.arange(n) < n // 3, 1.0, 0.0)
+    state0 = {"C": C0.astype(np.float64)}
+    params = setup_parameters(model)
+    params["FaceVelocity"] = uniform_face_velocity(geo, [1.0])
+    dt = 0.4 / n
+    sim = Simulator(model, state0=state0, parameters=params)
+    ref = sim.simulate([dt] * 4, info_level=-1,
+                       tolerances={"default": 1e-12},
+                       max_nonlinear_iterations=30)
+    assert all(r["success"] for r in ref.reports)
+
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(mesh, system, dmesh,
+                                       parameters=params)
+    # ghosts must be wider than 1-ring for the WENO stencil
+    assert dsim.dec.K > 2
+    states, reports = dsim.simulate(state0, [dt] * 4, tol_cnv=1e-12,
+                                    max_newton=30, info_level=-1)
+    np.testing.assert_allclose(states[-1]["C"],
+                               np.asarray(ref.states[-1]["C"]),
+                               atol=1e-9)
