@@ -124,3 +124,75 @@ def uniform_face_velocity(geo, velocity):
     """Per-face volumetric rate v . n A for a constant velocity field."""
     velocity = np.asarray(velocity, dtype=np.float64)
     return (geo.normals @ velocity) * geo.areas
+
+
+class _NFVMFaceData(JutulParameter):
+    """Static per-face NFVM decomposition arrays via the parameter path."""
+
+    def __init__(self, values):
+        values = np.asarray(values)
+        per = values.shape[1] if values.ndim > 1 else 1
+        super().__init__(default=0.0, entity=FACES, values_per_entity=per)
+        self._values = values
+
+    def initialize_parameter(self, model, n):
+        return self._values
+
+
+class NFVMPressureSystem(JutulSystem):
+    """Single-phase slightly-compressible pressure diffusion with an NFVM
+    flux (avgMPFA or nonlinear NTPFA) — consistent on full-tensor
+    anisotropic permeability where TPFA is not (reference: src/NFVM/
+    NFVMLinearDiscretization/NFVMNonLinearDiscretization, types.jl:5,24).
+
+    d(c_t V p)/dt + div F = q,  F from the harmonic-averaging-point
+    positive decomposition (nfvm_discretize). The K-wide read stencil
+    makes this the natural exercise for k-ring distributed ghosts.
+    """
+
+    def __init__(self, scheme: str = "avgmpfa",
+                 compressibility: float = 1e-9):
+        if scheme not in ("avgmpfa", "ntpfa"):
+            raise ValueError(scheme)
+        self.scheme = scheme
+        self.ct = float(compressibility)
+        self._nfvm = None
+
+    def select_primary_variables(self, model):
+        from .darcy import Pressure
+
+        return OrderedDict(Pressure=Pressure())
+
+    def select_parameters(self, model):
+        from ..discretization.nfvm import nfvm_discretize
+
+        dd = model.data_domain
+        perm = dd.get("permeability")
+        if perm is None:
+            perm = np.full(model.number_of_cells(), 1e-13)
+        fd = nfvm_discretize(dd.geometry, perm)
+        self._nfvm = fd
+        out = OrderedDict(Volume=CellVolumeParam())
+        for key in ("alpha_l", "alpha_r", "tsum_l", "tsum_r"):
+            out[f"nfvm_{key}"] = _NFVMFaceData(fd[key])
+        return out
+
+    def select_equations(self, model):
+        from ..discretization.nfvm import nfvm_flux
+
+        scheme = self.scheme
+        ct = self.ct
+        fd_static = self._nfvm
+
+        def mass(model_, cs):
+            return jnp.reshape(ct * cs["Volume"] * cs["Pressure"], (1,))
+
+        def flux(model_, cs, fs):
+            p = cs["Pressure"]  # (K,)
+            fd = {k: fs[f"nfvm_{k}"] for k in
+                  ("alpha_l", "alpha_r", "tsum_l", "tsum_r")}
+            return jnp.reshape(nfvm_flux(p, fd, scheme), (1,))
+
+        eq = ConservationLaw(flux_fn=flux, mass_fn=mass, neq=1,
+                             stencil=fd_static["stencil"])
+        return OrderedDict(pressure=eq)
