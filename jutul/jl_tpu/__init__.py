@@ -152,7 +152,7 @@ from .meshes.extruded import (
 )
 from .models.composite import CompositeSystem
 from .models.helper import HelperSimulator
-from .models.transport import TransportSystem
+from .models.transport import NFVMPressureSystem, TransportSystem
 from .models.vectorization import (
     data_domain_parameter_gradient,
     devectorize_variables,
