@@ -184,12 +184,14 @@ class MultiLinearizedSystem:
             m, neq_t, ndof_s = cb.blocks.shape
             r0 = self.layout.res_slices[cb.target][0].start
             c0 = self.layout.dof_slices[cb.source][0].start
-            rr = r0 + np.asarray(cb.rows) * neq_t
-            cc = c0 + np.asarray(cb.cols) * ndof_s
-            flat = ((rr[:, None, None] + np.arange(neq_t)[None, :, None]) * M
+            # rows/cols may be traced (pytree children inside jit)
+            rr = r0 + jnp.asarray(cb.rows) * neq_t
+            cc = c0 + jnp.asarray(cb.cols) * ndof_s
+            flat = ((rr[:, None, None]
+                     + jnp.arange(neq_t)[None, :, None]) * M
                     + cc[:, None, None]
-                    + np.arange(ndof_s)[None, None, :]).reshape(-1)
-            out = out.reshape(-1).at[jnp.asarray(flat)].add(
+                    + jnp.arange(ndof_s)[None, None, :]).reshape(-1)
+            out = out.reshape(-1).at[flat].add(
                 cb.blocks.reshape(-1)).reshape(N, M)
         return out
 
@@ -201,6 +203,22 @@ class MultiLayout:
     res_slices: dict  # name -> (slice into flat res vec, (n, neq))
     total_dof: int
     total_res: int
+
+
+# Pytrees: the coupled Jacobian can ride lax.while_loop carries (the
+# fully-jitted multimodel Newton). CouplingBlock's rows/cols are traced
+# children (index arrays); names are static aux. MultiLinearizedSystem's
+# layout is static aux (one instance per CompiledMultiModel).
+jax.tree_util.register_pytree_node(
+    CouplingBlock,
+    lambda b: ((b.blocks, b.rows, b.cols), (b.target, b.source)),
+    lambda aux, ch: CouplingBlock(aux[0], aux[1], ch[1], ch[2], ch[0]),
+)
+jax.tree_util.register_pytree_node(
+    MultiLinearizedSystem,
+    lambda m: ((m.diag, m.couplings), m.layout),
+    lambda layout, ch: MultiLinearizedSystem(ch[0], list(ch[1]), layout),
+)
 
 
 class CompiledMultiModel:

@@ -158,3 +158,28 @@ def test_groups_reduction_schur_default_solver():
         np.testing.assert_allclose(np.asarray(statesA[-1][m]["XVar"]),
                                    np.asarray(statesB[-1][m]["XVar"]),
                                    rtol=1e-9)
+
+
+def test_multimodel_jit_ministep_matches_eager():
+    """Fully-jitted Newton (lax.while_loop, check-before-solve) for
+    MultiModel: coupled Jacobian rides the carry as a pytree and the jit
+    path reproduces the eager path exactly (round 2; previously
+    single-model only)."""
+    mm, state0, forces = build_multi()
+    dts = [0.2, 0.4, 0.8]
+    kw = dict(forces=forces, info_level=-1, tolerances={"default": 1e-11},
+              max_nonlinear_iterations=25)
+    sim_e = Simulator(mm, state0=state0)
+    res_e = sim_e.simulate(dts, **kw)
+    sim_j = Simulator(mm, state0=state0)
+    res_j = sim_j.simulate(dts, jit_ministep=True, **kw)
+    assert all(r["success"] for r in res_j.reports)
+    for m in ("A", "B"):
+        np.testing.assert_allclose(
+            np.asarray(res_j.states[-1][m]["XVar"]),
+            np.asarray(res_e.states[-1][m]["XVar"]), rtol=1e-10)
+    its_e = [mi["iterations"] for r in res_e.reports
+             for mi in r["ministeps"]]
+    its_j = [mi["iterations"] for r in res_j.reports
+             for mi in r["ministeps"]]
+    assert its_e == its_j
