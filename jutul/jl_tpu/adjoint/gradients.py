@@ -45,11 +45,19 @@ class AdjointStorage:
         self.model = model
         self.comp = compile_model(model)
         self.parameters = {k: jnp.asarray(v) for k, v in parameters.items()}
+        # integer parameters (e.g. WENO membership index tables) are not
+        # differentiable: close over them, differentiate the float ones
+        self.params_f = {k: v for k, v in self.parameters.items()
+                         if jnp.issubdtype(v.dtype, jnp.floating)}
+        self.params_i = {k: v for k, v in self.parameters.items()
+                         if k not in self.params_f}
         self.forces = forces
         self.direct_limit = direct_limit
         comp = self.comp
+        params_i = self.params_i
 
         def residual_from_dofs(u, u0, params, dt, forces_):
+            params = {**params_i, **params}
             state = merge_state(comp.unpack_dofs(u), params)
             state0 = merge_state(comp.unpack_dofs(u0), params)
             state = comp.evaluate_secondaries(state)
@@ -60,6 +68,7 @@ class AdjointStorage:
 
         @jax.jit
         def jac_blocks(u, u0, params, dt, forces_):
+            params = {**params_i, **params}
             state = merge_state(comp.unpack_dofs(u), params)
             state0 = merge_state(comp.unpack_dofs(u0), params)
             state = comp.evaluate_secondaries(state)
@@ -141,7 +150,7 @@ def solve_adjoint_sensitivities(
 
     storage = AdjointStorage(model, parameters, forces)
     comp = storage.comp
-    params = storage.parameters
+    params = storage.params_f
 
     def dofs_of(state) -> jnp.ndarray:
         return comp.get_dofs({k: jnp.asarray(v) for k, v in state.items()
@@ -154,7 +163,8 @@ def solve_adjoint_sensitivities(
 
     # dG/dx_n in dof space and dG/dp, via vjp through the evaluated state
     def g_of(u, params_, dt, n):
-        state = merge_state(comp.unpack_dofs(u), params_)
+        state = merge_state(comp.unpack_dofs(u),
+                            {**storage.params_i, **params_})
         state = comp.evaluate_secondaries(state)
         return G(model, state, dt, n, _forces_for(forces, n))
 
@@ -191,6 +201,8 @@ def solve_adjoint_sensitivities(
         u_next = u_n
 
     out = {k: np.asarray(v) for k, v in grad_p.items()}
+    for k, v in storage.params_i.items():  # zero grads for int params
+        out[k] = np.zeros(np.asarray(v).shape)
     if include_state0:
         du0_bar, _ = storage._vjp_u0_p(us[0], u0, params, float(dts[0]),
                                        _forces_for(forces, 0), lam_next)
@@ -263,7 +275,7 @@ def solve_adjoint_forces(model, states, dts, G, parameters, state0,
 
     storage = AdjointStorage(model, parameters, forces)
     comp = storage.comp
-    params = storage.parameters
+    params = storage.params_f
 
     def dofs_of(state):
         return comp.get_dofs({k: jnp.asarray(v) for k, v in state.items()

@@ -122,10 +122,19 @@ class GeneralDistributedAdjoint:
                 dot_fn=dot)
             lam = lam_flat.reshape(nom, neq) * am
 
-            # parameter cotangents: ∇_p G += (dF_n/dp)^T λ + dG/dp
+            # parameter cotangents: ∇_p G += (dF_n/dp)^T λ + dG/dp.
+            # Integer face tables (e.g. WENO membership indices) are not
+            # differentiable — close over them and report zero gradients.
+            fp_f = {k: v for k, v in fp.items()
+                    if jnp.issubdtype(v.dtype, jnp.floating)}
+            fp_i = {k: v for k, v in fp.items() if k not in fp_f}
             _, pull = jax.vjp(
-                lambda cp_, fp_: r_fn(u_n, u_prev, cp_, fp_, dt_n), cp, fp)
+                lambda cp_, fpf_: r_fn(u_n, u_prev, cp_,
+                                       {**fp_i, **fpf_}, dt_n), cp, fp_f)
             cp_bar_ext, fp_bar = pull(lam)
+            fp_bar = dict(fp_bar)
+            for k, v in fp_i.items():
+                fp_bar[k] = jnp.zeros(v.shape)
             # route ghost-slot cell cotangents home: transpose of the halo
             send_idx, recv_slot = tabs[0], tabs[1]
             cp_bar_own = {}
