@@ -183,3 +183,23 @@ def test_multimodel_jit_ministep_matches_eager():
     its_j = [mi["iterations"] for r in res_j.reports
              for mi in r["ministeps"]]
     assert its_e == its_j
+
+
+def test_multimodel_jit_timestep_matches_eager():
+    """In-jit ministep loop + dt cutting for MultiModel (whole report step
+    as one device program)."""
+    mm, state0, forces = build_multi()
+    dts = [1.5]
+    kw = dict(forces=forces, info_level=-1, tolerances={"default": 1e-11},
+              max_nonlinear_iterations=25, max_timestep=0.4)
+    sim_e = Simulator(mm, state0=state0)
+    res_e = sim_e.simulate(dts, **kw)
+    sim_j = Simulator(mm, state0=state0)
+    res_j = sim_j.simulate(dts, jit_timestep=True, **kw)
+    assert all(r["success"] for r in res_j.reports)
+    assert len(res_j.reports[0]["ministeps"]) == len(
+        res_e.reports[0]["ministeps"]) >= 4
+    for m in ("A", "B"):
+        np.testing.assert_allclose(
+            np.asarray(res_j.states[-1][m]["XVar"]),
+            np.asarray(res_e.states[-1][m]["XVar"]), rtol=1e-10)
