@@ -198,7 +198,11 @@ def half_face_map(neighbors: np.ndarray, n_cells: int):
 
 
 def expand_perm_ad(perm, dim: int):
-    """jnp counterpart of expand_perm (differentiable in perm)."""
+    """jnp counterpart of expand_perm (differentiable in perm).
+
+    KEEP IN SYNC with the numpy trio above — the pairing is enforced by
+    tests/test_data_domain_chain.py::test_parameters_from_data_domain_
+    matches_setup (equality to 1e-12 between the two paths)."""
     import jax.numpy as jnp
 
     perm = jnp.asarray(perm)

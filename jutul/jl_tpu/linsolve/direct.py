@@ -29,10 +29,12 @@ class DirectSolver:
                 "configure a Krylov solver (GenericKrylov)"
             )
 
-    def solve(self, J, r):
+    def solve(self, J, r, rtol=None):
         """Return du with J du = -r; shapes (n, ndof) / (n, neq).
 
         Also accepts a coupled MultiLinearizedSystem (dict-valued r/du).
+        ``rtol`` (adaptive-forcing override) is accepted and ignored — a
+        direct solve meets any tolerance.
         """
         from ..multimodel.core import MultiLinearizedSystem
 

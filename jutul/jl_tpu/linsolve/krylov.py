@@ -227,7 +227,7 @@ class GenericKrylov:
         from ..multimodel.core import MultiLinearizedSystem
 
         if isinstance(J, MultiLinearizedSystem):
-            return self._solve_multi(J, r)
+            return self._solve_multi(J, r, rtol=rtol)
         rtol = self.rtol if rtol is None else rtol
         n, _, neq, ndof = J.blocks.shape
         pstate = self.preconditioner.update(J)
@@ -250,9 +250,10 @@ class GenericKrylov:
                                 precond=precond)
         return x.reshape(n, ndof), stats
 
-    def _solve_multi(self, J, r: dict):
+    def _solve_multi(self, J, r: dict, rtol=None):
         from .precond import BlockJacobiPreconditioner, GroupWisePreconditioner
 
+        rtol = self.rtol if rtol is None else rtol
         p = self.preconditioner
         if isinstance(p, TrivialPreconditioner):
             p = GroupWisePreconditioner(BlockJacobiPreconditioner())
@@ -273,10 +274,10 @@ class GenericKrylov:
         b = -J.flatten_res(r)
         if self.solver == "gmres":
             x, stats = gmres(matvec, b, restart=self.restart,
-                             maxiter=self.max_iterations, rtol=self.rtol,
+                             maxiter=self.max_iterations, rtol=rtol,
                              atol=self.atol, precond=precond)
         else:
             x, stats = bicgstab(matvec, b, maxiter=self.max_iterations,
-                                rtol=self.rtol, atol=self.atol,
+                                rtol=rtol, atol=self.atol,
                                 precond=precond)
         return J.unflatten_dofs(x), stats

@@ -31,15 +31,15 @@ class SchurComplementSolver:
         self.inner = inner or GenericKrylov("gmres", rtol=1e-8)
         self.elim_models = elim_models  # names; None = all but the first
 
-    def solve(self, J, r: dict):
+    def solve(self, J, r: dict, rtol=None):
         if not isinstance(J, MultiLinearizedSystem):
-            return self.inner.solve(J, r)
+            return self.inner.solve(J, r, rtol=rtol)
         names = J.layout.names
         elim = self.elim_models if self.elim_models is not None else names[1:]
         elim = [n for n in names if n in set(elim)]
         main = [n for n in names if n not in set(elim)]
         if not elim:
-            return self.inner.solve(J, r)
+            return self.inner.solve(J, r, rtol=rtol)
 
         # --- dense E (eliminated diagonal + intra-eliminated couplings)
         sizes, offs = {}, {}
@@ -131,7 +131,7 @@ class SchurComplementSolver:
             return {n: y[n] - by[n] for n in main}
 
         J_red = _OperatorSystem(J_main, reduced_matvec)
-        du_main, stats = self.inner.solve(J_red, r_red)
+        du_main, stats = self.inner.solve(J_red, r_red, rtol=rtol)
 
         # back-substitution: y = E^{-1}(b - C x); our solve returns du with
         # J du = -r convention, so the eliminated update solves

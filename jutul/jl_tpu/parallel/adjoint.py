@@ -209,14 +209,27 @@ class DistributedAdjoint:
 
     # ------------------------------------------------------------------
     def solve(self, states: list, timesteps, G: Callable, state0: dict,
-              forces=None, rtol: float = 1e-10, max_lin_it: int = 400):
+              forces=None, rtol: float = 1e-10, max_lin_it: int = 400,
+              reports: list | None = None):
         """Backward sweep; returns dict of GLOBAL gradient arrays for all
         model parameters (cells in mesh order, faces in global face order).
 
         ``states`` are the accepted global output states of the forward
         distributed run; ``G(model, state, dt, n, forces)`` must be a sum
         over cells (evaluated per shard on owned cells; constant forces
-        only — the distributed path's current force surface)."""
+        only — the distributed path's current force surface).
+
+        EXACTNESS REQUIREMENT: states[n] must solve ONE implicit step of
+        size dts[n] (see general_adjoint.py) — pass ``reports`` to have
+        cut ministeps detected."""
+        if reports is not None:
+            for i, rep in enumerate(reports):
+                ok_minis = [m for m in rep.get("ministeps", [])
+                            if m.get("success", True)]
+                if len(ok_minis) > 1:
+                    raise ValueError(
+                        f"report step {i} used {len(ok_minis)} ministeps; "
+                        "expand to ministep states for an exact adjoint.")
         dsim = self.dsim
         comp = dsim.comp
         dec = dsim.dec

@@ -68,6 +68,11 @@ class GeneralDistributedAdjoint:
 
     # ------------------------------------------------------------------
     def _build_step(self, G: Callable, n: int, has_next: bool):
+        """One backward step as a jitted SPMD program. NOTE: ``n`` is
+        baked in statically because ``G`` may index host data by step
+        (e.g. observation lists), so an N-step sweep compiles N programs;
+        if that cost matters, make G read observations from a traced
+        array and key this cache on ``has_next`` alone."""
         dsim = self.dsim
         comp = dsim.comp
         dec = dsim.dec
@@ -168,14 +173,36 @@ class GeneralDistributedAdjoint:
 
     # ------------------------------------------------------------------
     def solve(self, states: list, timesteps, G: Callable, state0: dict,
-              forces=None, rtol: float = 1e-10, max_lin_it: int = 400):
+              forces=None, rtol: float = 1e-10, max_lin_it: int = 400,
+              reports: list | None = None):
         """Backward sweep; returns GLOBAL gradient arrays for all model
         parameters (cells in mesh order, faces in global face order).
 
         ``states``/``state0`` are GLOBAL states (mesh order); the sweep
         shards them internally. ``G(model, state, dt, n, forces)`` must be
         a sum over cells.
+
+        EXACTNESS REQUIREMENT (same as the reference and the single-device
+        adjoint, adjoint/gradients.py:21): ``states[n]`` must satisfy the
+        implicit system F(states[n], states[n-1], dts[n]) = 0 — i.e. the
+        accepted MINISTEP sequence. If the forward run cut ministeps,
+        expand the schedule first (``expand_to_ministeps``); pass the
+        forward ``reports`` here to have that checked.
         """
+        if reports is not None:
+            for i, rep in enumerate(reports):
+                ok_minis = [m for m in rep.get("ministeps", [])
+                            if m.get("success", True)]
+                if len(ok_minis) > 1:
+                    raise ValueError(
+                        f"report step {i} was solved in {len(ok_minis)} "
+                        "ministeps; per-report-step states do not satisfy "
+                        "the one-step implicit system the adjoint "
+                        "transposes. Re-run with output_substates / use "
+                        "expand_to_ministeps, or pass ministep states.")
+        # per-solve program cache: keyed by (n, has_next) which is only
+        # valid for THIS (G, rtol, max_lin_it) triple
+        self._step_cache = {}
         dsim = self.dsim
         comp = dsim.comp
         dec = dsim.dec
@@ -246,8 +273,8 @@ class GeneralDistributedAdjoint:
 
 def solve_adjoint_sensitivities_general(
         dsim, states: list, timesteps, G: Callable, state0: dict,
-        forces=None, parameters: dict | None = None, **kw):
+        forces=None, parameters: dict | None = None, reports=None, **kw):
     """General-partition counterpart of ``solve_adjoint_sensitivities``
     (reference: src/ad/gradients.jl:17 through the PArray machinery)."""
     return GeneralDistributedAdjoint(dsim, parameters=parameters).solve(
-        states, timesteps, G, state0, forces=forces, **kw)
+        states, timesteps, G, state0, forces=forces, reports=reports, **kw)

@@ -238,3 +238,41 @@ def test_eisenstat_walker_forcing():
     np.testing.assert_allclose(np.asarray(s_ew["Pressure"]),
                                np.asarray(s_fixed["Pressure"]), rtol=1e-7)
     assert lin_ew < lin_fixed, (lin_ew, lin_fixed)
+
+
+def test_ew_forcing_with_default_and_schur_solvers():
+    """linear_forcing='ew' must work with solvers that ignore rtol
+    (DirectSolver default; Schur for grouped multimodels) — regression:
+    their solve() signatures lacked the rtol override."""
+    model, state0, params = darcy_case(nx=4, ny=3, nz=2)
+    sim = Simulator(model, state0=state0, parameters=params)
+    res = sim.simulate([0.5 * DAY], jit_ministep=True, linear_forcing="ew",
+                       info_level=-1, tolerances={"default": 1e-8})
+    assert res.reports[-1]["success"]
+
+    from jutul.jl_tpu import SchurComplementSolver
+    from jutul.jl_tpu.models.test_systems import (
+        ScalarTestCrossTerm,
+        ScalarTestDomain,
+        ScalarTestForce,
+        ScalarTestSystem,
+    )
+    from jutul.jl_tpu.models.forces import setup_forces
+    from jutul.jl_tpu.multimodel.core import MultiModel
+    from jutul.jl_tpu import SimulationModel as SM, setup_state as st
+
+    A = SM(ScalarTestDomain(), ScalarTestSystem())
+    B = SM(ScalarTestDomain(), ScalarTestSystem())
+    mm = MultiModel({"A": A, "B": B})
+    mm.add_cross_term(ScalarTestCrossTerm(), target="A", source="B",
+                      equation="test_equation")
+    s0 = st(mm, A=st(A, XVar=0.0), B=st(B, XVar=0.0))
+    forces = setup_forces(mm, A=setup_forces(A, sources=ScalarTestForce(1.0)),
+                          B=setup_forces(B, sources=ScalarTestForce(-1.0)))
+    sim2 = Simulator(mm, state0=s0)
+    res2 = sim2.simulate([0.5], forces=forces, jit_ministep=True,
+                         linear_forcing="ew",
+                         linear_solver=SchurComplementSolver(
+                             elim_models=["B"]),
+                         info_level=-1, tolerances={"default": 1e-10})
+    assert res2.reports[-1]["success"]
