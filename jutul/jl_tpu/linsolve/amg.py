@@ -452,7 +452,10 @@ class SmoothedAggregationAMG(Preconditioner):
         filt = jnp.asarray(_tbl.table(lvl.k_filter), vals.dtype)
         aF = vals * filt
         aF = aF.at[:, 0].add(jnp.sum(vals * (1.0 - filt), axis=1))
-        dinv = 1.0 / aF[:, 0]
+        # guard zero diagonals exactly like the numpy mirror (_p_values_np)
+        # or hierarchies that build fine on host go NaN on jitted updates
+        d0 = aF[:, 0]
+        dinv = 1.0 / jnp.where(jnp.abs(d0) > 0, d0, 1.0)
         pos = jnp.asarray(_tbl.table(lvl.k_pos), jnp.int32)
         agg = _tbl.table(lvl.k_agg)
         pattern = _tbl.table(lvl.k_pattern)
@@ -516,7 +519,8 @@ class SmoothedAggregationAMG(Preconditioner):
             lvl = levels[li]
             A = ops[li]
             cols = jnp.asarray(lvl.structure.cols_t())
-            dinv = 1.0 / A[:, 0]
+            d0 = A[:, 0]
+            dinv = 1.0 / jnp.where(jnp.abs(d0) > 0, d0, 1.0)
             u = self.omega * dinv * rhs
             for _ in range(self.n_smooth - 1):
                 r = rhs - _scalar_matvec(A, cols, u)

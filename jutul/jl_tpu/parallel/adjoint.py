@@ -238,6 +238,9 @@ class DistributedAdjoint:
         dts = np.atleast_1d(np.asarray(timesteps, dtype=np.float64))
         N = len(states)
         assert N == len(dts)
+        # per-solve program cache: (n, has_next) keys are only valid for
+        # THIS (G, rtol, max_lin_it) triple
+        self._step_cache = {}
 
         sh = NamedSharding(dsim.device_mesh, P(dsim.axis))
 

@@ -416,9 +416,9 @@ class GeneralDistributedSimulator:
                 combined = {}
                 for name, (kind, payload) in parts.items():
                     if kind == "max":
-                        combined[name] = jax.lax.pmax(
-                            jnp.where(jnp.isfinite(payload), payload, 0.0),
-                            ax)
+                        # NaN must PROPAGATE so divergence fails the
+                        # ministep (dead rows are already masked finite)
+                        combined[name] = jax.lax.pmax(payload, ax)
                     else:
                         num, den = payload
                         combined[name] = jnp.abs(jax.lax.psum(num, ax)) / \
@@ -557,8 +557,10 @@ class GeneralDistributedSimulator:
         for it in range(max_newton + 1):
             new_state, crit, lin_its, _lin_res = self._newton_jit(
                 state, state0, dt, q)
-            err = max(float(np.max(np.asarray(v)))
-                      for c in crit.values() for v in c.values())
+            lin_total += int(np.asarray(lin_its))
+            err = float(np.max(np.asarray(
+                [np.max(np.asarray(v))
+                 for c in crit.values() for v in c.values()])))
             if not np.isfinite(err):
                 return False, state, its, lin_total
             if err < tol_cnv and it > 0:
@@ -567,7 +569,6 @@ class GeneralDistributedSimulator:
                 return False, state, its, lin_total
             state = new_state
             its += 1
-            lin_total += int(np.asarray(lin_its))
         return False, state, its, lin_total
 
     def solve_timestep(self, state, state0, dT, max_newton: int = 15,

@@ -473,10 +473,10 @@ class DistributedSimulator:
         for it in range(max_newton + 1):
             new_state, crit, lin_its, _lin_res = self._newton_jit(
                 state, state0, dt, q, bc)
-            err = max(
-                float(np.max(np.asarray(v)))
-                for c in crit.values() for v in c.values()
-            )
+            lin_total += int(np.asarray(lin_its))
+            err = float(np.max(np.asarray(
+                [np.max(np.asarray(v))
+                 for c in crit.values() for v in c.values()])))
             if not np.isfinite(err):
                 return False, state, its, lin_total
             if err < tol_cnv and it > 0:
@@ -485,7 +485,6 @@ class DistributedSimulator:
                 return False, state, its, lin_total
             state = new_state
             its += 1
-            lin_total += int(np.asarray(lin_its))
         return False, state, its, lin_total
 
     def solve_timestep(self, state, state0, dT, max_newton: int = 15,

@@ -276,3 +276,20 @@ def test_ew_forcing_with_default_and_schur_solvers():
                              elim_models=["B"]),
                          info_level=-1, tolerances={"default": 1e-10})
     assert res2.reports[-1]["success"]
+
+
+def test_jit_config_change_rebuilds_programs():
+    """Regression: jitted ministep/timestep/schedule closures bake the
+    config in; a new config must invalidate them (previously the first
+    call's tolerances were silently reused)."""
+    model, state0, params = darcy_case(seed=6)
+    sim = Simulator(model, state0=state0, parameters=params)
+    res_loose = sim.simulate_jit([1.0 * DAY], tolerances={"default": 1e-2},
+                                 info_level=-1)
+    its_loose = sum(m["iterations"] for r in res_loose.reports
+                    for m in r["ministeps"])
+    res_tight = sim.simulate_jit([1.0 * DAY], tolerances={"default": 1e-9},
+                                 info_level=-1)
+    its_tight = sum(m["iterations"] for r in res_tight.reports
+                    for m in r["ministeps"])
+    assert its_tight > its_loose, (its_tight, its_loose)
