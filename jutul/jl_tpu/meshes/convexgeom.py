@@ -115,22 +115,27 @@ def polygon_area_centroid(poly):
     return float(area), cen
 
 
-def cell_tetrahedra(mesh, cell: int):
+def cell_tetrahedra(mesh, cell: int, face_map=None):
     """Decompose a (3D) cell into tetrahedra (apex = face-centroid mean;
     each face fanned from its own centroid) — the same decomposition the
-    mesh geometry uses, so volumes sum exactly."""
-    geo = mesh.tpfv_geometry()
-    pts = mesh.points
+    mesh geometry uses, so volumes sum exactly.
+
+    ``face_map``: optional ``cell_face_node_lists(mesh)`` result; avoids
+    an O(n_faces) whole-mesh scan per call when querying many cells."""
     tets = []
     apex = None
-    faces = []
-    nb = geo.neighbors
-    for f in range(nb.shape[0]):
-        if int(nb[f, 0]) == cell or int(nb[f, 1]) == cell:
-            faces.append(pts[np.asarray(mesh.face_nodes[f])])
-    for f in range(mesh.number_of_boundary_faces()):
-        if int(mesh.boundary_face_cells[f]) == cell:
-            faces.append(pts[np.asarray(mesh.boundary_face_nodes[f])])
+    if face_map is not None:
+        faces = face_map[cell]
+    else:
+        pts = mesh.points
+        faces = []
+        nb = mesh.neighborship()
+        for f in range(nb.shape[0]):
+            if int(nb[f, 0]) == cell or int(nb[f, 1]) == cell:
+                faces.append(pts[np.asarray(mesh.face_nodes[f])])
+        for f in range(mesh.number_of_boundary_faces()):
+            if int(mesh.boundary_face_cells[f]) == cell:
+                faces.append(pts[np.asarray(mesh.boundary_face_nodes[f])])
     cents = [fp.mean(axis=0) for fp in faces]
     apex = np.mean(cents, axis=0)
     for fp, fc in zip(faces, cents):
@@ -182,7 +187,8 @@ def _positive_part_tets(t, phi, tol: float = 1e-14):
             np.stack([C1, A2, B2, C2])]
 
 
-def mean_abs_distance(mesh, cell: int, plane_point, plane_normal):
+def mean_abs_distance(mesh, cell: int, plane_point, plane_normal,
+                      face_map=None):
     """EXACT (1/V) * integral over the cell of |signed distance to plane|
     (reference EmbeddedMeshes/finite-volume.jl average normal distance; the
     standard EDFM <d>). Uses int |phi| = 2 * int_{phi>0} phi - int phi over
@@ -196,7 +202,7 @@ def mean_abs_distance(mesh, cell: int, plane_point, plane_normal):
 
     tot_v = 0.0
     tot_i = 0.0
-    for t in cell_tetrahedra(mesh, cell):
+    for t in cell_tetrahedra(mesh, cell, face_map):
         v = _tet_volume(t)
         if v <= 0:
             continue
@@ -209,3 +215,58 @@ def mean_abs_distance(mesh, cell: int, plane_point, plane_normal):
         tot_i += 2.0 * i_pos - i_all
         tot_v += v
     return tot_i / max(tot_v, 1e-300)
+
+
+def cell_face_node_lists(mesh):
+    """Per-cell list of face node-coordinate arrays, built in ONE pass over
+    the mesh (interior + boundary faces). Pass the result to
+    ``cell_tetrahedra``/``mean_abs_distance`` when querying many cells —
+    the per-call whole-mesh scan is O(n_faces) each otherwise."""
+    nc = mesh.number_of_cells()
+    pts = mesh.points
+    out = [[] for _ in range(nc)]
+    nb = mesh.neighborship()
+    for f in range(nb.shape[0]):
+        fp = pts[np.asarray(mesh.face_nodes[f])]
+        out[int(nb[f, 0])].append(fp)
+        out[int(nb[f, 1])].append(fp)
+    for f in range(mesh.number_of_boundary_faces()):
+        out[int(mesh.boundary_face_cells[f])].append(
+            pts[np.asarray(mesh.boundary_face_nodes[f])])
+    return out
+
+
+def cell_bounding_radius(mesh_or_geo) -> np.ndarray:
+    """Per-cell radius of a centroid-centered ball guaranteed to contain
+    the (convex) cell — the sound prefilter radius for intersection
+    queries. With mesh connectivity available this is the EXACT max vertex
+    distance; from bare geometry it is the conservative bound
+    (1 + dim) * max distance to an incident face centroid (covers
+    simplices, where circumradius = dim * inradius, and anisotropic boxes
+    — a volume-based estimate badly underestimates pancake cells)."""
+    geo = (mesh_or_geo.tpfv_geometry()
+           if hasattr(mesh_or_geo, "tpfv_geometry") else mesh_or_geo)
+    cc = geo.cell_centroids
+    nc = geo.n_cells
+    mesh = mesh_or_geo if hasattr(mesh_or_geo, "tpfv_geometry") else None
+    if (mesh is not None and hasattr(mesh, "points")
+            and hasattr(mesh, "face_nodes")):
+        r2 = np.zeros(nc)
+        for c, faces in enumerate(cell_face_node_lists(mesh)):
+            for fp in faces:
+                d2 = np.sum((fp - cc[c]) ** 2, axis=1).max()
+                r2[c] = max(r2[c], d2)
+        return np.sqrt(r2)
+    dim = cc.shape[1]
+    r = np.zeros(nc)
+    nb = geo.neighbors
+    for f in range(nb.shape[0]):
+        d = np.linalg.norm(geo.face_centroids[f] - cc[nb[f]], axis=1)
+        r[nb[f, 0]] = max(r[nb[f, 0]], d[0])
+        r[nb[f, 1]] = max(r[nb[f, 1]], d[1])
+    bn = geo.boundary_neighbors
+    for f in range(len(bn)):
+        c = int(bn[f])
+        d = float(np.linalg.norm(geo.boundary_centroids[f] - cc[c]))
+        r[c] = max(r[c], d)
+    return (1.0 + dim) * r

@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 
 from .convexgeom import (
+    cell_bounding_radius,
+    cell_face_node_lists,
     cell_halfspaces,
     clip_polygon_plane,
     mean_abs_distance,
@@ -59,12 +61,18 @@ class SurfaceMesh:
         nbrs, edges = [], []
         bnd_edges, bnd_cells = [], []
         for (a, b), owners in edge_owner.items():
-            if len(owners) == 2:
-                nbrs.append(owners)
-                edges.append((a, b))
-            else:
+            if len(owners) == 1:
                 bnd_edges.append((a, b))
                 bnd_cells.append(owners[0])
+            else:
+                # 2 owners: ordinary interior edge. >2 owners (T/X fracture
+                # junction): connect every owner pair so flow crosses the
+                # junction (star treatment; previously the extra polygons
+                # were silently disconnected).
+                for i in range(len(owners)):
+                    for j in range(i + 1, len(owners)):
+                        nbrs.append([owners[i], owners[j]])
+                        edges.append((a, b))
         self.edge_nodes = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
         self.edge_neighbors = np.asarray(nbrs, dtype=np.int64).reshape(-1, 2)
         self.boundary_edge_nodes = np.asarray(bnd_edges,
@@ -189,7 +197,11 @@ def embed_surface(host, surf: SurfaceMesh, tol: float = 1e-12):
     dimf = cc.shape[1]
     if dimf != 3:
         raise NotImplementedError("embed_surface: 3D hosts only")
-    radius = geo.volumes ** (1.0 / 3.0) * np.sqrt(3.0)
+    radius = cell_bounding_radius(host)  # sound for anisotropic cells
+    # one-pass cell->face-nodes adjacency; without it mean_abs_distance
+    # rescans every mesh face per (cell, polygon) pair
+    face_map = (cell_face_node_lists(host)
+                if hasattr(host, "points") else None)
 
     host_cells, frac_cells, areas, mdist, ci, cents = [], [], [], [], [], []
     for fc in range(surf.number_of_cells()):
@@ -211,7 +223,8 @@ def embed_surface(host, surf: SurfaceMesh, tol: float = 1e-12):
             A, cen = polygon_area_centroid(clipped)
             if A <= tol * geo.volumes[c] ** (2.0 / 3.0):
                 continue
-            d = mean_abs_distance(host, int(c), p0, nrm)
+            d = mean_abs_distance(host, int(c), p0, nrm,
+                                  face_map=face_map)
             host_cells.append(int(c))
             frac_cells.append(fc)
             areas.append(A)

@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from .convexgeom import cell_halfspaces, clip_segment
+from .convexgeom import (
+    cell_bounding_radius,
+    cell_halfspaces,
+    clip_segment,
+)
 
 
 def trajectory_intersections(mesh_or_geo, trajectory):
@@ -33,9 +37,10 @@ def trajectory_intersections(mesh_or_geo, trajectory):
     if traj.ndim != 2 or traj.shape[1] != cc.shape[1]:
         raise ValueError(f"trajectory must be (n, {cc.shape[1]})")
     hs = cell_halfspaces(geo)
-    dim = cc.shape[1]
-    # candidate prefilter: bounding-sphere radius per cell
-    radius = (geo.volumes ** (1.0 / dim)) * np.sqrt(dim)
+    # candidate prefilter: SOUND per-cell bounding radius (exact vertex
+    # distance when mesh connectivity is available) — a volume-based
+    # estimate misses corner-clipping segments on anisotropic cells
+    radius = cell_bounding_radius(mesh_or_geo)
 
     out = []
     for s, (a, b) in enumerate(zip(traj[:-1], traj[1:])):
@@ -47,7 +52,7 @@ def trajectory_intersections(mesh_or_geo, trajectory):
         v = cc - a[None, :]
         t_near = np.clip(v @ ab, 0.0, seg_len)
         d2 = np.sum((v - t_near[:, None] * ab[None, :]) ** 2, axis=1)
-        cand = np.flatnonzero(d2 <= (1.5 * radius) ** 2)
+        cand = np.flatnonzero(d2 <= (1.001 * radius) ** 2)
         hits = []
         for c in cand:
             pp, nn = hs[c]

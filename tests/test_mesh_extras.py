@@ -79,3 +79,51 @@ def test_check_mesh_quality_full():
     np.testing.assert_allclose(g1.volumes, g0.volumes)
     np.testing.assert_allclose(g1.normals, g0.normals, atol=1e-12)
     assert check_mesh(scr)
+
+
+def test_trajectory_prefilter_anisotropic_cells():
+    """Regression: a volume-based prefilter radius missed corner-clipping
+    segments on pancake cells (50x50x0.5-style); the sound bounding radius
+    must find every traversed cell."""
+    import numpy as np
+
+    from jutul.jl_tpu import CartesianMesh, find_enclosing_cells
+
+    # strongly anisotropic cells: 50 x 50 x 0.5
+    mesh = CartesianMesh((4, 4, 2), (200.0, 200.0, 1.0))
+    # diagonal segment clipping cell corners far from centroids
+    traj = np.array([[1.0, 1.0, 0.25], [199.0, 199.0, 0.75]])
+    cells = find_enclosing_cells(mesh, traj, method="exact")
+    # brute force: clip against every cell, no prefilter
+    from jutul.jl_tpu.meshes.convexgeom import cell_halfspaces, clip_segment
+
+    geo = mesh.tpfv_geometry()
+    hs = cell_halfspaces(geo)
+    expect = []
+    for c in range(mesh.number_of_cells()):
+        pp, nn = hs[c]
+        res = clip_segment(traj[0], traj[1], pp, nn)
+        if res is not None and res[1] - res[0] > 1e-12:
+            expect.append(c)
+    assert set(cells.tolist()) == set(expect), (sorted(cells), expect)
+
+
+def test_surface_mesh_junction_connectivity():
+    """Regression: edges shared by >2 polygons (T/X fracture junctions)
+    must connect every owner pair, not silently drop polygons."""
+    import numpy as np
+
+    from jutul.jl_tpu.meshes.embedded import SurfaceMesh
+
+    # three rectangles sharing one edge (a T junction seen edge-on)
+    pts = np.array([
+        [0, 0, 0], [1, 0, 0],            # shared edge
+        [0, 1, 0], [1, 1, 0],            # wing A (z=0 plane, +y)
+        [0, -1, 0], [1, -1, 0],          # wing B (z=0 plane, -y)
+        [0, 0, 1], [1, 0, 1],            # wing C (x-z plane, +z)
+    ])
+    polys = [[0, 1, 3, 2], [0, 1, 5, 4], [0, 1, 7, 6]]
+    sm = SurfaceMesh(pts, polys)
+    nb = sm.neighborship()
+    pairs = {tuple(sorted(p)) for p in nb.tolist()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}, pairs
