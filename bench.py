@@ -391,7 +391,9 @@ def _run_worker(n_rep: int, grid: str, timeout_s: int, n_step=None):
     env = dict(os.environ)
     env["_BENCH_WORKER"] = "1"
     env["BENCH_NREP"] = str(n_rep)
-    env["BENCH_GRID"] = grid
+    if grid is not None:
+        env["BENCH_GRID"] = grid  # None -> let the worker pick (its
+        # CPU-backend fallback shrinks the grid when no TPU is attached)
     if n_step is not None:
         env["BENCH_NSTEP"] = str(n_step)
     try:
@@ -425,7 +427,7 @@ def _orchestrate():
     # default schedule keeps the single execution inside the survivable
     # window (6 report steps ~= 40 Newtons, plenty to amortize overhead).
     base_step = int(os.environ.get("BENCH_NSTEP", "6"))
-    base_grid = os.environ.get("BENCH_GRID", "128,128,64")
+    base_grid = os.environ.get("BENCH_GRID")  # None -> worker default
     # each rung reduces BOTH the raw-mode reps and the product-mode report
     # steps, so the ladder shrinks work whichever mode is selected.
     # Measured (r2): the worker can crash at the 1M device->host sync even
