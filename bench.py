@@ -326,7 +326,7 @@ def run_product(nx, ny, nz, n_lin_it):
         rtol=float(os.environ.get("BENCH_RTOL", "0.0")),
         max_iterations=n_lin_it)  # rtol=0 pins the Krylov work; rtol>0
     # enables the in-jit early exit (reference CPR practice: rtol ~1e-3)
-    n_step = int(os.environ.get("BENCH_NSTEP", "6"))
+    n_step = int(os.environ.get("BENCH_NSTEP", "3"))
     if jax.default_backend() == "cpu":
         n_step = min(n_step, 3)
     dt = 6 * 3600.0
@@ -422,11 +422,12 @@ def _orchestrate():
     emitting one JSON line (with a ``degraded`` field when not the full run).
     """
     base_rep = int(os.environ.get("BENCH_NREP", "100"))
-    # Measured (r2): 1M-cell executions survive at ~60s (3 steps) and
-    # ~120s (884k) but reliably crash the shared worker at ~8x that, so the
-    # default schedule keeps the single execution inside the survivable
-    # window (6 report steps ~= 40 Newtons, plenty to amortize overhead).
-    base_step = int(os.environ.get("BENCH_NSTEP", "6"))
+    # Measured (r2): at 1M cells only SHORT executions survive the shared
+    # worker (3 report steps / ~58s: survived repeatedly; 6 steps: crashed
+    # even on a rested worker; a crashed worker can then HANG the next
+    # attempt until its timeout). Default = the known-survivable config;
+    # ~70 Newtons still amortize the fixed overhead well.
+    base_step = int(os.environ.get("BENCH_NSTEP", "3"))
     base_grid = os.environ.get("BENCH_GRID")  # None -> worker default
     # each rung reduces BOTH the raw-mode reps and the product-mode report
     # steps, so the ladder shrinks work whichever mode is selected.
@@ -435,10 +436,10 @@ def _orchestrate():
     # crash probability grows with execution length) and the ladder steps
     # down through a near-1M grid before giving up on scale.
     rungs = [
-        (base_rep, base_grid, base_step, None, 3000),
-        (max(base_rep // 8, 2), base_grid, 3, "retry_reduced_reps", 1200),
-        (10, "96,96,96", 3, "retry_reduced_grid_884k", 1200),
-        (10, "64,64,64", 4, "retry_reduced_grid", 1200),
+        (base_rep, base_grid, base_step, None, 1500),
+        (max(base_rep // 8, 2), base_grid, 2, "retry_reduced_reps", 900),
+        (10, "96,96,96", 3, "retry_reduced_grid_884k", 900),
+        (10, "64,64,64", 4, "retry_reduced_grid", 900),
     ]
     errors = []
     for i, (n_rep, grid, n_step, degraded, timeout_s) in enumerate(rungs):
