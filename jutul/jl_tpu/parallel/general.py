@@ -304,7 +304,8 @@ class GeneralDistributedSimulator:
 
     # -- the SPMD assembly body (shared by Newton and the adjoint) --------
     def _local_system(self, state_own, state0_own, cp, fp, tables, q, dt,
-                      with_jac: bool = True, with_crit: bool = True):
+                      with_jac: bool = True, with_crit: bool = True,
+                      bc=None):
         """Assemble this shard's owned-row residual (and optionally the
         face-block Jacobian pieces + global convergence criteria).
 
@@ -356,6 +357,27 @@ class GeneralDistributedSimulator:
                 jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
                     U_own, p_own, cs0_own)  # (nom, neq, ndof)
                 diag = diag.at[:nom].add(jac * am[..., None])
+
+        # --- state-dependent pressure BCs (shard-local rows; padding rows
+        # carry trans=0 so they contribute exactly zero; mirrors the slab
+        # path's __bc__ force, reference boundary conditions) ------------
+        if bc is not None:
+            from ..models.darcy import PressureBoundaryCondition
+
+            bcells, bp, bT, bsat = bc
+            force = PressureBoundaryCondition(bcells, bp, bT,
+                                              saturations=bsat)
+            for info in comp.equations:
+                sl = info.row_slice
+                r_eq = force.apply(model, info.eq, info.name, r[:, sl],
+                                   full, dt)
+                r = r.at[:, sl].set(r_eq)
+                if with_jac:
+                    contrib = force.diagonal_jacobian(
+                        model, info.eq, info.name, comp, full, dt)
+                    if contrib is not None:
+                        cells_j, jac = contrib
+                        diag = diag.at[cells_j, sl, :].add(jac)
 
         # --- face fluxes (+ jacfwd wrt the FULL K-wide read stencil) ----
         # diag_acc = accumulation-only diagonal (the SpMV applies every
@@ -456,8 +478,8 @@ class GeneralDistributedSimulator:
         return matvec
 
     # -- the SPMD Newton body -------------------------------------------
-    def _local_newton(self, state_own, state0_own, cp, fp, tables, q, dt,
-                      rtol, max_lin_it):
+    def _local_newton(self, state_own, state0_own, cp, fp, tables, q, bc,
+                      dt, rtol, max_lin_it):
         comp = self.comp
         dec = self.dec
         ax = self.axis
@@ -467,8 +489,9 @@ class GeneralDistributedSimulator:
         fp = {k: v[0] for k, v in fp.items()}      # (nf_max, ...)
         tabs = tuple(t[0] for t in tables)
 
+        bc1 = tuple(b[0] for b in bc) if bc is not None else None
         sys = self._local_system(state_own, state0_own, cp, fp, tabs, q[0],
-                                 dt)
+                                 dt, bc=bc1)
         r_own, am, crit = sys["r_own"], sys["am"], sys["crit"]
 
         # --- distributed Krylov ----------------------------------------
@@ -510,23 +533,28 @@ class GeneralDistributedSimulator:
         tables = tuple(jnp.asarray(t) for t in tables)
         tab_spec = tuple(P(ax) for _ in tables)
 
-        smapped = jax.shard_map(
-            lambda s, s0, cp, fp, tb, q, dt: self._local_newton(
-                s, s0, cp, fp, tb, q, dt, rtol, max_lin_it),
-            mesh=self.device_mesh,
-            in_specs=(state_spec, state_spec, cp_spec, fp_spec, tab_spec,
-                      P(ax), P()),
-            out_specs=(state_spec, crit_spec, P(), P()),
-            check_vma=False,
-        )
+        def make(bc_spec):
+            return jax.shard_map(
+                lambda s, s0, cp, fp, tb, q, bc, dt: self._local_newton(
+                    s, s0, cp, fp, tb, q, bc, dt, rtol, max_lin_it),
+                mesh=self.device_mesh,
+                in_specs=(state_spec, state_spec, cp_spec, fp_spec,
+                          tab_spec, P(ax), bc_spec, P()),
+                out_specs=(state_spec, crit_spec, P(), P()),
+                check_vma=False,
+            )
+
+        smapped = make(None)
+        smapped_bc = make((P(ax), P(ax), P(ax), P(ax)))
         cp = {k: jnp.asarray(v) for k, v in self.cell_params.items()}
         fp = {k: jnp.asarray(v) for k, v in self.face_params.items()}
         q0 = jnp.zeros((self.n_devices, dec.n_own_max, self.comp.neq_total))
 
         @jax.jit
-        def step(state, state0, dt, q=None):
-            return smapped(state, state0, cp, fp, tables,
-                           q0 if q is None else q, dt)
+        def step(state, state0, dt, q=None, bc=None):
+            fn = smapped if bc is None else smapped_bc
+            return fn(state, state0, cp, fp, tables,
+                      q0 if q is None else q, bc, dt)
 
         return step
 
@@ -536,6 +564,8 @@ class GeneralDistributedSimulator:
         nc = self.global_model.number_of_cells()
         qg = np.zeros((nc, neq))
         for name, f in (forces or {}).items():
+            if hasattr(f, "pressure") and hasattr(f, "trans"):
+                continue  # pressure BCs go through stack_boundary_conditions
             if not (hasattr(f, "cells") and hasattr(f, "values")):
                 raise NotImplementedError(
                     f"force {name!r} not supported in general DD yet")
@@ -544,9 +574,56 @@ class GeneralDistributedSimulator:
         return out.reshape(self.n_devices, self.dec.n_own_max, neq) * \
             self.dec.own_alive[..., None]
 
+    def stack_boundary_conditions(self, forces):
+        """Per-shard stacks for state-dependent pressure BCs (mirrors the
+        slab path): global BC cells remapped to shard-local OWNED indices,
+        padded with trans=0 rows. Returns (cells, pb, T, sat) stacks of
+        shape (D, M[, nph]) or None."""
+        dec = self.dec
+        D = self.n_devices
+        nph = self.comp.neq_total
+        rows = [[] for _ in range(D)]
+        found = False
+        for name, f in (forces or {}).items():
+            if not (hasattr(f, "pressure") and hasattr(f, "trans")):
+                continue
+            found = True
+            cells = np.atleast_1d(np.asarray(f.cells))
+            ns = cells.shape[0]
+            pb = np.broadcast_to(np.asarray(f.pressure, dtype=np.float64),
+                                 (ns,))
+            T = np.broadcast_to(np.asarray(f.trans, dtype=np.float64),
+                                (ns,))
+            sat = getattr(f, "saturations", None)
+            if sat is None:
+                sat = np.full((ns, nph), 1.0 / nph)
+            else:
+                sat = np.broadcast_to(np.asarray(sat, dtype=np.float64),
+                                      (ns, nph))
+            g2l = [{int(c): i for i, c in enumerate(dec.own_lists[d])}
+                   for d in range(D)]
+            for j, c in enumerate(cells):
+                d = int(dec.partition[int(c)])
+                rows[d].append((g2l[d][int(c)], float(pb[j]), float(T[j]),
+                                sat[j]))
+        if not found:
+            return None
+        M = max(1, max(len(r) for r in rows))
+        cells_s = np.zeros((D, M), dtype=np.int32)
+        pb_s = np.zeros((D, M))
+        T_s = np.zeros((D, M))  # padding rows: trans=0 -> zero contribution
+        sat_s = np.full((D, M, nph), 1.0 / nph)
+        for d, r in enumerate(rows):
+            for i, (c, p, t, sj) in enumerate(r):
+                cells_s[d, i] = c
+                pb_s[d, i] = p
+                T_s[d, i] = t
+                sat_s[d, i] = sj
+        return cells_s, pb_s, T_s, sat_s
+
     # -- outer loops (mirror of the slab surface) ------------------------
-    def solve_ministep(self, state, state0, dt, q, max_newton: int = 15,
-                       tol_cnv: float = 1e-3):
+    def solve_ministep(self, state, state0, dt, q, bc=None,
+                       max_newton: int = 15, tol_cnv: float = 1e-3):
         """One ministep's Newton loop over the jitted SPMD step. Returns
         (ok, state, newton_its, linear_its); non-finite criteria or the
         iteration cap FAIL the ministep so the caller cuts dt (reference
@@ -556,7 +633,7 @@ class GeneralDistributedSimulator:
         lin_total = 0
         for it in range(max_newton + 1):
             new_state, crit, lin_its, _lin_res = self._newton_jit(
-                state, state0, dt, q)
+                state, state0, dt, q, bc)
             lin_total += int(np.asarray(lin_its))
             err = float(np.max(np.asarray(
                 [np.max(np.asarray(v))
@@ -584,6 +661,9 @@ class GeneralDistributedSimulator:
             self._newton_jit = self.newton_step_fn()
         q = (jnp.asarray(self.stack_cell_sources(forces))
              if forces else None)
+        bc = self.stack_boundary_conditions(forces) if forces else None
+        if bc is not None:
+            bc = tuple(jnp.asarray(a) for a in bc)
         dT = float(dT)
         t_done = 0.0
         dt = dT
@@ -595,7 +675,7 @@ class GeneralDistributedSimulator:
         while t_done < dT * (1 - 1e-12):
             dt_eff = min(dt, dT - t_done)
             ok, cur_new, its, lin = self.solve_ministep(
-                cur, prev, dt_eff, q, max_newton=max_newton,
+                cur, prev, dt_eff, q, bc, max_newton=max_newton,
                 tol_cnv=tol_cnv)
             its_total += its
             minis.append({"dt": dt_eff, "success": ok, "iterations": its,

@@ -322,3 +322,44 @@ def test_general_partition_weno_adjoint():
         np.testing.assert_allclose(gd, gr, atol=2e-6 * scale, err_msg=name)
     # integer WENO tables report zero gradients, not garbage
     assert np.all(np.asarray(grad_dist["weno_memb_l"]) == 0.0)
+
+
+def test_general_partition_pressure_bc_matches_single():
+    """State-dependent pressure BCs through the general-partition engine
+    (round 2; previously slab-only) match the single-device simulator."""
+    from jutul.jl_tpu.models.darcy import (
+        PhaseSourceTerm,
+        PressureBoundaryCondition,
+    )
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(seed=7)
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    T_bc = float(np.median(setup_parameters(
+        dsim.global_model)["Transmissibilities"]))
+    forces = {
+        "src": PhaseSourceTerm([0], np.array([[0.02, 0.0]])),
+        "bc": PressureBoundaryCondition([nc - 1, nc - 2], 140.0 * BAR,
+                                        2 * T_bc,
+                                        saturations=[0.35, 0.65]),
+    }
+    dts = [0.05 * DAY, 0.1 * DAY]
+    states, reports = dsim.simulate(state0, dts, forces=forces,
+                                    tol_cnv=1e-11, max_newton=40,
+                                    info_level=-1)
+
+    sim = Simulator(dsim.global_model, state0=state0)
+    ref, _ = sim.simulate(dts, forces=forces, info_level=-1,
+                          tolerances={"default": 1e-11},
+                          max_nonlinear_iterations=40)
+    np.testing.assert_allclose(states[-1]["Pressure"],
+                               np.asarray(ref[-1]["Pressure"]), rtol=1e-6)
+    np.testing.assert_allclose(states[-1]["Saturations"],
+                               np.asarray(ref[-1]["Saturations"]),
+                               atol=1e-7)
