@@ -36,15 +36,24 @@ class GreedyGraphPartitioner:
 
     def partition(self, neighbors: np.ndarray, n_cells: int,
                   n_blocks: int, weights=None, groups=None) -> np.ndarray:
-        # try the native C++ partitioner first
+        # try the native C++ partitioner first — but gate on quality: its
+        # KL refinement can empty a block on small graphs (observed
+        # [44,43,44,0,42,44,32,71] on a 320-cell mesh); degenerate output
+        # falls back to the balanced python grower
         try:
             from ..native import native_partition
 
             p = native_partition(neighbors, n_cells, n_blocks, weights)
             if p is not None:
-                if groups:
-                    p = _force_groups(p, groups)
-                return p
+                sizes = np.bincount(p, minlength=n_blocks).astype(float)
+                if weights is not None:
+                    w = np.asarray(weights, dtype=np.float64)
+                    sizes = np.bincount(p, weights=w, minlength=n_blocks)
+                target = sizes.sum() / n_blocks
+                if sizes.min() > 0 and sizes.max() <= 2.0 * target:
+                    if groups:
+                        p = _force_groups(p, groups)
+                    return p
         except Exception:
             pass
         return self._python_partition(neighbors, n_cells, n_blocks, weights,

@@ -363,3 +363,17 @@ def test_general_partition_pressure_bc_matches_single():
     np.testing.assert_allclose(states[-1]["Saturations"],
                                np.asarray(ref[-1]["Saturations"]),
                                atol=1e-7)
+
+
+def test_partitioner_never_returns_empty_blocks():
+    """Regression: the native KL refinement emptied a block on a small
+    mesh; the quality gate must reject degenerate native output."""
+    from jutul.jl_tpu import CartesianMesh, UnstructuredMesh
+
+    mesh = UnstructuredMesh.from_cartesian(
+        CartesianMesh((10, 8, 4), (100.0, 80.0, 20.0)))
+    nc = mesh.number_of_cells()
+    p = GreedyGraphPartitioner().partition(mesh.neighborship(), nc, 8)
+    sizes = np.bincount(p, minlength=8)
+    assert sizes.min() > 0, sizes.tolist()
+    assert sizes.max() <= 2 * nc / 8, sizes.tolist()
