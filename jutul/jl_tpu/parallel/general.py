@@ -569,7 +569,10 @@ class GeneralDistributedSimulator:
             if not (hasattr(f, "cells") and hasattr(f, "values")):
                 raise NotImplementedError(
                     f"force {name!r} not supported in general DD yet")
-            qg[np.asarray(f.cells)] += np.atleast_2d(np.asarray(f.values))
+            # np.add.at: duplicate completion cells must ACCUMULATE
+            # (fancy-index += keeps only the last contribution)
+            np.add.at(qg, np.asarray(f.cells),
+                      np.atleast_2d(np.asarray(f.values)))
         out = self.dec.shard_cells(qg)
         return out.reshape(self.n_devices, self.dec.n_own_max, neq) * \
             self.dec.own_alive[..., None]

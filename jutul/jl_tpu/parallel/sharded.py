@@ -350,7 +350,10 @@ class DistributedSimulator:
                 raise NotImplementedError(
                     f"force {name!r} ({type(f).__name__}) is not cell-local;"
                     " not supported in the distributed path yet")
-            qg[np.asarray(f.cells)] += np.atleast_2d(np.asarray(f.values))
+            # np.add.at: duplicate completion cells must ACCUMULATE
+            # (fancy-index += keeps only the last contribution)
+            np.add.at(qg, np.asarray(f.cells),
+                      np.atleast_2d(np.asarray(f.values)))
         return np.stack([
             _gather_cells(qg, local_to_global_cells(self.dec, d))
             for d in range(D)

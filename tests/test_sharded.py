@@ -438,3 +438,23 @@ def test_distributed_timestep_cutting():
                           max_nonlinear_iterations=30)
     np.testing.assert_allclose(np.asarray(cur["Pressure"]),
                                np.asarray(ref[-1]["Pressure"]), rtol=1e-6)
+
+
+def test_duplicate_completion_cells_accumulate():
+    """Regression: two source terms completing the SAME cell must
+    accumulate in the distributed source stack (numpy fancy-index +=
+    silently kept only the last one)."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_case()
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = DistributedSimulator(mesh, system, dmesh,
+                                data_fields={"permeability": perm,
+                                             "porosity": poro})
+    q = np.array([[0.1, 0.0], [0.25, 0.0]])
+    forces = {"w": PhaseSourceTerm([3, 3], q)}  # same cell twice
+    stacked = dsim.stack_cell_sources(forces)
+    total = float(np.asarray(stacked).reshape(-1, 2)[:, 0].sum())
+    assert np.isclose(total, 0.35), total
