@@ -673,6 +673,7 @@ class GeneralDistributedSimulator:
         cuts = 0
         its_total = 0
         minis = []
+        self.last_substates = []  # accepted (gathered state, dt) pairs
         cur = dict(state)
         prev = state0
         while t_done < dT * (1 - 1e-12):
@@ -684,6 +685,8 @@ class GeneralDistributedSimulator:
             minis.append({"dt": dt_eff, "success": ok, "iterations": its,
                           "linear_iterations": lin})
             if ok:
+                self.last_substates.append(
+                    (self.gather_state(cur_new), dt_eff))
                 t_done += dt_eff
                 prev = cur = cur_new
                 cuts = 0
@@ -702,10 +705,13 @@ class GeneralDistributedSimulator:
 
     def simulate(self, state0, timesteps, forces=None, max_newton: int = 15,
                  tol_cnv: float = 1e-3, output_path=None,
-                 info_level: int = 0):
+                 output_substates: bool = False, info_level: int = 0):
         """Schedule-driven run mirroring the slab surface: per-step forces
         (dict or list), optional per-step npz output, states gathered to
-        global mesh order."""
+        global mesh order. ``output_substates=True`` attaches the accepted
+        intermediate ministep states to each output state (key
+        ``"substates"``), so ``expand_to_ministeps`` can rebuild the exact
+        ministep sequence the adjoint requires after dt cuts."""
         import time as _time
 
         cur = self.shard_state(state0)
@@ -720,6 +726,9 @@ class GeneralDistributedSimulator:
             wall = _time.perf_counter() - t0
             prev = cur
             host = self.gather_state(cur)
+            if output_substates and len(self.last_substates) > 1:
+                host["substates"] = [st for st, _dt
+                                     in self.last_substates[:-1]]
             minis = self.last_report["ministeps"]
             rep = {"ministeps": [dict(m, wall_time=wall / max(len(minis), 1))
                                  for m in minis],

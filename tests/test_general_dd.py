@@ -377,3 +377,65 @@ def test_partitioner_never_returns_empty_blocks():
     sizes = np.bincount(p, minlength=8)
     assert sizes.min() > 0, sizes.tolist()
     assert sizes.max() <= 2 * nc / 8, sizes.tolist()
+
+
+def test_general_partition_exact_adjoint_after_cuts():
+    """End-to-end: a forward run that CUTS ministeps + output_substates +
+    expand_to_ministeps gives the exact ministep sequence, and the
+    distributed adjoint over that sequence matches the single-device
+    adjoint over the same sequence (the report-validation guard rejects
+    the naive per-report-step call)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from jutul.jl_tpu import (
+        Simulator,
+        expand_to_ministeps,
+        solve_adjoint_sensitivities,
+    )
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+    from jutul.jl_tpu.parallel.general_adjoint import (
+        solve_adjoint_sensitivities_general,
+    )
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(seed=9)
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    q = np.zeros((1, 2))
+    q[0, 0] = 1.5  # strong source + big dt: forces a cut
+    forces = {"src": PhaseSourceTerm([0], q)}
+    dts = [1.0 * DAY]
+    states, reports = dsim.simulate(state0, dts, forces=forces,
+                                    max_newton=6, tol_cnv=1e-9,
+                                    output_substates=True, info_level=-1)
+    assert len(reports[0]["ministeps"]) > 1  # cutting happened
+    # naive per-report-step adjoint is rejected when reports are passed
+    def G(model, state, dt, n, forces_):
+        return dt * jnp.sum(state["Saturations"][:, 0] ** 2)
+
+    with _pytest.raises(ValueError):
+        solve_adjoint_sensitivities_general(
+            dsim, states, [float(d) for d in dts], G, state0,
+            forces=forces, reports=reports)
+
+    # the expanded ministep sequence is exact
+    mini_states, mini_dts = expand_to_ministeps(states, reports)
+    assert len(mini_states) == sum(
+        m["success"] for m in reports[0]["ministeps"])
+    grad_dist = solve_adjoint_sensitivities_general(
+        dsim, mini_states, mini_dts, G, state0, forces=forces,
+        rtol=1e-13, max_lin_it=3000)
+    grad_ref = solve_adjoint_sensitivities(
+        dsim.global_model, mini_states, mini_dts, G,
+        parameters=Simulator(dsim.global_model).parameters,
+        state0=state0, forces=forces)
+    for k in ("Transmissibilities", "FluidVolume"):
+        gr, gd = np.asarray(grad_ref[k]), np.asarray(grad_dist[k])
+        scale = max(np.abs(gr).max(), 1e-30)
+        np.testing.assert_allclose(gd, gr, atol=2e-6 * scale, err_msg=k)
