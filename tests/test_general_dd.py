@@ -439,3 +439,27 @@ def test_general_partition_exact_adjoint_after_cuts():
         gr, gd = np.asarray(grad_ref[k]), np.asarray(grad_dist[k])
         scale = max(np.abs(gr).max(), 1e-30)
         np.testing.assert_allclose(gd, gr, atol=2e-6 * scale, err_msg=k)
+
+
+def test_general_partition_with_empty_shard():
+    """A user-supplied partition leaving one shard EMPTY must still run
+    and match single-device (padding rows + dead halo slots only)."""
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(seed=11)
+    nc = mesh.number_of_cells()
+    part = GreedyGraphPartitioner().partition(mesh.neighborship(), nc, 3)
+    part = np.where(part == 2, 3, part)  # shard 2 empty, shard 3 doubled
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh, partition=part,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    dts = [0.05 * DAY]
+    states, reports = dsim.simulate(state0, dts, tol_cnv=1e-11,
+                                    max_newton=40, info_level=-1)
+    sim = Simulator(dsim.global_model, state0=state0)
+    ref, _ = sim.simulate(dts, info_level=-1, tolerances={"default": 1e-11},
+                          max_nonlinear_iterations=40)
+    np.testing.assert_allclose(states[-1]["Pressure"],
+                               np.asarray(ref[-1]["Pressure"]), rtol=1e-6)
