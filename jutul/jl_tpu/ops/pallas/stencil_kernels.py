@@ -49,6 +49,18 @@ def _roll(v, shift, axis):
     return pltpu.roll(v, shift % v.shape[axis], axis)
 
 
+def _neighbor_views(x, ny):
+    """The 7 stencil views of a haloed slab (diag, +x, -x, +y, -y, +z,
+    -z) as rolls; wrapped values only ever land where the boundary-zero
+    coefficients or the unwritten halo rows neutralize them."""
+    return (
+        x,
+        _roll(x, -1, 2), _roll(x, 1, 2),
+        _roll(x, -1, 1), _roll(x, 1, 1),
+        _roll(x, -ny, 1), _roll(x, ny, 1),
+    )
+
+
 def _kernel(coef_ref, xpad_hbm, y_ref, xs, sem, *, C, K, Rt, ny):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -60,17 +72,7 @@ def _kernel(coef_ref, xpad_hbm, y_ref, xs, sem, *, C, K, Rt, ny):
     dma.start()
     dma.wait()
 
-    x = xs[:]  # (K, Rt + 2ny, nxp)
-    # neighbor slabs via rolls; wrapped rows land in the halo only
-    views = (
-        x,                      # diag
-        _roll(x, -1, 2),        # +x (lane)
-        _roll(x, 1, 2),         # -x
-        _roll(x, -1, 1),        # +y (row)
-        _roll(x, 1, 1),         # -y
-        _roll(x, -ny, 1),       # +z (row block)
-        _roll(x, ny, 1),        # -z
-    )
+    views = _neighbor_views(xs[:], ny)  # (K, Rt + 2ny, nxp) slab
     for c in range(C):
         acc = None
         for t in range(_TERMS):
@@ -229,13 +231,7 @@ def _kernel_fused(coef_ref, b_ref, xpad_hbm, y_ref, xs, sem, *, C, K, Rt,
     dma.start()
     dma.wait()
 
-    x = xs[:]
-    views = (
-        x,
-        _roll(x, -1, 2), _roll(x, 1, 2),
-        _roll(x, -1, 1), _roll(x, 1, 1),
-        _roll(x, -ny, 1), _roll(x, ny, 1),
-    )
+    views = _neighbor_views(xs[:], ny)
     for c in range(C):
         acc = None
         for t in range(_TERMS):

@@ -578,51 +578,20 @@ class GeneralDistributedSimulator:
             self.dec.own_alive[..., None]
 
     def stack_boundary_conditions(self, forces):
-        """Per-shard stacks for state-dependent pressure BCs (mirrors the
-        slab path): global BC cells remapped to shard-local OWNED indices,
-        padded with trans=0 rows. Returns (cells, pb, T, sat) stacks of
-        shape (D, M[, nph]) or None."""
+        """Per-shard stacks for state-dependent pressure BCs (shared
+        collect_bc_stacks; cells remapped to shard-local OWNED indices)."""
+        from .sharded import collect_bc_stacks
+
         dec = self.dec
-        D = self.n_devices
-        nph = self.comp.neq_total
-        rows = [[] for _ in range(D)]
-        found = False
-        for name, f in (forces or {}).items():
-            if not (hasattr(f, "pressure") and hasattr(f, "trans")):
-                continue
-            found = True
-            cells = np.atleast_1d(np.asarray(f.cells))
-            ns = cells.shape[0]
-            pb = np.broadcast_to(np.asarray(f.pressure, dtype=np.float64),
-                                 (ns,))
-            T = np.broadcast_to(np.asarray(f.trans, dtype=np.float64),
-                                (ns,))
-            sat = getattr(f, "saturations", None)
-            if sat is None:
-                sat = np.full((ns, nph), 1.0 / nph)
-            else:
-                sat = np.broadcast_to(np.asarray(sat, dtype=np.float64),
-                                      (ns, nph))
-            g2l = [{int(c): i for i, c in enumerate(dec.own_lists[d])}
-                   for d in range(D)]
-            for j, c in enumerate(cells):
-                d = int(dec.partition[int(c)])
-                rows[d].append((g2l[d][int(c)], float(pb[j]), float(T[j]),
-                                sat[j]))
-        if not found:
-            return None
-        M = max(1, max(len(r) for r in rows))
-        cells_s = np.zeros((D, M), dtype=np.int32)
-        pb_s = np.zeros((D, M))
-        T_s = np.zeros((D, M))  # padding rows: trans=0 -> zero contribution
-        sat_s = np.full((D, M, nph), 1.0 / nph)
-        for d, r in enumerate(rows):
-            for i, (c, p, t, sj) in enumerate(r):
-                cells_s[d, i] = c
-                pb_s[d, i] = p
-                T_s[d, i] = t
-                sat_s[d, i] = sj
-        return cells_s, pb_s, T_s, sat_s
+        g2l = [{int(c): i for i, c in enumerate(dec.own_lists[d])}
+               for d in range(self.n_devices)]
+
+        def locate(c):
+            d = int(dec.partition[c])
+            return d, g2l[d][c]
+
+        return collect_bc_stacks(forces, self.n_devices,
+                                 self.comp.neq_total, locate)
 
     # -- outer loops (mirror of the slab surface) ------------------------
     def solve_ministep(self, state, state0, dt, q, bc=None,

@@ -40,6 +40,47 @@ from .slab import (
 )
 
 
+def collect_bc_stacks(forces, n_devices, nph, locate):
+    """Shared per-shard stacking of state-dependent pressure BCs for the
+    SPMD engines. ``locate(global_cell) -> (shard, local_owned_index)``.
+    Returns (cells, pb, T, sat) stacks of shape (D, M[, nph]) padded with
+    trans=0 rows (exactly zero contribution), or None when no BCs."""
+    rows = [[] for _ in range(n_devices)]
+    found = False
+    for name, f in (forces or {}).items():
+        if not (hasattr(f, "pressure") and hasattr(f, "trans")):
+            continue
+        found = True
+        cells = np.atleast_1d(np.asarray(f.cells))
+        ns = cells.shape[0]
+        pb = np.broadcast_to(np.asarray(f.pressure, dtype=np.float64),
+                             (ns,))
+        T = np.broadcast_to(np.asarray(f.trans, dtype=np.float64), (ns,))
+        sat = getattr(f, "saturations", None)
+        if sat is None:
+            sat = np.full((ns, nph), 1.0 / nph)
+        else:
+            sat = np.broadcast_to(np.asarray(sat, dtype=np.float64),
+                                  (ns, nph))
+        for j, c in enumerate(cells):
+            d, loc = locate(int(c))
+            rows[d].append((loc, float(pb[j]), float(T[j]), sat[j]))
+    if not found:
+        return None
+    M = max(1, max(len(r) for r in rows))
+    cells_s = np.zeros((n_devices, M), dtype=np.int32)
+    pb_s = np.zeros((n_devices, M))
+    T_s = np.zeros((n_devices, M))  # padding rows: trans=0 -> zero effect
+    sat_s = np.full((n_devices, M, nph), 1.0 / nph)
+    for d, r in enumerate(rows):
+        for i, (c, pp, t, sj) in enumerate(r):
+            cells_s[d, i] = c
+            pb_s[d, i] = pp
+            T_s[d, i] = t
+            sat_s[d, i] = sj
+    return cells_s, pb_s, T_s, sat_s
+
+
 class DistributedSimulator:
     """Slab-sharded SPMD simulator for Cartesian-mesh models
     (reference counterpart: PArraySimulator, ext interface.jl:2-97).
@@ -360,56 +401,25 @@ class DistributedSimulator:
         ])
 
     def stack_boundary_conditions(self, forces):
-        """Per-shard stacks for state-dependent pressure BCs
-        (PressureBoundaryCondition-like, with ``cells``/``pressure``/
-        ``trans`` and optional inflow ``saturations``): global BC rows are
-        remapped to shard-local OWNED indices and padded with trans=0 rows
-        (exactly zero contribution) so every shard sees the same static
-        shape. Returns (cells (D,M), pb (D,M), T (D,M), sat (D,M,nph)) or
-        None when no BCs present."""
+        """Per-shard stacks for state-dependent pressure BCs (shared
+        collect_bc_stacks; global BC rows remapped to shard-local OWNED
+        indices, padded with trans=0 rows)."""
         dec = self.dec
-        D = self.n_devices
-        nph = self.comp.neq_total
-        rows = [[] for _ in range(D)]
-        found = False
-        for name, f in (forces or {}).items():
-            if not (hasattr(f, "pressure") and hasattr(f, "trans")):
-                continue
-            found = True
-            cells = np.atleast_1d(np.asarray(f.cells))
-            ns = cells.shape[0]
-            pb = np.broadcast_to(np.asarray(f.pressure, dtype=np.float64),
-                                 (ns,))
-            T = np.broadcast_to(np.asarray(f.trans, dtype=np.float64), (ns,))
-            sat = getattr(f, "saturations", None)
-            if sat is None:
-                sat = np.full((ns, nph), 1.0 / nph)
-            else:
-                sat = np.broadcast_to(
-                    np.asarray(sat, dtype=np.float64), (ns, nph))
-            for d in range(D):
-                l2g = local_to_global_cells(dec, d)
-                own = dec.own_slice
-                g2l = {int(g): i for i, g in
-                       enumerate(l2g[own], start=own.start)}
-                for j, c in enumerate(cells):
-                    if int(c) in g2l:
-                        rows[d].append((g2l[int(c)], float(pb[j]),
-                                        float(T[j]), sat[j]))
-        if not found:
-            return None
-        M = max(1, max(len(r) for r in rows))
-        cells_s = np.zeros((D, M), dtype=np.int32)
-        pb_s = np.zeros((D, M))
-        T_s = np.zeros((D, M))  # padding rows: trans=0 -> zero flux/jacobian
-        sat_s = np.full((D, M, nph), 1.0 / nph)
-        for d, r in enumerate(rows):
-            for i, (c, p, t, sj) in enumerate(r):
-                cells_s[d, i] = c
-                pb_s[d, i] = p
-                T_s[d, i] = t
-                sat_s[d, i] = sj
-        return cells_s, pb_s, T_s, sat_s
+        maps = []
+        for d in range(self.n_devices):
+            l2g = local_to_global_cells(dec, d)
+            own = dec.own_slice
+            maps.append({int(g): i for i, g in
+                         enumerate(l2g[own], start=own.start)})
+
+        def locate(c):
+            for d, m in enumerate(maps):
+                if c in m:
+                    return d, m[c]
+            raise KeyError(f"BC cell {c} not owned by any shard")
+
+        return collect_bc_stacks(forces, self.n_devices,
+                                 self.comp.neq_total, locate)
 
     def newton_step_fn(self, rtol: float = 1e-8, max_lin_it: int = 200):
         """Build the jitted SPMD Newton step:
