@@ -127,7 +127,11 @@ class DistributedAdjoint:
     # ------------------------------------------------------------------
     def _build_step(self, G: Callable, n: int, has_next: bool):
         """One backward step as a single SPMD program: rhs build,
-        transposed distributed solve, parameter cotangent pulls."""
+        transposed distributed solve, parameter cotangent pulls.
+        NOTE: ``n`` is baked in statically (G may index host data by
+        step), so an N-step sweep compiles N programs; make G read
+        observations from a traced array and key on has_next alone if
+        that compile cost matters."""
         dsim = self.dsim
         comp = dsim.comp
         dec = dsim.dec

@@ -463,3 +463,30 @@ def test_general_partition_with_empty_shard():
                           max_nonlinear_iterations=40)
     np.testing.assert_allclose(states[-1]["Pressure"],
                                np.asarray(ref[-1]["Pressure"]), rtol=1e-6)
+
+
+def test_general_partition_per_step_forces():
+    """Per-step force schedules (list of force dicts) through the
+    general-partition simulate match single-device."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(seed=13)
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    f1 = {"src": PhaseSourceTerm([0], np.array([[0.05, 0.0]]))}
+    f2 = {"src": PhaseSourceTerm([nc - 1], np.array([[-0.01, -0.02]]))}
+    dts = [0.05 * DAY, 0.05 * DAY]
+    states, _ = dsim.simulate(state0, dts, forces=[f1, f2],
+                              tol_cnv=1e-11, max_newton=40, info_level=-1)
+    sim = Simulator(dsim.global_model, state0=state0)
+    ref, _ = sim.simulate(dts, forces=[f1, f2], info_level=-1,
+                          tolerances={"default": 1e-11},
+                          max_nonlinear_iterations=40)
+    np.testing.assert_allclose(states[-1]["Pressure"],
+                               np.asarray(ref[-1]["Pressure"]), rtol=1e-6)
