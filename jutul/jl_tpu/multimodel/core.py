@@ -196,7 +196,9 @@ class MultiLinearizedSystem:
         return out
 
 
-@dataclass
+@dataclass(eq=False)  # identity eq/hash: one instance per
+# CompiledMultiModel, and pytree aux_data must be hashable when a
+# MultiLinearizedSystem crosses a jit boundary as an argument (ADVICE r2)
 class MultiLayout:
     names: list
     dof_slices: dict  # name -> (slice into flat dof vec, (n, ndof))

@@ -645,14 +645,18 @@ class GeneralDistributedSimulator:
         self.last_substates = []  # accepted (gathered state, dt) pairs
         cur = dict(state)
         prev = state0
+        import time as _time
+
         while t_done < dT * (1 - 1e-12):
             dt_eff = min(dt, dT - t_done)
+            t_mini = _time.perf_counter()
             ok, cur_new, its, lin = self.solve_ministep(
                 cur, prev, dt_eff, q, bc, max_newton=max_newton,
                 tol_cnv=tol_cnv)
             its_total += its
             minis.append({"dt": dt_eff, "success": ok, "iterations": its,
-                          "linear_iterations": lin})
+                          "linear_iterations": lin,
+                          "wall_time": _time.perf_counter() - t_mini})
             if ok:
                 self.last_substates.append(
                     (self.gather_state(cur_new), dt_eff))
@@ -698,9 +702,9 @@ class GeneralDistributedSimulator:
             if output_substates and len(self.last_substates) > 1:
                 host["substates"] = [st for st, _dt
                                      in self.last_substates[:-1]]
-            minis = self.last_report["ministeps"]
-            rep = {"ministeps": [dict(m, wall_time=wall / max(len(minis), 1))
-                                 for m in minis],
+            minis = self.last_report["ministeps"]  # wall_time measured
+            # per solve_ministep call inside solve_timestep (ADVICE r2)
+            rep = {"ministeps": list(minis),
                    "success": True, "dt": float(dt)}
             states.append(host)
             reports.append(rep)

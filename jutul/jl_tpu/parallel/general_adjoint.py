@@ -79,11 +79,17 @@ class GeneralDistributedAdjoint:
         ax = dsim.axis
         nom, ndof, neq = dec.n_own_max, comp.ndof, comp.neq_total
 
-        def local_step(u_n, u_prev, u_next, lam_next, cp, fp, tb, q, dts):
+        def local_step(u_n, u_prev, u_next, lam_next, cp, fp, tb, q, bc,
+                       dts):
             cp = {k: v[0] for k, v in cp.items()}
             fp = {k: v[0] for k, v in fp.items()}
             tabs = tuple(t[0] for t in tb)
             q1 = q[0]
+            bc1 = tuple(b[0] for b in bc)  # no-BC runs pass trans=0 dummy
+            # rows, which contribute exactly zero (collect_bc_stacks padding
+            # convention) — one code path, still exact (ADVICE r2 high:
+            # BCs must be inside every residual/Jacobian the sweep
+            # transposes, or gradients are silently wrong).
             dt_n, dt_next = dts[0], dts[1]
             own_alive = tabs[7]
             am = own_alive[:, None]
@@ -92,7 +98,7 @@ class GeneralDistributedAdjoint:
                 sys = dsim._local_system(
                     comp.unpack_dofs(u_own), comp.unpack_dofs(u0_own),
                     cp_, fp_, tabs, q1, dt_,
-                    with_jac=False, with_crit=False)
+                    with_jac=False, with_crit=False, bc=bc1)
                 return sys["r_own"]
 
             # rhs = -dG/du_n - (dF_{n+1}/du_n)^T λ_{n+1}
@@ -109,7 +115,8 @@ class GeneralDistributedAdjoint:
             # J_n at (u_n, u_prev); transposed distributed solve
             sys = dsim._local_system(
                 comp.unpack_dofs(u_n), comp.unpack_dofs(u_prev),
-                cp, fp, tabs, q1, dt_n, with_jac=True, with_crit=False)
+                cp, fp, tabs, q1, dt_n, with_jac=True, with_crit=False,
+                bc=bc1)
             matvec = dsim._system_matvec(sys)
             matvec_T = jax.linear_transpose(matvec,
                                             jnp.zeros(nom * ndof))
@@ -166,7 +173,7 @@ class GeneralDistributedAdjoint:
             local_step,
             mesh=dsim.device_mesh,
             in_specs=(u_spec, u_spec, u_spec, u_spec, cp_spec, fp_spec,
-                      tab_spec, P(ax), P()),
+                      tab_spec, P(ax), (P(ax),) * 4, P()),
             out_specs=(u_spec, cp_spec, fp_spec, P()),
             check_vma=False,
         ))
@@ -180,7 +187,10 @@ class GeneralDistributedAdjoint:
 
         ``states``/``state0`` are GLOBAL states (mesh order); the sweep
         shards them internally. ``G(model, state, dt, n, forces)`` must be
-        a sum over cells.
+        a sum over cells. CONSTANT forces only (one dict for the whole
+        schedule, same as the slab adjoint), and G receives
+        ``forces=None`` — a G that reads its forces argument is
+        unsupported here (ADVICE r2).
 
         EXACTNESS REQUIREMENT (same as the reference and the single-device
         adjoint, adjoint/gradients.py:21): ``states[n]`` must satisfy the
@@ -226,6 +236,16 @@ class GeneralDistributedAdjoint:
         q = (jnp.asarray(dsim.stack_cell_sources(forces)) if forces
              else jnp.zeros((dsim.n_devices, dec.n_own_max,
                              comp.neq_total)))
+        # pressure BCs enter every residual the sweep transposes (ADVICE r2
+        # high). No-BC runs get trans=0 dummy rows: exactly zero effect.
+        bc = dsim.stack_boundary_conditions(forces) if forces else None
+        if bc is None:
+            nph = comp.neq_total
+            bc = (np.zeros((dsim.n_devices, 1), np.int32),
+                  np.zeros((dsim.n_devices, 1)),
+                  np.zeros((dsim.n_devices, 1)),
+                  np.full((dsim.n_devices, 1, nph), 1.0 / nph))
+        bc = tuple(jnp.asarray(a) for a in bc)
 
         cp_grad = {k: np.zeros((dsim.n_devices, dec.n_own_max)
                                + np.asarray(v).shape[2:])
@@ -247,7 +267,7 @@ class GeneralDistributedAdjoint:
                                    dts[n + 1] if has_next else dts[n]])
             lam, cp_bar, fp_bar, _lin = step(
                 us[n], u_prev, u_next, lam, self.cp, self.fp,
-                self._tables, q, dt_pair)
+                self._tables, q, bc, dt_pair)
             for k in cp_grad:
                 cp_grad[k] += np.asarray(cp_bar[k], dtype=np.float64) \
                     .reshape(cp_grad[k].shape)
