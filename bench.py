@@ -46,6 +46,9 @@ if _IS_WORKER or __name__ != "__main__":
     jax.config.update("jax_enable_x64", False)
 
 
+_COMPILE_S = [0.0]
+
+
 def build(nx, ny, nz, gravity=True, wells=True):
     """Flagship: SPE10-style lognormal perm, gravity ON, 5 rate-controlled
     wells (4 corner water injectors + 1 center producer) as source-term
@@ -262,6 +265,50 @@ def main():
     }))
 
 
+def _device_kind():
+    try:
+        d = jax.devices()[0]
+        return f"{d.platform}:{d.device_kind}"
+    except Exception:
+        return "unknown"
+
+
+def _refine_record(sim, result, forces, n_lin_it, tol=1e-8):
+    """Mixed-precision refinement of the final accepted step to the 1e-8
+    north star (VERDICT r2 item 8: put 1e-8 in the bench record). Runs on
+    the host CPU backend — extra TPU executions risk the shared worker —
+    so the f32 correction solves + f64 residuals all stay off-device
+    (hence use_pallas=False: Mosaic kernels are TPU-only)."""
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception as e:
+        return {"f64_refined": f"unavailable: {e}"}
+    comp = sim.compiled
+    final = {k: np.asarray(result.final_state_device[k])
+             for k in comp.model.primary_variables}
+    start = {k: np.asarray(result.final_ministep_start_state[k])
+             for k in comp.model.primary_variables}
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
+                                          min_cells=16384,
+                                          use_pallas=False)),
+        rtol=0.0, max_iterations=max(60, 2 * n_lin_it))  # the
+    # correction solves must gain >=1 digit/sweep; 25 its stalled at
+    # 2.7e-8 on the 131k bank rung (measured)
+    try:
+        with jax.default_device(cpu):
+            _st64, info = sim.refine_solution(
+                final, start, result.final_ministep_dt, forces=forces,
+                tol=tol, max_refine=8, solver=solver)
+        return {"f64_refined_max_abs_residual": info["f64_max_abs_residual"],
+                "refine_sweeps": info["sweeps"],
+                "refine_converged": bool(info["converged"])}
+    except Exception as e:  # never let the 1e-8 demo kill the perf record
+        return {"f64_refined": f"failed: {type(e).__name__}: {e}"}
+
+
 def _f64_verify(sim, result, params, forces):
     """Recompute the final accepted step's nonlinear residual in f64 on the
     host CPU backend (VERDICT r1 item 8 / SURVEY hard part (e): mixed
@@ -351,6 +398,7 @@ def run_product(nx, ny, nz, n_lin_it):
     compiled, args, post = sim.lower_schedule([dt] * n_step, forces=forces,
                                               **cfg)
     t_compile = time.perf_counter() - t0
+    _COMPILE_S[0] = t_compile
     print(f"# compile: {t_compile:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
@@ -363,6 +411,11 @@ def run_product(nx, ny, nz, n_lin_it):
     p = np.asarray(result.states[-1]["Pressure"])
     assert np.all(np.isfinite(p)), "non-finite final pressures"
     ver = _f64_verify(sim, result, params, forces)
+    # the 1e-8 north-star demo (CPU-backend refinement; gated by cell
+    # count — at 1M the CPU correction solves would blow the rung budget)
+    refine_cap = int(os.environ.get("BENCH_REFINE_MAX_CELLS", "300000"))
+    if os.environ.get("BENCH_REFINE", "1") == "1" and nc <= refine_cap:
+        ver.update(_refine_record(sim, result, forces, n_lin_it))
     print(f"# exec: {t_exec:.1f}s steps={n_step} "
           f"ministeps={stats['ministeps']} newtons={newtons} "
           f"lin_its={stats['linear_iterations']} f64={ver}", file=sys.stderr)
@@ -375,27 +428,30 @@ def run_product(nx, ny, nz, n_lin_it):
         "value": round(cells_per_sec, 1),
         "unit": "cell-Newton-iterations/sec",
         "vs_baseline": round(cells_per_sec / 5e6, 4),
+        "device": _device_kind(),
+        "cells": nc,
         "newton_iterations": int(newtons),
         "ministeps": int(stats["ministeps"]),
         "linear_iterations": int(stats["linear_iterations"]),
         "seconds_per_newton": round(t_exec / newtons, 5),
         "exec_seconds": round(t_exec, 2),
+        "compile_seconds": round(_COMPILE_S[0], 1),
         **{k: (round(v, 14) if isinstance(v, float) else v)
            for k, v in ver.items()},
     }))
 
 
-def _run_worker(n_rep: int, grid: str, timeout_s: int, n_step=None):
+def _run_worker(grid, n_step, timeout_s, extra_env=None):
     """One bench attempt in a fresh process (exactly one device execution
     per process — repeated executions can crash the TPU worker)."""
     env = dict(os.environ)
     env["_BENCH_WORKER"] = "1"
-    env["BENCH_NREP"] = str(n_rep)
     if grid is not None:
         env["BENCH_GRID"] = grid  # None -> let the worker pick (its
         # CPU-backend fallback shrinks the grid when no TPU is attached)
     if n_step is not None:
         env["BENCH_NSTEP"] = str(n_step)
+    env.update(extra_env or {})
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -417,60 +473,68 @@ def _run_worker(n_rep: int, grid: str, timeout_s: int, n_step=None):
 
 
 def _orchestrate():
-    """Retry ladder: full-size run first; on TPU-worker failure retry with
-    fewer reps, then a smaller grid, then a CPU-backend fallback — always
-    emitting one JSON line (with a ``degraded`` field when not the full run).
-    """
-    base_rep = int(os.environ.get("BENCH_NREP", "100"))
-    # Measured (r2): at 1M cells only SHORT executions survive the shared
-    # worker (3 report steps / ~58s: survived repeatedly; 6 steps: crashed
-    # even on a rested worker; a crashed worker can then HANG the next
-    # attempt until its timeout). Default = the known-survivable config;
-    # ~70 Newtons still amortize the fixed overhead well.
-    base_step = int(os.environ.get("BENCH_NSTEP", "3"))
-    base_grid = os.environ.get("BENCH_GRID")  # None -> worker default
-    # each rung reduces BOTH the raw-mode reps and the product-mode report
-    # steps, so the ladder shrinks work whichever mode is selected.
-    # Measured (r2): the worker can crash at the 1M device->host sync even
-    # for a single execution, so the 1M retries use SHORT executions (the
-    # crash probability grows with execution length) and the ladder steps
-    # down through a near-1M grid before giving up on scale.
-    rungs = [
-        (base_rep, base_grid, base_step, None, 1500),
-        (max(base_rep // 8, 2), base_grid, 2, "retry_reduced_reps", 900),
-        (10, "96,96,96", 3, "retry_reduced_grid_884k", 900),
-        (10, "64,64,64", 4, "retry_reduced_grid", 900),
-    ]
+    """Bank-first ladder (VERDICT r2 item 1: a bench that cannot fail to
+    deliver a TPU number inside the driver's ~25-min budget).
+
+    1. BANK a small known-survivable TPU result first (131k cells, ~2-4
+       min incl. compile + the 1e-8 refinement record) while the worker
+       is fresh — measured r2: crash probability grows with execution
+       length and worker session age, and a crashed worker can HANG the
+       NEXT execution until its timeout, so the cheap rung must go first.
+    2. Then attempt the 1M flagship with a hard cap; emit the flagship
+       result if it lands, else the banked one (degraded-labeled).
+    3. CPU fallback only if both TPU rungs fail.
+
+    Worst case ~20 min (420 + 540 + 240 s); no inter-rung sleeps — the
+    banked result means a crashed 1M attempt costs nothing extra."""
     errors = []
-    for i, (n_rep, grid, n_step, degraded, timeout_s) in enumerate(rungs):
-        if i > 0:
-            # a crashed worker needs recovery time before the next attempt
-            time.sleep(180)
-        result, err = _run_worker(n_rep, grid, timeout_s, n_step=n_step)
-        if result is not None:
-            if degraded:
-                result["degraded"] = degraded
-            print(json.dumps(result))
-            return 0
-        errors.append(f"rung{i}({grid}@{n_rep}): {err}")
-        print(f"# bench rung {i} failed: {err[-300:]}", file=sys.stderr)
+
+    small_grid = os.environ.get("BENCH_SMALL_GRID", "64,64,32")  # 131k
+    banked, err = _run_worker(small_grid, 4, 420)
+    if banked is None:
+        errors.append(f"bank({small_grid}): {err}")
+        print(f"# bench bank rung failed: {err[-300:]}", file=sys.stderr)
+
+    # Flagship: 1M cells, SHORT execution (3 report steps ~58s: the only
+    # config measured to survive repeatedly at 1M), refinement off (CPU
+    # correction solves at 1M would blow the rung budget; the banked rung
+    # carries the 1e-8 record).
+    flag, err = _run_worker(os.environ.get("BENCH_GRID"), 3, 540,
+                            {"BENCH_REFINE": "0"})
+    if flag is None:
+        errors.append(f"flagship(1M): {err}")
+        print(f"# bench flagship rung failed: {err[-300:]}", file=sys.stderr)
+
+    if flag is not None:
+        if banked is not None:
+            flag["small_rung"] = {
+                k: banked[k] for k in
+                ("value", "cells", "seconds_per_newton",
+                 "f64_refined_max_abs_residual", "refine_converged")
+                if k in banked}
+        if errors:
+            flag["rung_errors"] = [e[-300:] for e in errors]
+        print(json.dumps(flag))
+        return 0
+    if banked is not None:
+        banked["degraded"] = "small_grid_flagship_attempt_failed"
+        banked["rung_errors"] = [e[-300:] for e in errors]
+        print(json.dumps(banked))
+        return 0
+
     # Last resort: CPU backend (honestly labeled), so the driver still
     # records a structured result instead of a crash.
-    env_cpu = dict(os.environ)
-    os.environ["BENCH_FORCE_CPU"] = "1"
-    result, err = _run_worker(2, "32,32,8", 1200, n_step=2)
-    os.environ.clear()
-    os.environ.update(env_cpu)
+    result, err = _run_worker("32,32,8", 2, 240, {"BENCH_FORCE_CPU": "1"})
     if result is not None:
         result["degraded"] = "cpu_fallback_tpu_unavailable"
-        result["tpu_errors"] = errors
+        result["tpu_errors"] = [e[-300:] for e in errors]
         print(json.dumps(result))
         return 0
     errors.append(f"cpu fallback: {err}")
     print(json.dumps({
-        "metric": "1048576-cell two-phase Darcy Newton step (all attempts failed)",
+        "metric": "two-phase Darcy product bench (all attempts failed)",
         "value": 0.0,
-        "unit": "cells/sec per Newton step",
+        "unit": "cell-Newton-iterations/sec",
         "vs_baseline": 0.0,
         "degraded": "all_attempts_failed",
         "errors": [e[-300:] for e in errors],
