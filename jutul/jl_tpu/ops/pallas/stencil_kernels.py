@@ -320,6 +320,110 @@ class PallasScalarLevel:
     def smooth(self, u, b, omega):
         return self._fused(u, b, mode=2, omega=omega)
 
+    def smooth0(self, b, omega):
+        """smooth from the zero guess: elementwise, no stencil pass (XLA
+        fuses this into the surrounding ops; no kernel needed)."""
+        nz, ny, nx = self.base.L
+        d = self.base.coeffs[0, 0, :, :nx].reshape(-1)
+        return omega * b / d
+
+
+# ---------------------------------------------------------------------------
+# Whole-lattice multi-sweep kernel: nu weighted-Jacobi sweeps (+ optional
+# final residual) as ONE pallas program, for levels whose coefficient
+# streams fit VMEM (~16 MB/core on v5e). The coefficients are read from
+# HBM ONCE for all nu applications instead of once per sweep — this turns
+# the GMG coarse solve (n_coarse_sweeps small-lattice Jacobi sweeps,
+# previously ~20 XLA ops EACH) and the mid-level pre/post smoothing into
+# single kernels. Wraparound of the full-lattice rolls is killed by the
+# boundary-zero coefficients exactly as in the per-sweep kernels; padded
+# lanes are kept finite by guarding 1/diag to zero.
+# ---------------------------------------------------------------------------
+
+
+def _apply_scalar(coef_ref, u, ny):
+    """acc = A u for a (R, nxp) scalar lattice resident in VMEM."""
+    acc = coef_ref[0, 0] * u
+    acc += coef_ref[1, 0] * _roll(u, -1, 1)   # +x (lane)
+    acc += coef_ref[2, 0] * _roll(u, 1, 1)    # -x
+    acc += coef_ref[3, 0] * _roll(u, -1, 0)   # +y (row)
+    acc += coef_ref[4, 0] * _roll(u, 1, 0)    # -y
+    acc += coef_ref[5, 0] * _roll(u, -ny, 0)  # +z
+    acc += coef_ref[6, 0] * _roll(u, ny, 0)   # -z
+    return acc
+
+
+def _kernel_sweeps(coef_ref, b_ref, u0_ref, y_ref, *, ny, n_sweep, omega,
+                   emit_residual, init_zero):
+    d = coef_ref[0, 0]
+    dinv = jnp.where(d != 0, 1.0 / d, 0.0)  # padded lanes: keep finite
+    b = b_ref[0]
+    if init_zero:
+        # first sweep from the zero guess is elementwise
+        u = omega * b * dinv
+        n_apply = n_sweep - 1
+    else:
+        u = u0_ref[0]
+        n_apply = n_sweep
+    for _ in range(n_apply):
+        u = u + omega * (b - _apply_scalar(coef_ref, u, ny)) * dinv
+    y_ref[0] = u
+    if emit_residual:
+        y_ref[1] = b - _apply_scalar(coef_ref, u, ny)
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "n_sweep", "omega",
+                                             "emit_residual", "init_zero",
+                                             "interpret"))
+def _scalar_sweeps_call(coeffs, b, u0, ny, n_sweep, omega, emit_residual,
+                        init_zero, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, nxp = b.shape[1], b.shape[2]
+    n_out = 2 if emit_residual else 1
+    kern = functools.partial(_kernel_sweeps, ny=ny, n_sweep=n_sweep,
+                             omega=omega, emit_residual=emit_residual,
+                             init_zero=init_zero)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coeffs.dtype),
+        interpret=interpret,
+    )(coeffs, b, u0)
+
+
+class PallasFusedScalarLevel(PallasScalarLevel):
+    """Whole-lattice level ops: the GMG V-cycle consumes the extra
+    ``presmooth_residual`` / ``postsmooth`` / ``sweep_n`` hooks, each one
+    kernel for all sweeps."""
+
+    def _lat(self, v):
+        nz, ny, nx = self.base.L
+        return jnp.pad(v.reshape(1, nz * ny, nx).astype(
+            self.base.coeffs.dtype), ((0, 0), (0, 0), (0, self.nxp - nx)))
+
+    def _call(self, b, u0, n_sweep, omega, emit_residual, init_zero):
+        nz, ny, nx = self.base.L
+        b_lat = self._lat(b)
+        u0_lat = self._lat(u0) if u0 is not None else jnp.zeros_like(b_lat)
+        y = _scalar_sweeps_call(self.base.coeffs, b_lat, u0_lat, ny,
+                                int(n_sweep), float(omega),
+                                bool(emit_residual), bool(init_zero),
+                                self.interpret)
+        return y[:, :, :nx].reshape(y.shape[0], -1)
+
+    def presmooth_residual(self, b, omega, n_sweep):
+        y = self._call(b, None, n_sweep, omega, True, True)
+        return y[0], y[1]
+
+    def postsmooth(self, u, b, omega, n_sweep):
+        return self._call(b, u, n_sweep, omega, False, False)[0]
+
+    def sweep_n(self, b, omega, n_sweep):
+        return self._call(b, None, n_sweep, omega, False, True)[0]
+
 
 class XLAScalarLevel:
     """XLA fallback with the same per-level interface."""
@@ -337,12 +441,26 @@ class XLAScalarLevel:
     def smooth(self, u, b, omega):
         return u + omega * self._dinv * (b - self.A.matvec(u))
 
+    def smooth0(self, b, omega):
+        """smooth from the zero guess: elementwise, no stencil pass."""
+        return omega * self._dinv * b
 
-def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536):
-    """Level-op factory: fused Pallas on TPU for big, tiling-compatible
-    levels; XLA otherwise."""
+
+def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
+                     vmem_budget: int = 12 * 1024 * 1024):
+    """Level-op factory: whole-lattice fused multi-sweep Pallas level when
+    the coefficient streams + vectors fit VMEM (small/mid levels — the
+    coarse solve becomes ONE kernel); per-sweep Pallas kernels for big
+    tiling-compatible levels; the XLA chain otherwise."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and A.n >= min_cells and pallas_supported(A.L):
+    if not (use_pallas and pallas_supported(A.L)):
+        return XLAScalarLevel(A)
+    nz, ny, nx = A.L
+    nxp = _round_up(nx, 128)
+    vmem = (_TERMS + 4) * nz * ny * nxp * 4  # coeffs + b/u0/out(2) streams
+    if vmem <= vmem_budget:
+        return PallasFusedScalarLevel(A)
+    if A.n >= min_cells:
         return PallasScalarLevel(A)
     return XLAScalarLevel(A)

@@ -458,15 +458,24 @@ class GMG:
 
         A = ops[level]
         lv = mvs[level] if mvs is not None else XLAScalarLevel(A)
+        # smooth(0, b) == omega * b / diag: the first sweep from the zero
+        # initial guess is ELEMENTWISE — no A-application. One full
+        # stencil pass saved per level per V-cycle (and 1 of the
+        # n_coarse_sweeps below).
         if level == len(ops) - 1:
-            u = jnp.zeros_like(b)
-            for _ in range(self.n_coarse_sweeps):
+            if hasattr(lv, "sweep_n"):  # fused multi-sweep kernel
+                return lv.sweep_n(b, self.omega, self.n_coarse_sweeps)
+            u = lv.smooth0(b, self.omega)
+            for _ in range(self.n_coarse_sweeps - 1):
                 u = lv.smooth(u, b, self.omega)
             return u
-        u = lv.smooth(jnp.zeros_like(b), b, self.omega)
-        for _ in range(self.n_smooth - 1):
-            u = lv.smooth(u, b, self.omega)
-        r = lv.residual(u, b)
+        if hasattr(lv, "presmooth_residual"):
+            u, r = lv.presmooth_residual(b, self.omega, self.n_smooth)
+        else:
+            u = lv.smooth0(b, self.omega)
+            for _ in range(self.n_smooth - 1):
+                u = lv.smooth(u, b, self.omega)
+            r = lv.residual(u, b)
         # restrict (pw-constant sum) onto the padded-even lattice
         Ap = _pad_even(A)
         r_lat = jnp.pad(r.reshape(A.L),
@@ -484,6 +493,8 @@ class GMG:
                 e_lat = jnp.repeat(e_lat, 2, axis=axis)
         e_lat = e_lat[: A.L[0], : A.L[1], : A.L[2]]
         u = u + e_lat.reshape(-1)
+        if hasattr(lv, "postsmooth"):
+            return lv.postsmooth(u, b, self.omega, self.n_smooth)
         for _ in range(self.n_smooth):
             u = lv.smooth(u, b, self.omega)
         return u
@@ -496,6 +507,10 @@ class StencilCPRState:
     ops: list  # GMG hierarchy of the pressure stencil
     mvs: list | None = None  # per-level fused matvec closures
     mv_A: object = None  # fused matvec for the full block matrix
+    mv_Ap: object = None  # pressure-COLUMN matvec (K=1): stage-2 applies
+    # A to a vector that is nonzero only in the pressure dof, so only the
+    # p-column coefficient streams need reading — half the HBM traffic of
+    # the full C*K matvec at ndof=2
 
 
 class StencilCPR:
@@ -533,22 +548,36 @@ class StencilCPR:
                                     A.minus[a][:, self.p])
         Ap = ScalarStencil(A.L, diag_p.reshape(-1), plus_p, minus_p)
         ops = self.gmg.hierarchy(Ap)
+        # p-column of A as a (neq, 1) block stencil for the stage-2
+        # correction (see StencilCPRState.mv_Ap)
+        col = StencilMatrix(
+            A.L, A.diag[:, self.p:self.p + 1, :],
+            {a: v[:, self.p:self.p + 1] for a, v in A.plus.items()},
+            {a: v[:, self.p:self.p + 1] for a, v in A.minus.items()})
         return StencilCPRState(w, dinv, ops,
                                mvs=self.gmg.matvecs(ops),
-                               mv_A=fused_matvec(A, self.gmg.use_pallas))
+                               mv_A=fused_matvec(A, self.gmg.use_pallas),
+                               mv_Ap=fused_matvec(col, self.gmg.use_pallas))
 
     def apply(self, state: StencilCPRState, A: StencilMatrix, x):
         """x (n, neq) residual -> du (n, ndof)."""
         from .smallmat import bmv
 
-        n = A.n
         r_p = jnp.einsum("en,ne->n", state.w, x)
         dp = self.gmg.vcycle(state.ops, r_p, mvs=state.mvs)
-        du = jnp.zeros((n, A.diag.shape[1]), x.dtype)
-        du = du.at[:, self.p].set(dp)
-        mv_A = state.mv_A if state.mv_A is not None else A.matvec
-        r2 = x - mv_A(du)
-        return du + bmv(state.dinv, r2)
+        # du0 is nonzero only in the pressure dof, so A du0 is the
+        # p-column matvec of dp (half the coefficient reads of mv_A)
+        mv_Ap = state.mv_Ap if state.mv_Ap is not None else None
+        if mv_Ap is None:
+            n = A.n
+            du0 = jnp.zeros((n, A.diag.shape[1]), x.dtype)
+            du0 = du0.at[:, self.p].set(dp)
+            mv_A = state.mv_A if state.mv_A is not None else A.matvec
+            r2 = x - mv_A(du0)
+            return du0 + bmv(state.dinv, r2)
+        r2 = x - mv_Ap(dp[:, None])
+        du = bmv(state.dinv, r2)
+        return du.at[:, self.p].add(dp)
 
 
 class StencilKrylovSolver:

@@ -138,3 +138,65 @@ def test_scalar_level_ops_selection_path():
                       PallasScalarLevel)
     assert isinstance(scalar_level_ops(A, use_pallas=False),
                       XLAScalarLevel)
+
+
+def test_fused_multisweep_level_vcycle():
+    """Whole-lattice multi-sweep kernel (r3): presmooth_residual /
+    postsmooth / sweep_n — one pallas program for all sweeps — must
+    reproduce the plain per-sweep V-cycle exactly."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasFusedScalarLevel,
+        XLAScalarLevel,
+    )
+    from jutul.jl_tpu.ops.stencil import GMG, ScalarStencil
+
+    L = (4, 8, 8)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(11)
+    diag = jnp.asarray(np.full(n, 6.0))
+    fs = {0: (4, 8, 7), 1: (4, 7, 8), 2: (3, 8, 8)}
+    plus = {a: jnp.asarray(-np.abs(rng.normal(size=s)))
+            for a, s in fs.items()}
+    minus = {a: jnp.asarray(-np.abs(rng.normal(size=s)))
+             for a, s in fs.items()}
+    A = ScalarStencil(L, diag, plus, minus)
+    b = jnp.asarray(rng.normal(size=n))
+    gmg = GMG(n_smooth=2, n_coarse_sweeps=6, min_cells=16)
+    ops = gmg.hierarchy(A)
+    u_ref = gmg.vcycle(ops, b, mvs=[XLAScalarLevel(Ai) for Ai in ops])
+    mvs = [PallasFusedScalarLevel(Ai, interpret=True) for Ai in ops]
+    u_fused = gmg.vcycle(ops, b, mvs=mvs)
+    np.testing.assert_allclose(np.asarray(u_fused), np.asarray(u_ref),
+                               rtol=1e-11, atol=1e-11)
+
+    # sweep_n == n repeated smooths from zero
+    lv = mvs[0]
+    ref = XLAScalarLevel(A)
+    u = ref.smooth0(b, 0.8)
+    for _ in range(4):
+        u = ref.smooth(u, b, 0.8)
+    np.testing.assert_allclose(np.asarray(lv.sweep_n(b, 0.8, 5)),
+                               np.asarray(u), rtol=1e-11, atol=1e-11)
+
+
+def test_cpr_pressure_column_matvec():
+    """Stage-2 p-column matvec (r3): CPR.apply with mv_Ap equals the
+    full-matrix formulation."""
+    from jutul.jl_tpu.ops.smallmat import bmv
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR
+
+    A = _random_stencil_matrix((4, 8, 8), 2, 2)
+    n = A.n
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    cpr = StencilCPR(gmg=GMG(n_smooth=1, n_coarse_sweeps=4, min_cells=64,
+                             use_pallas=False))
+    st = cpr.update(A)
+    du = cpr.apply(st, A, x)
+    # reference: full-matrix stage 2
+    r_p = jnp.einsum("en,ne->n", st.w, x)
+    dp = cpr.gmg.vcycle(st.ops, r_p, mvs=st.mvs)
+    du0 = jnp.zeros((n, 2), x.dtype).at[:, 0].set(dp)
+    ref = du0 + bmv(st.dinv, x - A.matvec(du0))
+    np.testing.assert_allclose(np.asarray(du), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
