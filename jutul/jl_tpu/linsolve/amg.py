@@ -159,65 +159,80 @@ class AMGPreconditioner(Preconditioner):
             "AMGPreconditioner expects a scalar system; use CPR for blocks"
         )
         hier = self._symbolic(J.structure)
-        vals = J.blocks[:, :, 0, 0]  # (n, S)
-        ops = []
-        for li, lvl in enumerate(hier.levels[:-1]):
-            ops.append(vals)
-            n_c = lvl.n_coarse
-            # coarse values: segment-sum of fine entries into coarse slots
-            cstruct = hier.levels[li + 1].structure
-            flat = jnp.asarray(_tbl.table(lvl.scatter_key)
-                               if lvl.scatter_key else lvl.scatter_idx)
-            coarse_flat = jax.ops.segment_sum(
-                vals.reshape(-1), flat, num_segments=n_c * cstruct.n_slots
-            )
-            vals = coarse_flat.reshape(n_c, cstruct.n_slots)
-        ops.append(vals)  # coarsest operator
-        # dense coarsest for the direct bottom solve
-        bottom = hier.levels[-1].structure
-        nb = bottom.n_rows
-        dense = jnp.zeros((nb, nb), vals.dtype)
-        rows = jnp.repeat(jnp.arange(nb), bottom.n_slots)
-        colsb = jnp.asarray(bottom.cols_t()).reshape(-1)
-        dense = dense.at[rows, colsb].add(vals.reshape(-1))
-        return (ops, dense)
+        return amg_coarsen_ops(hier, J.blocks[:, :, 0, 0])
 
     def apply(self, state, J: BlockELL, x):
-        ops, dense = state
         hier = self._symbolic(J.structure)
         b = x[:, 0] if x.ndim == 2 else x
-
-        def vcycle(level: int, rhs):
-            lvl = hier.levels[level]
-            A = ops[level]
-            cols = jnp.asarray(lvl.structure.cols_t())
-            diag = A[:, 0]
-            dinv = 1.0 / diag
-
-            if level == hier.n_levels - 1:
-                return jnp.linalg.solve(dense, rhs)
-
-            u = self.omega * dinv * rhs  # first Jacobi sweep from zero
-            for _ in range(self.n_smooth - 1):
-                r = rhs - _scalar_matvec(A, cols, u)
-                u = u + self.omega * dinv * r
-            r = rhs - _scalar_matvec(A, cols, u)
-            agg = jnp.asarray(_tbl.table(lvl.agg_key)
-                              if lvl.agg_key else lvl.agg)
-            r_c = jax.ops.segment_sum(r, agg, num_segments=lvl.n_coarse)
-            e_c = vcycle(level + 1, r_c)
-            u = u + e_c[agg]
-            for _ in range(self.n_smooth):
-                r = rhs - _scalar_matvec(A, cols, u)
-                u = u + self.omega * dinv * r
-            return u
-
-        u = jnp.zeros_like(b)
-        for _ in range(self.n_cycles):
-            r = b - _scalar_matvec(ops[0], jnp.asarray(
-                hier.levels[0].structure.cols_t()), u)
-            u = u + vcycle(0, r)
+        u = amg_vcycle_apply(hier, state, b, self.omega, self.n_smooth,
+                             self.n_cycles)
         return u[:, None] if x.ndim == 2 else u
+
+
+def amg_coarsen_ops(hier: AMGHierarchy, vals):
+    """Galerkin coarse operators for all levels from fine scalar ELL
+    values ``vals (n, S)`` (traceable; also used replicated inside the
+    distributed CPR's shard_map body)."""
+    ops = []
+    for li, lvl in enumerate(hier.levels[:-1]):
+        ops.append(vals)
+        n_c = lvl.n_coarse
+        # coarse values: segment-sum of fine entries into coarse slots
+        cstruct = hier.levels[li + 1].structure
+        flat = jnp.asarray(_tbl.table(lvl.scatter_key)
+                           if lvl.scatter_key else lvl.scatter_idx)
+        coarse_flat = jax.ops.segment_sum(
+            vals.reshape(-1), flat, num_segments=n_c * cstruct.n_slots
+        )
+        vals = coarse_flat.reshape(n_c, cstruct.n_slots)
+    ops.append(vals)  # coarsest operator
+    # dense coarsest for the direct bottom solve
+    bottom = hier.levels[-1].structure
+    nb = bottom.n_rows
+    dense = jnp.zeros((nb, nb), vals.dtype)
+    rows = jnp.repeat(jnp.arange(nb), bottom.n_slots)
+    colsb = jnp.asarray(bottom.cols_t()).reshape(-1)
+    dense = dense.at[rows, colsb].add(vals.reshape(-1))
+    return (ops, dense)
+
+
+def amg_vcycle_apply(hier: AMGHierarchy, state, b, omega: float,
+                     n_smooth: int, n_cycles: int):
+    """Aggregation-AMG V-cycle(s) for rhs ``b`` given ``amg_coarsen_ops``
+    output (traceable)."""
+    ops, dense = state
+
+    def vcycle(level: int, rhs):
+        lvl = hier.levels[level]
+        A = ops[level]
+        cols = jnp.asarray(lvl.structure.cols_t())
+        diag = A[:, 0]
+        dinv = 1.0 / diag
+
+        if level == hier.n_levels - 1:
+            return jnp.linalg.solve(dense, rhs)
+
+        u = omega * dinv * rhs  # first Jacobi sweep from zero
+        for _ in range(n_smooth - 1):
+            r = rhs - _scalar_matvec(A, cols, u)
+            u = u + omega * dinv * r
+        r = rhs - _scalar_matvec(A, cols, u)
+        agg = jnp.asarray(_tbl.table(lvl.agg_key)
+                          if lvl.agg_key else lvl.agg)
+        r_c = jax.ops.segment_sum(r, agg, num_segments=lvl.n_coarse)
+        e_c = vcycle(level + 1, r_c)
+        u = u + e_c[agg]
+        for _ in range(n_smooth):
+            r = rhs - _scalar_matvec(A, cols, u)
+            u = u + omega * dinv * r
+        return u
+
+    u = jnp.zeros_like(b)
+    for _ in range(n_cycles):
+        r = b - _scalar_matvec(ops[0], jnp.asarray(
+            hier.levels[0].structure.cols_t()), u)
+        u = u + vcycle(0, r)
+    return u
 
 
 def _scalar_matvec(vals, cols, x):

@@ -71,6 +71,8 @@ class GeneralDecomposition:
         stencil = np.asarray(stencil, dtype=np.int64)
         assert stencil.shape[0] == nf
         self.K = K = stencil.shape[1]
+        self.stencil = stencil  # global (nf, K); the distributed CPR's
+        self.neighbors = neighbors  # coarse-operator setup reads these
 
         own_lists = [np.flatnonzero(part == d) for d in range(D)]
         ghost_lists = []
@@ -563,7 +565,7 @@ class GeneralDistributedSimulator:
                     min_newton: int = 1, tol_factor_final_iteration=1.0,
                     max_residual: float = 1e20, rtol: float = 1e-8,
                     max_lin_it: int = 200, linear_forcing: str = "none",
-                    relaxation=None):
+                    relaxation=None, preconditioner: str = "block_jacobi"):
         """The WHOLE ministep Newton loop as ONE SPMD device program:
         ``lax.while_loop`` inside the shard_map body with convergence
         decided from psum/pmax-reduced criteria in the carry — every
@@ -580,6 +582,12 @@ class GeneralDistributedSimulator:
         acceptance at the iteration cap. Returns a jittable
         ``(state, state0, cp, fp, tables, q, bc, dt) ->
         (state, its, err, converged, lin_its)``.
+
+        ``preconditioner``: "block_jacobi" (owned-diagonal additive
+        Schwarz) or "cpr" — the pod-shaped distributed CPR
+        (parallel/general_cpr.py: shard-local aggregation, psum-
+        replicated coarse AMG, halo-aware smoothing; reference
+        ext/.../linalg.jl:78).
         """
         from ..simulator.simulator import tolerance_for
 
@@ -592,6 +600,21 @@ class GeneralDistributedSimulator:
         tol_final = float(tol_factor_final_iteration)
         forcing = linear_forcing
         relax = relaxation
+        use_cpr = preconditioner == "cpr"
+        if use_cpr:
+            if self.flux_con is None:
+                raise NotImplementedError(
+                    "distributed CPR needs a face-flux system")
+            from .general_cpr import GeneralCPRSetup, cpr_apply, cpr_update
+
+            if getattr(self, "_cpr_setup", None) is None:
+                self._cpr_setup = GeneralCPRSetup(dec)
+            cpr_setup = self._cpr_setup
+            ctab_stack = cpr_setup.tables()
+        else:
+            ctab_stack = tuple(
+                jnp.zeros((self.n_devices, 1), jnp.int32)
+                for _ in range(4))  # uniform arg structure
 
         def scaled_error(crit):
             worst = jnp.asarray(0.0)
@@ -603,12 +626,13 @@ class GeneralDistributedSimulator:
             return worst
 
         def local_ministep(state_own, state0_own, cp, fp, tables, q, bc,
-                           dt):
+                           ctabs, dt):
             cp = {k: v[0] for k, v in cp.items()}
             fp = {k: v[0] for k, v in fp.items()}
             tabs = tuple(t[0] for t in tables)
             q1 = q[0]
             bc1 = tuple(b[0] for b in bc) if bc is not None else None
+            ctabs1 = tuple(t[0] for t in ctabs)
             (send_idx, recv_slot, face_l, face_r, row_plus, row_minus,
              face_alive, own_alive, face_st) = tabs
             am = own_alive[:, None]
@@ -644,10 +668,21 @@ class GeneralDistributedSimulator:
                                 -bmv(jacK[:, :, k, :], xk))
                     return (y[:nom] * am).reshape(-1)
 
-                dinv = block_inv(diag_own)
+                if use_cpr:
+                    pstate = cpr_update(cpr_setup, arrays, tabs[2:],
+                                        ctabs1, halo, ax, dec.K)
 
-                def precond(x_flat):
-                    return bmv(dinv, x_flat.reshape(nom, neq)).reshape(-1)
+                    def precond(x_flat):
+                        return cpr_apply(
+                            cpr_setup, pstate, arrays, tabs[2:], halo,
+                            ax, dec.K, x_flat.reshape(nom, neq)
+                        ).reshape(-1)
+                else:
+                    dinv = block_inv(diag_own)
+
+                    def precond(x_flat):
+                        return bmv(dinv,
+                                   x_flat.reshape(nom, neq)).reshape(-1)
 
                 def dot(a, b):
                     return jax.lax.psum(jnp.dot(a, b), ax)
@@ -708,7 +743,7 @@ class GeneralDistributedSimulator:
                 local_ministep,
                 mesh=self.device_mesh,
                 in_specs=(state_spec, state_spec, cp_spec, fp_spec,
-                          tab_spec, P(ax), bc_spec, P()),
+                          tab_spec, P(ax), bc_spec, (P(ax),) * 4, P()),
                 out_specs=(state_spec, P(), P(), P(), P()),
                 check_vma=False,
             )
@@ -723,7 +758,7 @@ class GeneralDistributedSimulator:
         def step(state, state0, dt, q=None, bc=None):
             fn = smapped if bc is None else smapped_bc
             return fn(state, state0, cp, fp, tables,
-                      q0 if q is None else q, bc, dt)
+                      q0 if q is None else q, bc, ctab_stack, dt)
 
         return step
 
