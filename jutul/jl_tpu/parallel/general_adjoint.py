@@ -91,7 +91,8 @@ class GeneralDistributedAdjoint:
             # BCs must be inside every residual/Jacobian the sweep
             # transposes, or gradients are silently wrong).
             dt_n, dt_next = dts[0], dts[1]
-            own_alive = tabs[7]
+            nh = dsim._n_halo_tabs
+            own_alive = tabs[nh + 5]
             am = own_alive[:, None]
 
             def r_fn(u_own, u0_own, cp_, fp_, dt_):
@@ -148,12 +149,12 @@ class GeneralDistributedAdjoint:
             for k, v in fp_i.items():
                 fp_bar[k] = jnp.zeros(v.shape)
             # route ghost-slot cell cotangents home: transpose of the halo
-            send_idx, recv_slot = tabs[0], tabs[1]
+            halo_fn = dsim.halo_from_tabs(tabs[:nh])
             cp_bar_own = {}
             for k, v in cp_bar_ext.items():
                 v = v + g_cp[k]
                 halo_T = jax.linear_transpose(
-                    lambda o: dsim._halo(o, send_idx, recv_slot),
+                    halo_fn,
                     jnp.zeros((nom,) + v.shape[1:], v.dtype))
                 (own_bar,) = halo_T(v)
                 cp_bar_own[k] = own_bar
@@ -163,11 +164,8 @@ class GeneralDistributedAdjoint:
 
         cp_spec = {k: P(ax) for k in self.cp}
         fp_spec = {k: P(ax) for k in self.fp}
-        tables = (dec.send_idx, dec.recv_slot, dec.face_l, dec.face_r,
-                  dec.row_plus, dec.row_minus, dec.face_alive,
-                  dec.own_alive, dec.face_st)
-        self._tables = tuple(jnp.asarray(t) for t in tables)
-        tab_spec = tuple(P(ax) for _ in tables)
+        self._tables = dsim.engine_tables()
+        tab_spec = tuple(P(ax) for _ in self._tables)
         u_spec = P(ax)
         return jax.jit(jax.shard_map(
             local_step,
