@@ -316,3 +316,103 @@ def face_adjacency_edges(mesh) -> np.ndarray:
             for j in range(i + 1, len(faces)):
                 edges.add((faces[i], faces[j]))
     return np.asarray(sorted(edges), dtype=np.int64).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-entity test system: Cells AND Faces equations in ONE model
+# (reference: per-equation entities, src/equations.jl:328-434)
+# ---------------------------------------------------------------------------
+class CellVal(ScalarVariable):
+    pass
+
+
+class CellSource(JutulParameter):
+    def __init__(self):
+        super().__init__(default=0.0, values_per_entity=1, entity=CELLS)
+
+
+class MixedCellMassEquation(JutulEquation):
+    """(c - c0)/dt + div(v) - q = 0 on Cells; the divergence reads the
+    FACE unknown v through a cross-entity incidence coupling."""
+
+    def __init__(self, neighbors: np.ndarray):
+        self.neighbors = np.asarray(neighbors, dtype=np.int64)
+
+    def contributions(self, model):
+        def acc(model_, cs, cs0, dt):
+            return jnp.reshape((cs["CellVal"] - cs0["CellVal"]) / dt
+                               - cs["CellSource"], (1,))
+
+        return [AccumulationContribution(acc, name="mixed_cell_acc")]
+
+    def cross_couplings(self, model):
+        from ..core.entities import FACES
+        from .equations import CrossCoupling
+
+        nb = self.neighbors
+        nf = nb.shape[0]
+        rows = np.concatenate([nb[:, 0], nb[:, 1]])
+        cols = np.concatenate([np.arange(nf), np.arange(nf)])
+        sign = np.concatenate([np.ones(nf), -np.ones(nf)])
+
+        def div_term(model_, local_cell, local_face, dt, conn):
+            return jnp.reshape(conn["sign"] * local_face["FaceVal"], (1,))
+
+        return [CrossCoupling(rows=rows, cols=cols, source_entity=FACES,
+                              fn=div_term, conn_data={"sign": sign})]
+
+
+class MixedFaceClosureEquation(JutulEquation):
+    """v - w (c_L - c_R) = 0 on Faces; the closure reads the CELL unknown
+    through two cross-entity couplings (one per side)."""
+
+    def __init__(self, neighbors: np.ndarray, weight: float = 1.0):
+        self.neighbors = np.asarray(neighbors, dtype=np.int64)
+        self.weight = float(weight)
+
+    def entity(self, model):
+        return FACES
+
+    def contributions(self, model):
+        def local_v(model_, fs, fs0, dt):
+            return jnp.reshape(fs["FaceVal"], (1,))
+
+        return [AccumulationContribution(local_v, name="mixed_face_v")]
+
+    def cross_couplings(self, model):
+        from .equations import CrossCoupling
+
+        nb = self.neighbors
+        nf = nb.shape[0]
+        rows = np.concatenate([np.arange(nf), np.arange(nf)])
+        cols = np.concatenate([nb[:, 0], nb[:, 1]])
+        sign = np.concatenate([-self.weight * np.ones(nf),
+                               self.weight * np.ones(nf)])
+
+        def closure(model_, local_face, local_cell, dt, conn):
+            return jnp.reshape(conn["sign"] * local_cell["CellVal"], (1,))
+
+        return [CrossCoupling(rows=rows, cols=cols, source_entity=CELLS,
+                              fn=closure, conn_data={"sign": sign})]
+
+
+class MixedFluxSystem(JutulSystem):
+    """ONE model with a Cells equation + a Faces equation (mixed form of
+    transient diffusion): cell mass balance with the face flux unknown,
+    plus the face flux closure."""
+
+    def __init__(self, neighbors, weight: float = 1.0):
+        self.neighbors = np.asarray(neighbors, dtype=np.int64)
+        self.weight = float(weight)
+
+    def select_primary_variables(self, model):
+        return OrderedDict(CellVal=CellVal(), FaceVal=FaceVal())
+
+    def select_parameters(self, model):
+        return OrderedDict(CellSource=CellSource())
+
+    def select_equations(self, model):
+        return OrderedDict(
+            cell_mass=MixedCellMassEquation(self.neighbors),
+            face_closure=MixedFaceClosureEquation(self.neighbors,
+                                                  self.weight))

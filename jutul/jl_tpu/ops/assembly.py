@@ -541,4 +541,11 @@ def _as_force_list(fv):
 
 
 def compile_model(model) -> CompiledModel:
+    from .mixed import MixedCompiledModel, is_mixed_entity
+
+    if is_mixed_entity(model):
+        # per-equation entities in one model (reference equations.jl:
+        # 328-434): compiled as per-entity views + cross-entity coupling
+        # blocks (ops/mixed.py)
+        return MixedCompiledModel(model)
     return CompiledModel(model)

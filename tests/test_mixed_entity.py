@@ -1,0 +1,100 @@
+"""Mixed-entity models (r3; VERDICT r2 item 10): Cells- and Faces-entity
+equations coexisting in ONE model (reference: src/equations.jl:328-434),
+compiled into per-entity views + cross-entity coupling blocks and solved
+through the ordinary Simulator — no MultiModel workaround.
+"""
+
+import numpy as np
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    SimulationModel,
+    Simulator,
+    compile_model,
+    setup_parameters,
+    setup_state,
+)
+from jutul.jl_tpu.core.domains import DataDomain
+from jutul.jl_tpu.linsolve.direct import DirectSolver
+from jutul.jl_tpu.models.test_systems import MixedFluxSystem
+
+
+def build(nx=5, ny=4, w=0.8):
+    mesh = CartesianMesh((nx, ny), (1.0, 1.0))
+    nb = np.asarray(mesh.neighborship())
+    system = MixedFluxSystem(nb, weight=w)
+    model = SimulationModel(DataDomain(mesh), system)
+    return mesh, model, nb
+
+
+def dense_reference(nc, nf, nb, w, dt, c0, v0, q):
+    """One implicit-Euler step of the mixed system:
+    (c-c0)/dt + D v = q ;  v - w G c = 0, with D incidence, G = D^T."""
+    D = np.zeros((nc, nf))
+    G = np.zeros((nf, nc))
+    for f, (L, R) in enumerate(nb):
+        D[L, f] += 1.0
+        D[R, f] -= 1.0
+        G[f, L] += w
+        G[f, R] -= w
+    A = np.block([[np.eye(nc) / dt, D], [-G, np.eye(nf)]])
+    rhs = np.concatenate([c0 / dt + q, np.zeros(nf)])
+    x = np.linalg.solve(A, rhs)
+    return x[:nc], x[nc:]
+
+
+def test_mixed_entity_compiles_and_assembles():
+    mesh, model, nb = build()
+    comp = compile_model(model)
+    nc, nf = mesh.number_of_cells(), mesh.number_of_faces()
+    assert set(comp.comps) == {"Cells", "Faces"}
+    state0 = setup_state(model, CellVal=np.full(nc, 0.5),
+                         FaceVal=np.zeros(nf))
+    params = setup_parameters(model)
+    full = comp.evaluate_secondaries({**state0, **params})
+    r = comp.residual(full, full, 1.0)
+    # constant cell field, zero v: divergence 0, closure 0 -> all zero
+    np.testing.assert_allclose(np.asarray(r["Cells"]), 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(r["Faces"]), 0.0, atol=1e-14)
+    # Jacobian: cross-entity coupling blocks present, dense matrix matches
+    # the hand-built mixed operator
+    rr, J, _ = comp.assemble(
+        {**state0, **params}, {**state0, **params}, 1.0)
+    assert any(cb.target == "Cells" and cb.source == "Faces"
+               for cb in J.couplings)
+    assert any(cb.target == "Faces" and cb.source == "Cells"
+               for cb in J.couplings)
+    dense = np.asarray(J.to_dense())
+    D = np.zeros((nc, nf))
+    G = np.zeros((nf, nc))
+    for f, (L, R) in enumerate(nb):
+        D[L, f] += 1.0
+        D[R, f] -= 1.0
+        G[f, L] += 0.8
+        G[f, R] -= 0.8
+    ref = np.block([[np.eye(nc) / 1.0, D], [-G, np.eye(nf)]])
+    np.testing.assert_allclose(dense, ref, atol=1e-12)
+
+
+def test_mixed_entity_solves_vs_dense():
+    """One implicit-Euler step through the ordinary Simulator matches the
+    dense monolithic solve."""
+    mesh, model, nb = build()
+    nc, nf = mesh.number_of_cells(), mesh.number_of_faces()
+    rng = np.random.default_rng(7)
+    c0 = rng.uniform(0.0, 1.0, nc)
+    q = rng.uniform(-0.5, 0.5, nc)
+    dt, w = 0.3, 0.8
+
+    state0 = setup_state(model, CellVal=c0, FaceVal=np.zeros(nf))
+    params = setup_parameters(model, CellSource=q)
+    sim = Simulator(model, state0=state0, parameters=params)
+    sim._solver = DirectSolver()
+    states, reports = sim.simulate([dt], info_level=-1,
+                                   tolerances={"default": 1e-11})
+    assert reports[-1]["success"]
+    c_ref, v_ref = dense_reference(nc, nf, nb, w, dt, c0, np.zeros(nf), q)
+    np.testing.assert_allclose(np.asarray(states[-1]["CellVal"]), c_ref,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(states[-1]["FaceVal"]), v_ref,
+                               rtol=1e-9, atol=1e-12)
