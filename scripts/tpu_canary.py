@@ -1,0 +1,64 @@
+"""TPU worker health canary: a fixed ~1.7 TFLOP matmul loop.
+
+The shared axon worker degrades within/across sessions (up to 28x,
+recovering over idle time) and a crashed worker can HANG host syncs
+entirely — see docs/tpu.md. Run this BEFORE any perf measurement.
+Run as `python scripts/tpu_canary.py` (self-subprocesses with a 120 s
+timeout so a hung worker reports HUNG instead of blocking forever).
+Healthy exec is well under 200 ms."""
+import os
+import subprocess
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(2048, 2048)),
+                    jnp.float32) * 1e-3
+
+    @jax.jit
+    def f(a):
+        def body(_, x):
+            return jnp.tanh(x @ x + 0.1)
+
+        return jax.lax.fori_loop(0, 100, body, a)
+
+    t0 = time.perf_counter()
+    f.lower(a).compile()
+    t_compile = time.perf_counter() - t0
+    # device->host transfer: the tunnel's block_until_ready returns
+    # early, so time to a host scalar instead
+    t0 = time.perf_counter()
+    s1 = float(jnp.sum(f(a)))
+    t_exec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s2 = float(jnp.sum(f(a)))
+    t_exec2 = time.perf_counter() - t0
+    assert np.isfinite(s1) and np.isfinite(s2)
+    dev = jax.devices()[0]
+    print(f"canary[{dev.platform}:{dev.device_kind}]: "
+          f"compile {t_compile:.1f}s exec {t_exec * 1e3:.0f}ms "
+          f"exec2 {t_exec2 * 1e3:.0f}ms "
+          f"({'HEALTHY' if t_exec2 < 0.2 else 'DEGRADED'})")
+    return t_exec2
+
+
+if __name__ == "__main__":
+    if os.environ.get("_CANARY_INNER") == "1":
+        main()
+    else:
+        env = dict(os.environ)
+        env["_CANARY_INNER"] = "1"
+        try:
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=120, text=True,
+                               capture_output=True)
+            sys.stdout.write(p.stdout)
+            sys.stderr.write(p.stderr[-300:] if p.returncode else "")
+        except subprocess.TimeoutExpired:
+            print("canary: HUNG (no host sync within 120s — worker is in "
+                  "the post-crash hang state; do not measure)")
