@@ -425,6 +425,146 @@ class PallasFusedScalarLevel(PallasScalarLevel):
         return self._call(b, None, n_sweep, omega, False, True)[0]
 
 
+# ---------------------------------------------------------------------------
+# Slab-tiled multi-sweep kernel with DEEP halos: for levels whose
+# coefficient streams do NOT fit VMEM (the 1M-cell fine level), each grid
+# program DMAs a z-slab with an H = n_apply*ny row halo and performs ALL
+# of a phase's stencil applications (sweeps + optional residual) on the
+# slab — wrong values creep inward one ny-row band per application from
+# the slab edges, so with H rows of halo the written interior stays
+# exact. Coefficients stream from HBM ONCE per slab for the whole phase
+# instead of once per sweep.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_slab_sweeps(coef_hbm, b_hbm, u_hbm, y_ref, cs, bs, us, sem,
+                        *, ny, H, Rt, n_sweep, omega, emit_residual,
+                        init_zero):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    win = pl.ds(i * Rt, Rt + 2 * H)
+    dma1 = pltpu.make_async_copy(coef_hbm.at[:, :, win], cs, sem)
+    dma1.start()
+    dma1.wait()
+    dma2 = pltpu.make_async_copy(b_hbm.at[:, win], bs, sem)
+    dma2.start()
+    dma2.wait()
+    if not init_zero:
+        dma3 = pltpu.make_async_copy(u_hbm.at[:, win], us, sem)
+        dma3.start()
+        dma3.wait()
+
+    d = cs[0, 0]
+    dinv = jnp.where(d != 0, 1.0 / d, 0.0)
+    b = bs[0]
+    if init_zero:
+        u = omega * b * dinv
+        n_apply = n_sweep - 1
+    else:
+        u = us[0]
+        n_apply = n_sweep
+    for _ in range(n_apply):
+        u = u + omega * (b - _apply_scalar(cs, u, ny)) * dinv
+    y_ref[0] = u[H:H + Rt]
+    if emit_residual:
+        y_ref[1] = (b - _apply_scalar(cs, u, ny))[H:H + Rt]
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "H", "n_sweep", "omega",
+                                             "emit_residual", "init_zero",
+                                             "tz", "interpret"))
+def _scalar_slab_sweeps_call(coef_pad, b_pad, u_pad, ny, H, n_sweep, omega,
+                             emit_residual, init_zero, tz, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = coef_pad.shape[2] - 2 * H  # true rows
+    nxp = coef_pad.shape[3]
+    Rt = tz * ny
+    grid = (R // Rt,)
+    n_out = 2 if emit_residual else 1
+    kern = functools.partial(_kernel_slab_sweeps, ny=ny, H=H, Rt=Rt,
+                             n_sweep=n_sweep, omega=omega,
+                             emit_residual=emit_residual,
+                             init_zero=init_zero)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((n_out, Rt, nxp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coef_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_TERMS, 1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(coef_pad, b_pad, u_pad)
+
+
+class PallasSlabFusedScalarLevel(PallasScalarLevel):
+    """Deep-halo slab-tiled multi-sweep level for big scalar lattices
+    (the 1M fine level): same ``presmooth_residual``/``postsmooth``/
+    ``sweep_n`` hooks as the whole-lattice fused level."""
+
+    def __init__(self, A, n_smooth: int = 2, interpret: bool | None = None,
+                 vmem_budget: int = 10 * 1024 * 1024):
+        super().__init__(A, interpret)
+        nz, ny, nx = self.base.L
+        # halo depth: worst phase is max(n_smooth, n_smooth-1+1 residual)
+        self.H = max(n_smooth, 2) * ny
+        per_row = (_TERMS + 2) * self.nxp * 4
+        tz = max(1, min(nz, (vmem_budget // per_row - 2 * self.H)
+                        // max(ny, 1)))
+        while tz > 1 and nz % tz:
+            tz -= 1
+        self.tz = tz
+        # coefficients pre-padded by H rows once per preconditioner update
+        self.coef_pad = jnp.pad(self.base.coeffs,
+                                ((0, 0), (0, 0), (self.H, self.H), (0, 0)))
+
+    def _pad_rows(self, v):
+        nz, ny, nx = self.base.L
+        lat = jnp.pad(v.reshape(1, nz * ny, nx).astype(
+            self.base.coeffs.dtype),
+            ((0, 0), (self.H, self.H), (0, self.nxp - nx)))
+        return lat
+
+    def _call(self, b, u0, n_sweep, omega, emit_residual, init_zero):
+        nz, ny, nx = self.base.L
+        b_pad = self._pad_rows(b)
+        u_pad = self._pad_rows(u0) if u0 is not None else \
+            jnp.zeros_like(b_pad)
+        y = _scalar_slab_sweeps_call(self.coef_pad, b_pad, u_pad, ny,
+                                     self.H, int(n_sweep), float(omega),
+                                     bool(emit_residual), bool(init_zero),
+                                     self.tz, self.interpret)
+        return y[:, :, :nx].reshape(y.shape[0], -1)
+
+    def presmooth_residual(self, b, omega, n_sweep):
+        y = self._call(b, None, n_sweep, omega, True, True)
+        return y[0], y[1]
+
+    def postsmooth(self, u, b, omega, n_sweep):
+        return self._call(b, u, n_sweep, omega, False, False)[0]
+
+    def sweep_n(self, b, omega, n_sweep):
+        # many sweeps would need an n_sweep-deep halo; chunk to the depth
+        # this level was built for
+        per = max(self.H // max(self.base.L[1], 1), 1)
+        u = self._call(b, None, min(per, n_sweep), omega, False, True)[0]
+        done = min(per, n_sweep)
+        while done < n_sweep:
+            k = min(per, n_sweep - done)
+            u = self._call(b, u, k, omega, False, False)[0]
+            done += k
+        return u
+
+
 class XLAScalarLevel:
     """XLA fallback with the same per-level interface."""
 
@@ -447,11 +587,14 @@ class XLAScalarLevel:
 
 
 def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
-                     vmem_budget: int = 12 * 1024 * 1024):
+                     vmem_budget: int = 12 * 1024 * 1024,
+                     n_smooth: int = 2):
     """Level-op factory: whole-lattice fused multi-sweep Pallas level when
     the coefficient streams + vectors fit VMEM (small/mid levels — the
-    coarse solve becomes ONE kernel); per-sweep Pallas kernels for big
-    tiling-compatible levels; the XLA chain otherwise."""
+    coarse solve becomes ONE kernel); the deep-halo slab-tiled fused
+    level for big lattices (coefficients stream once per smoothing
+    PHASE); per-sweep Pallas kernels when the slab tiling cannot apply;
+    the XLA chain otherwise."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not (use_pallas and pallas_supported(A.L)):
@@ -462,5 +605,13 @@ def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
     if vmem <= vmem_budget:
         return PallasFusedScalarLevel(A)
     if A.n >= min_cells:
+        # deep-halo slab needs at least one whole-slab halo's worth of
+        # rows per program; fall back to per-sweep kernels when the halo
+        # would dominate the slab
+        H = max(n_smooth, 2) * ny
+        per_row = (_TERMS + 2) * nxp * 4
+        rows_budget = (10 * 1024 * 1024) // per_row
+        if rows_budget >= 2 * H + ny:
+            return PallasSlabFusedScalarLevel(A, n_smooth=n_smooth)
         return PallasScalarLevel(A)
     return XLAScalarLevel(A)

@@ -451,7 +451,8 @@ class GMG:
         big TPU levels (the V-cycle is launch-overhead-bound)."""
         from .pallas.stencil_kernels import scalar_level_ops
 
-        return [scalar_level_ops(A, self.use_pallas) for A in ops]
+        return [scalar_level_ops(A, self.use_pallas,
+                                 n_smooth=self.n_smooth) for A in ops]
 
     def vcycle(self, ops: list, b, level: int = 0, mvs: list | None = None):
         from .pallas.stencil_kernels import XLAScalarLevel

@@ -200,3 +200,60 @@ def test_cpr_pressure_column_matvec():
     ref = du0 + bmv(st.dinv, x - A.matvec(du0))
     np.testing.assert_allclose(np.asarray(du), np.asarray(ref),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_slab_fused_multisweep_level():
+    """Deep-halo slab-tiled multi-sweep kernel (r3): a lattice big enough
+    to tile into several z-slabs must reproduce the per-sweep XLA path
+    exactly for every phase hook (presmooth+residual, postsmooth,
+    sweep_n chunking)."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasSlabFusedScalarLevel,
+        XLAScalarLevel,
+    )
+    from jutul.jl_tpu.ops.stencil import GMG, ScalarStencil
+
+    L = (8, 8, 16)  # 1024 cells, several slabs after tiling
+    n = int(np.prod(L))
+    rng = np.random.default_rng(12)
+    diag = jnp.asarray(np.full(n, 6.0) + rng.uniform(0, 1, n))
+    fs = {0: (8, 8, 15), 1: (8, 7, 16), 2: (7, 8, 16)}
+    plus = {a: jnp.asarray(-np.abs(rng.normal(size=s)))
+            for a, s in fs.items()}
+    minus = {a: jnp.asarray(-np.abs(rng.normal(size=s)))
+             for a, s in fs.items()}
+    A = ScalarStencil(L, diag, plus, minus)
+    b = jnp.asarray(rng.normal(size=n))
+    lv = PallasSlabFusedScalarLevel(A, n_smooth=2, interpret=True,
+                                    vmem_budget=64 * 1024)  # force slabs
+    assert lv.tz < L[0], "budget should force multiple z-slabs"
+    ref = XLAScalarLevel(A)
+
+    u_ref = ref.smooth0(b, 0.8)
+    u_ref = ref.smooth(u_ref, b, 0.8)
+    r_ref = ref.residual(u_ref, b)
+    u_p, r_p = lv.presmooth_residual(b, 0.8, 2)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_ref),
+                               rtol=1e-12, atol=1e-12)
+
+    u0 = jnp.asarray(rng.normal(size=n))
+    u_ref2 = ref.smooth(ref.smooth(u0, b, 0.8), b, 0.8)
+    np.testing.assert_allclose(np.asarray(lv.postsmooth(u0, b, 0.8, 2)),
+                               np.asarray(u_ref2), rtol=1e-12, atol=1e-12)
+
+    u_ref3 = ref.smooth0(b, 0.8)
+    for _ in range(5):
+        u_ref3 = ref.smooth(u_ref3, b, 0.8)
+    np.testing.assert_allclose(np.asarray(lv.sweep_n(b, 0.8, 6)),
+                               np.asarray(u_ref3), rtol=1e-12, atol=1e-12)
+
+    # full V-cycle with slab-fused L0
+    gmg = GMG(n_smooth=2, n_coarse_sweeps=6, min_cells=64)
+    ops = gmg.hierarchy(A)
+    mvs = [lv] + [XLAScalarLevel(Ai) for Ai in ops[1:]]
+    u_v = gmg.vcycle(ops, b, mvs=mvs)
+    u_vref = gmg.vcycle(ops, b, mvs=[XLAScalarLevel(Ai) for Ai in ops])
+    np.testing.assert_allclose(np.asarray(u_v), np.asarray(u_vref),
+                               rtol=1e-11, atol=1e-11)
