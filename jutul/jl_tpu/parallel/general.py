@@ -264,29 +264,36 @@ class GeneralDistributedSimulator:
         if self.comp.neq_total != self.comp.ndof:
             raise NotImplementedError("square cell systems only")
 
-        # contributions: one face flux (any stencil width K — wide WENO/
-        # NFVM stencils get k-ring ghosts) + cell terms
-        self.acc_cons, self.flux_con = [], None
+        # contributions: any number of face-flux terms (each any stencil
+        # width — wide WENO/NFVM stencils get k-ring ghosts; composite
+        # systems contribute several, r3) + cell terms. The per-term
+        # Jacobians concatenate along the stencil axis into ONE wide
+        # jacK, so the SpMV, CPR collapse and adjoint transpose are
+        # term-count agnostic.
+        # each contribution carries its equation's ROW SLICE — a heat
+        # flux must land in the heat rows only (r3 fix: the previous code
+        # broadcast (neq_eq,) contributions across all neq_total columns,
+        # latent for single-equation models, wrong for composite)
+        self.acc_cons, self.flux_cons = [], []
+        nb = np.asarray(mesh.neighborship())
         for info, con, meta in self.comp.contribs:
             if isinstance(con, (AccumulationContribution,
                                 CellTermContribution)):
-                self.acc_cons.append(con)
+                self.acc_cons.append((info.row_slice, con))
             elif isinstance(con, FaceFluxContribution):
-                if self.flux_con is not None:
-                    raise NotImplementedError(
-                        "general DD: a single face-flux term")
-                self.flux_con = con
                 # rows must follow mesh orientation (plus=L, minus=R)
-                nb = np.asarray(mesh.neighborship())
                 if not (np.array_equal(con.plus, nb[:, 0])
                         and np.array_equal(con.minus, nb[:, 1])):
                     raise NotImplementedError(
                         "flux rows must follow mesh neighbor order")
+                self.flux_cons.append((info.row_slice, con))
+        self.flux_con = self.flux_cons[0][1] if self.flux_cons else None
 
         self.dec = GeneralDecomposition(
             mesh, partition, D,
-            stencil=(self.flux_con.stencil if self.flux_con is not None
-                     else None))
+            stencil=(np.concatenate(
+                [np.asarray(c.stencil) for _sl, c in self.flux_cons],
+                axis=1) if self.flux_cons else None))
         dec = self.dec
 
         # per-shard parameter stacks
@@ -427,19 +434,19 @@ class GeneralDistributedSimulator:
         p_own = {k: v[:nom] for k, v in params_cell.items()}
         cs0_own = {k: v[:nom] for k, v in cs0.items()}
         am = own_alive[:, None]
-        for con in self.acc_cons:
+        for sl, con in self.acc_cons:
             def local_fn(u_c, p_c, cs0_c, _c=con):
                 local = dict(p_c)
                 local.update(comp.unpack_dofs(u_c))
                 local = comp._eval_secondaries_local(local)
                 return _c.fn(model, local, cs0_c, dt)
 
-            vals = jax.vmap(local_fn)(U_own, p_own, cs0_own)  # (nom, neq)
-            r = r.at[:nom].add(vals * am)
+            vals = jax.vmap(local_fn)(U_own, p_own, cs0_own)  # (nom, neq_eq)
+            r = r.at[:nom, sl].add(vals * am)
             if with_jac:
                 jac = jax.vmap(jax.jacfwd(local_fn, argnums=0))(
-                    U_own, p_own, cs0_own)  # (nom, neq, ndof)
-                diag = diag.at[:nom].add(jac * am[..., None])
+                    U_own, p_own, cs0_own)  # (nom, neq_eq, ndof)
+                diag = diag.at[:nom, sl].add(jac * am[..., None])
 
         # --- state-dependent pressure BCs (shard-local rows; padding rows
         # carry trans=0 so they contribute exactly zero; mirrors the slab
@@ -469,28 +476,42 @@ class GeneralDistributedSimulator:
         # the block-Jacobi preconditioner.
         diag_acc = diag
         jacK = None
-        if self.flux_con is not None:
-            con = self.flux_con
-            K = self.dec.K
-            u_st = U_ext[face_st]  # (nf, K, ndof)
-            p_st = {k: v[face_st] for k, v in params_cell.items()}
-
-            def flux_fn(u_stk, p_stk, f, _c=con):
-                local = dict(p_stk)
-                local.update(comp.unpack_dofs(u_stk))
-                local = comp._eval_secondaries_local(local)
-                return _c.fn(model, local, f)
-
-            flux = jax.vmap(flux_fn)(u_st, p_st, fp)  # (nf, neq)
+        if self.flux_cons:
             fam = face_alive[:, None]
-            flux = flux * fam
-            r = r.at[row_plus].add(flux)
-            r = r.at[row_minus].add(-flux)
+            jacKs = []
+            off = 0
+            for sl, con in self.flux_cons:
+                Kc = int(np.asarray(con.stencil).shape[1])
+                st_c = face_st[:, off:off + Kc]
+                off += Kc
+                u_st = U_ext[st_c]  # (nf, Kc, ndof)
+                p_st = {k: v[st_c] for k, v in params_cell.items()}
+
+                def flux_fn(u_stk, p_stk, f, _c=con):
+                    local = dict(p_stk)
+                    local.update(comp.unpack_dofs(u_stk))
+                    local = comp._eval_secondaries_local(local)
+                    return _c.fn(model, local, f)
+
+                flux = jax.vmap(flux_fn)(u_st, p_st, fp)  # (nf, neq_eq)
+                flux = flux * fam
+                r = r.at[row_plus, sl].add(flux)
+                r = r.at[row_minus, sl].add(-flux)
+                if with_jac:
+                    jacKc = jax.vmap(jax.jacfwd(flux_fn, argnums=0))(
+                        u_st, p_st, fp)  # (nf, neq_eq, Kc, ndof)
+                    jacKc = jacKc * fam[..., None, None]
+                    # embed into the equation's rows of the full block
+                    full_blk = jnp.zeros(
+                        jacKc.shape[:1] + (neq,) + jacKc.shape[2:],
+                        jacKc.dtype).at[:, sl].set(jacKc)
+                    jacKs.append(full_blk)
             if with_jac:
-                jacK = jax.vmap(jax.jacfwd(flux_fn, argnums=0))(
-                    u_st, p_st, fp)  # (nf, neq, K, ndof)
-                jacK = jacK * fam[..., None, None]
-                for k in range(K):
+                # per-term Jacobians concatenated along the stencil axis:
+                # downstream (SpMV, CPR, adjoint) sees one K-wide flux
+                jacK = (jacKs[0] if len(jacKs) == 1
+                        else jnp.concatenate(jacKs, axis=2))
+                for k in range(self.dec.K):
                     mP = ((face_st[:, k] == face_l)
                           & (face_l < nom))[:, None, None]
                     mM = ((face_st[:, k] == face_r)
