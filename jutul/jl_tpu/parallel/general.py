@@ -664,7 +664,8 @@ class GeneralDistributedSimulator:
                     min_newton: int = 1, tol_factor_final_iteration=1.0,
                     max_residual: float = 1e20, rtol: float = 1e-8,
                     max_lin_it: int = 200, linear_forcing: str = "none",
-                    relaxation=None, preconditioner: str = "block_jacobi"):
+                    relaxation=None, preconditioner: str = "block_jacobi",
+                    _raw: bool = False):
         """The WHOLE ministep Newton loop as ONE SPMD device program:
         ``lax.while_loop`` inside the shard_map body with convergence
         decided from psum/pmax-reduced criteria in the carry — every
@@ -687,6 +688,10 @@ class GeneralDistributedSimulator:
         (parallel/general_cpr.py: shard-local aggregation, psum-
         replicated coarse AMG, halo-aware smoothing; reference
         ext/.../linalg.jl:78).
+
+        ``_raw=True`` returns ``(mini_core, ctab_stack)`` — the
+        stripped-input SPMD body for composition inside a larger
+        shard_map program (used by ``timestep_fn``).
         """
         from ..simulator.simulator import tolerance_for
 
@@ -724,14 +729,12 @@ class GeneralDistributedSimulator:
                     worst = jnp.maximum(worst, jnp.max(arr) / tol)
             return worst
 
-        def local_ministep(state_own, state0_own, cp, fp, tables, q, bc,
-                           ctabs, dt):
-            cp = {k: v[0] for k, v in cp.items()}
-            fp = {k: v[0] for k, v in fp.items()}
-            tabs = tuple(t[0] for t in tables)
-            q1 = q[0]
-            bc1 = tuple(b[0] for b in bc) if bc is not None else None
-            ctabs1 = tuple(t[0] for t in ctabs)
+        def mini_core(state_own, state0_own, cp, fp, tabs, q1, bc1,
+                      ctabs1, dt):
+            """Whole-ministep Newton on ALREADY-STRIPPED shard-local
+            inputs. Separated from the shard_map wrapper so the in-jit
+            report-step program (``timestep_fn``) can compose it inside
+            its own dt-cutting ``lax.while_loop``."""
             nh = self._n_halo_tabs
             (face_l, face_r, row_plus, row_minus,
              face_alive, own_alive, face_st) = tabs[nh:]
@@ -828,6 +831,20 @@ class GeneralDistributedSimulator:
                                      & (err <= tol_final)))
             return s, its, err, converged, lin
 
+        if _raw:
+            return mini_core, ctab_stack
+
+        def local_ministep(state_own, state0_own, cp, fp, tables, q, bc,
+                           ctabs, dt):
+            cp = {k: v[0] for k, v in cp.items()}
+            fp = {k: v[0] for k, v in fp.items()}
+            tabs = tuple(t[0] for t in tables)
+            q1 = q[0]
+            bc1 = tuple(b[0] for b in bc) if bc is not None else None
+            ctabs1 = tuple(t[0] for t in ctabs)
+            return mini_core(state_own, state0_own, cp, fp, tabs, q1, bc1,
+                             ctabs1, dt)
+
         state_spec = {k: P(ax) for k in self.global_model.primary_variables}
         cp_spec = {k: P(ax) for k in self.cell_params}
         fp_spec = {k: P(ax) for k in self.face_params}
@@ -857,6 +874,203 @@ class GeneralDistributedSimulator:
                       q0 if q is None else q, bc, ctab_stack, dt)
 
         return step
+
+    # -- fully jitted report step: dt cutting inside shard_map ------------
+    def timestep_fn(self, cap: int = 20, max_timestep_cuts: int = 5,
+                    cut_factor: float = 0.5, growth_factor: float = 2.0,
+                    target_its=None, dt_max_increase: float = 10.0,
+                    dt_max_decrease: float = 0.1, **mini_kwargs):
+        """A WHOLE report step as ONE SPMD device program: the ministep
+        Newton ``while_loop`` (``ministep_fn``'s core) nested inside a
+        dt-cutting ``lax.while_loop``, all inside one ``shard_map`` — one
+        device execution per report step instead of one per ministep.
+        This is the distributed counterpart of the single-device
+        ``_build_timestep_fn`` (simulator.py:460; reference: the per-rank
+        reuse of the full timestep machinery,
+        ext/JutulPartitionedArraysExt/overloads.jl:155 +
+        src/simulator/timesteps.jl:51 cut_timestep).
+
+        Every dt decision is computed from psum/pmax-reduced replicated
+        scalars, so all shards cut/grow dt in lockstep with NO host
+        round-trip — on the real TPU tunnel, host syncs cost seconds each
+        (docs/tpu.md), so this collapses a multi-ministep report step to
+        one launch.
+
+        In-jit dt selection: ``target_its`` (IterationTimestepSelector's
+        formula) when given, else fixed ``growth_factor``; clamped by
+        ``dt_max_increase``/``dt_max_decrease`` per ministep and damped
+        right after a cut. Per-ministep records land in fixed-capacity
+        (``cap``) replicated buffers.
+
+        Returns jittable ``(state, dT, q, bc, dt_init) ->
+        (state, t_done, n_minis, aborted, bufs)``; ``aborted`` is True if
+        a ministep failed with ``max_timestep_cuts`` already spent
+        (caller raises, matching the eager path).
+        """
+        mini_core, ctab_stack = self.ministep_fn(_raw=True, **mini_kwargs)
+        ax = self.axis
+        cut_f = float(cut_factor)
+        growth = float(growth_factor)
+        max_cuts = int(max_timestep_cuts)
+        max_inc = float(dt_max_increase)
+        max_dec = float(dt_max_decrease)
+        tgt = target_its
+
+        def pick_next(dt_prev, its, after_cut):
+            if tgt is not None:
+                t, off = float(tgt), 1.0
+                its_f = jnp.maximum(its, 1).astype(dt_prev.dtype)
+                dt = dt_prev * (t + off) / (its_f + off)
+            else:
+                dt = dt_prev * growth
+            dt = jnp.clip(dt, dt_prev * max_dec, dt_prev * max_inc)
+            return jnp.where(after_cut, jnp.minimum(dt, dt_prev), dt)
+
+        def local_timestep(state_own, cp, fp, tables, q, bc, ctabs, dT,
+                           dt_init):
+            cp1 = {k: v[0] for k, v in cp.items()}
+            fp1 = {k: v[0] for k, v in fp.items()}
+            tabs = tuple(t[0] for t in tables)
+            q1 = q[0]
+            bc1 = tuple(b[0] for b in bc) if bc is not None else None
+            ctabs1 = tuple(t[0] for t in ctabs)
+            dT_ = jnp.asarray(dT)
+            fdt = dT_.dtype
+            bufs0 = {
+                "dt": jnp.zeros(cap, fdt),
+                "iterations": jnp.zeros(cap, jnp.int32),
+                "linear_iterations": jnp.zeros(cap, jnp.int32),
+                "success": jnp.zeros(cap, bool),
+                "error": jnp.zeros(cap, fdt),
+            }
+
+            def cond(carry):
+                _s, t_done, _dt, _cuts, _k, aborted, _b = carry
+                return (~aborted) & (t_done < dT_ * (1 - 1e-12))
+
+            def body(carry):
+                s_c, t_done, dt, cuts, k, _ab, bufs = carry
+                dt_eff = jnp.minimum(dt, dT_ - t_done)
+                s_new, its, err, ok, lin = mini_core(
+                    s_c, s_c, cp1, fp1, tabs, q1, bc1, ctabs1, dt_eff)
+                idx = jnp.minimum(k, cap - 1)
+                bufs = {
+                    "dt": bufs["dt"].at[idx].set(dt_eff),
+                    "iterations": bufs["iterations"].at[idx].set(its),
+                    "linear_iterations":
+                        bufs["linear_iterations"].at[idx].set(lin),
+                    "success": bufs["success"].at[idx].set(ok),
+                    "error": bufs["error"].at[idx].set(err),
+                }
+                s_n = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), s_new, s_c)
+                t_next = jnp.where(ok, t_done + dt_eff, t_done)
+                aborted = (~ok) & (cuts >= max_cuts)
+                cuts_n = jnp.where(ok, 0, cuts + 1)
+                dt_next = jnp.where(ok, pick_next(dt_eff, its, cuts > 0),
+                                    dt_eff * cut_f)
+                return (s_n, t_next, dt_next, cuts_n, k + 1, aborted, bufs)
+
+            carry0 = (dict(state_own), jnp.zeros_like(dT_),
+                      jnp.minimum(jnp.asarray(dt_init, fdt), dT_),
+                      jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                      jnp.asarray(False), bufs0)
+            s, t_done, _dt, _cuts, k, aborted, bufs = jax.lax.while_loop(
+                cond, body, carry0)
+            return s, t_done, k, aborted, bufs
+
+        state_spec = {k: P(ax) for k in self.global_model.primary_variables}
+        cp_spec = {k: P(ax) for k in self.cell_params}
+        fp_spec = {k: P(ax) for k in self.face_params}
+        tables = self.engine_tables()
+        tab_spec = tuple(P(ax) for _ in tables)
+        buf_spec = {k: P() for k in
+                    ("dt", "iterations", "linear_iterations", "success",
+                     "error")}
+
+        def make(bc_spec):
+            return jax.shard_map(
+                local_timestep,
+                mesh=self.device_mesh,
+                in_specs=(state_spec, cp_spec, fp_spec, tab_spec, P(ax),
+                          bc_spec, (P(ax),) * 4, P(), P()),
+                out_specs=(state_spec, P(), P(), P(), buf_spec),
+                check_vma=False,
+            )
+
+        smapped = make(None)
+        smapped_bc = make((P(ax), P(ax), P(ax), P(ax)))
+        cp = {k: jnp.asarray(v) for k, v in self.cell_params.items()}
+        fp = {k: jnp.asarray(v) for k, v in self.face_params.items()}
+        q0 = jnp.zeros((self.n_devices, self.dec.n_own_max,
+                        self.comp.neq_total))
+
+        @jax.jit
+        def step(state, dT, q=None, bc=None, dt_init=None):
+            fn = smapped if bc is None else smapped_bc
+            d0 = dT if dt_init is None else dt_init
+            return fn(state, cp, fp, tables, q0 if q is None else q, bc,
+                      ctab_stack, dT, d0)
+
+        return step
+
+    def _timestep_program(self, ts_kwargs: dict):
+        """Build-once cache of the jitted whole-report-step program keyed
+        by the baked-in configuration (mirrors ``_ministep_program``)."""
+        relax = ts_kwargs.get("relaxation")
+        key = tuple(sorted(
+            (k, repr(v) if k != "relaxation"
+             else f"{type(v).__name__}:{vars(v) if v else None}")
+            for k, v in ts_kwargs.items()))
+        if getattr(self, "_ts_key", None) != key:
+            self._ts_jit = self.timestep_fn(**ts_kwargs)
+            self._ts_key = key
+        return self._ts_jit
+
+    def solve_timestep_jit(self, state, dT, forces=None, dt_init=None,
+                           max_newton: int = 15, tol_cnv: float = 1e-3,
+                           cap: int = 20, max_timestep_cuts: int = 5,
+                           cut_factor: float = 0.5,
+                           growth_factor: float = 2.0, target_its=None,
+                           **mini_kwargs):
+        """Run one report step in ONE device execution (ministeps AND dt
+        cuts in-jit). Returns (state, total Newton its); per-ministep
+        detail in ``self.last_report``. Raises on abort (cuts exhausted),
+        matching ``solve_timestep``. Unlike the eager path this cannot
+        record intermediate substates (``output_substates`` needs the
+        eager path)."""
+        mini_kwargs.setdefault("tolerances", float(tol_cnv))
+        mini_kwargs["max_newton"] = max_newton
+        ts_kwargs = dict(cap=cap, max_timestep_cuts=max_timestep_cuts,
+                         cut_factor=cut_factor, growth_factor=growth_factor,
+                         target_its=target_its, **mini_kwargs)
+        step = self._timestep_program(ts_kwargs)
+        q = (jnp.asarray(self.stack_cell_sources(forces))
+             if forces else None)
+        bc = self.stack_boundary_conditions(forces) if forces else None
+        if bc is not None:
+            bc = tuple(jnp.asarray(a) for a in bc)
+        s, t_done, k, aborted, bufs = step(dict(state), float(dT), q, bc,
+                                           dt_init)
+        k = int(np.asarray(k))
+        if bool(np.asarray(aborted)):
+            raise RuntimeError(
+                f"general-partition report step aborted after "
+                f"{max_timestep_cuts} dt cuts (dT={float(dT):g}, "
+                f"t_done={float(np.asarray(t_done)):g})")
+        bufs = {name: np.asarray(v) for name, v in bufs.items()}
+        if k > cap:
+            print(f"Warning: {k} ministeps exceeded cap={cap}; "
+                  f"reports truncated.")
+        minis = [{"dt": float(bufs["dt"][i]),
+                  "success": bool(bufs["success"][i]),
+                  "iterations": int(bufs["iterations"][i]),
+                  "linear_iterations": int(bufs["linear_iterations"][i]),
+                  "errors": [float(bufs["error"][i])]}
+                 for i in range(min(k, cap))]
+        self.last_report = {"ministeps": minis, "success": True}
+        self.last_substates = []
+        return s, int(bufs["iterations"][:min(k, cap)].sum())
 
     # -- forces ----------------------------------------------------------
     def stack_cell_sources(self, forces) -> np.ndarray:
@@ -997,6 +1211,10 @@ class GeneralDistributedSimulator:
                 else:
                     dt = min(dt * growth_factor,
                              dT - t_done if t_done < dT else dt)
+                    if after_cut:
+                        # damp growth right after a cut (matches the
+                        # in-jit builders; avoids an immediate re-fail)
+                        dt = min(dt, dt_eff)
             else:
                 cuts += 1
                 if cuts > max_timestep_cuts:
@@ -1011,7 +1229,7 @@ class GeneralDistributedSimulator:
     def simulate(self, state0, timesteps, forces=None, max_newton: int = 15,
                  tol_cnv: float = 1e-3, output_path=None,
                  output_substates: bool = False, info_level: int = 0,
-                 **kwargs):
+                 jit_timestep: bool = False, **kwargs):
         """Schedule-driven run mirroring the slab surface: per-step forces
         (dict or list), optional per-step npz output, states gathered to
         global mesh order. ``output_substates=True`` attaches the accepted
@@ -1019,19 +1237,37 @@ class GeneralDistributedSimulator:
         ``"substates"``), so ``expand_to_ministeps`` can rebuild the exact
         ministep sequence the adjoint requires after dt cuts. Extra
         ``kwargs`` reach solve_timestep (selectors, tolerances,
-        relaxation, linear_forcing, ...)."""
+        relaxation, linear_forcing, ...).
+
+        ``jit_timestep=True`` runs each report step as ONE device
+        execution (``solve_timestep_jit``: in-jit ministeps AND dt cuts)
+        — the launch-count-optimal product path for the TPU tunnel.
+        Incompatible with ``output_substates`` and Python
+        ``timestep_selectors`` (in-jit selection via ``target_its``)."""
         import time as _time
 
+        if jit_timestep and output_substates:
+            raise NotImplementedError(
+                "output_substates needs the eager per-ministep path")
+        if jit_timestep and kwargs.get("timestep_selectors"):
+            raise NotImplementedError(
+                "jit_timestep uses in-jit dt selection: pass target_its "
+                "instead of timestep_selectors")
         cur = self.shard_state(state0)
         prev = cur
         states, reports = [], []
         for n, dt in enumerate(timesteps):
             f = forces[n] if isinstance(forces, (list, tuple)) else forces
             t0 = _time.perf_counter()
-            cur, its = self.solve_timestep(cur, prev, dt,
-                                           max_newton=max_newton,
-                                           tol_cnv=tol_cnv, forces=f,
-                                           **kwargs)
+            if jit_timestep:
+                cur, its = self.solve_timestep_jit(
+                    cur, dt, forces=f, max_newton=max_newton,
+                    tol_cnv=tol_cnv, **kwargs)
+            else:
+                cur, its = self.solve_timestep(cur, prev, dt,
+                                               max_newton=max_newton,
+                                               tol_cnv=tol_cnv, forces=f,
+                                               **kwargs)
             wall = _time.perf_counter() - t0
             prev = cur
             host = self.gather_state(cur)

@@ -812,3 +812,48 @@ def test_general_partition_composite_two_fluxes():
                                atol=1e-9)
     np.testing.assert_allclose(sd[-1]["C"], np.asarray(sr[-1]["C"]),
                                atol=1e-9)
+
+
+def test_general_partition_jit_timestep_matches_eager():
+    """Whole-report-step SPMD program (r3): in-jit ministep loop + dt
+    cutting inside ONE shard_map execution must reproduce the eager
+    per-ministep path — including on a step that needs a dt cut — and
+    produce an honest per-ministep report (distributed counterpart of
+    solve_timestep_jit, simulator.py:559)."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    require_devices(4)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(seed=5)
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    # strong source + big dt: the first ministep must fail and be cut,
+    # exercising the in-jit cutting branch
+    q = np.zeros((1, 2))
+    q[0, 0] = 2.0
+    forces = {"src": PhaseSourceTerm([0], q)}
+    dts = [2.0 * DAY, 1.0 * DAY]
+
+    s_jit, rep_jit = dsim.simulate(state0, dts, forces=forces,
+                                   max_newton=6, tol_cnv=1e-4,
+                                   info_level=-1, jit_timestep=True)
+    minis = rep_jit[0]["ministeps"]
+    assert any(not m["success"] for m in minis), "expected an in-jit cut"
+    assert sum(m["dt"] for m in minis if m["success"]) == pytest.approx(
+        2.0 * DAY)
+
+    s_eag, rep_eag = dsim.simulate(state0, dts, forces=forces,
+                                   max_newton=6, tol_cnv=1e-4,
+                                   info_level=-1)
+    np.testing.assert_allclose(s_jit[-1]["Pressure"],
+                               s_eag[-1]["Pressure"], rtol=1e-10)
+    np.testing.assert_allclose(s_jit[-1]["Saturations"],
+                               s_eag[-1]["Saturations"], atol=1e-12)
+    # identical ministep sequencing (same dts attempted, same outcomes)
+    for mj, me in zip(minis, rep_eag[0]["ministeps"]):
+        assert mj["success"] == me["success"]
+        assert mj["dt"] == pytest.approx(me["dt"])
+        assert mj["iterations"] == me["iterations"]
