@@ -478,10 +478,35 @@ def _run_worker(grid, n_step, timeout_s, extra_env=None):
     return None, f"no JSON in worker output: {(proc.stdout or '')[-400:]}"
 
 
+def _probe_canary(timeout_s=160):
+    """Classify the TPU worker (HEALTHY/DEGRADED/HUNG) before spending
+    rung budget on it. A hung worker blocks host syncs entirely, so a
+    blind bank-rung attempt would burn its full timeout; the canary
+    (~1.7 TFLOP fixed matmul loop, self-capped at 120 s) answers in
+    seconds when healthy. See scripts/tpu_canary.py + docs/tpu.md."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "tpu_canary.py")
+    try:
+        p = subprocess.run([sys.executable, script], timeout=timeout_s,
+                           text=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        return "HUNG", "canary: outer timeout"
+    out = (p.stdout or "") + (p.stderr or "")
+    line = out.strip().splitlines()[-1] if out.strip() else ""
+    for state in ("HEALTHY", "DEGRADED", "HUNG"):
+        if state in out:
+            return state, line
+    return "UNKNOWN", line[-200:]
+
+
 def _orchestrate():
     """Bank-first ladder (VERDICT r2 item 1: a bench that cannot fail to
     deliver a TPU number inside the driver's ~25-min budget).
 
+    0. Canary-probe the worker (~3 min worst case). HUNG -> one 4-min
+       rest + re-probe; still HUNG -> skip straight to the CPU fallback
+       (honestly labeled) instead of burning 16 min of rung timeouts on
+       a worker that cannot answer.
     1. BANK a small known-survivable TPU result first (131k cells, ~2-4
        min incl. compile + the 1e-8 refinement record) while the worker
        is fresh — measured r2: crash probability grows with execution
@@ -491,12 +516,42 @@ def _orchestrate():
        result if it lands, else the banked one (degraded-labeled).
     3. CPU fallback only if both TPU rungs fail.
 
-    Worst case ~20 min (420 + 540 + 240 s); no inter-rung sleeps — the
-    banked result means a crashed 1M attempt costs nothing extra."""
+    Worst case ~23 min; no inter-rung sleeps — the banked result means
+    a crashed 1M attempt costs nothing extra."""
     errors = []
+
+    health, canary_line = "SKIPPED", ""
+    if not os.environ.get("BENCH_FORCE_CPU"):
+        health, canary_line = _probe_canary()
+        print(f"# {canary_line} [{health}]", file=sys.stderr)
+        if health == "HUNG":
+            time.sleep(240)
+            health, canary_line = _probe_canary()
+            print(f"# re-probe: {canary_line} [{health}]", file=sys.stderr)
+    if health == "HUNG":
+        errors.append(f"tpu worker hung: {canary_line}")
+        result, err = _run_worker("32,32,8", 2, 240, {"BENCH_FORCE_CPU": "1"})
+        if result is not None:
+            result["degraded"] = "cpu_fallback_tpu_worker_hung"
+            result["tpu_worker_health"] = health
+            result["tpu_errors"] = [e[-300:] for e in errors]
+            print(json.dumps(result))
+            return 0
+        errors.append(f"cpu fallback: {err}")
+        print(json.dumps({
+            "metric": "two-phase Darcy product bench (worker hung, "
+                      "cpu fallback failed)",
+            "value": 0.0, "unit": "cell-Newton-iterations/sec",
+            "vs_baseline": 0.0, "degraded": "all_attempts_failed",
+            "errors": [e[-300:] for e in errors],
+        }))
+        return 0
 
     small_grid = os.environ.get("BENCH_SMALL_GRID", "64,64,32")  # 131k
     banked, err = _run_worker(small_grid, 4, 420)
+    if banked is not None:
+        banked["tpu_worker_health"] = health
+        banked["canary"] = canary_line
     if banked is None:
         errors.append(f"bank({small_grid}): {err}")
         print(f"# bench bank rung failed: {err[-300:]}", file=sys.stderr)
@@ -512,6 +567,8 @@ def _orchestrate():
         print(f"# bench flagship rung failed: {err[-300:]}", file=sys.stderr)
 
     if flag is not None:
+        flag["tpu_worker_health"] = health
+        flag["canary"] = canary_line
         if banked is not None:
             flag["small_rung"] = {
                 k: banked[k] for k in
