@@ -1,11 +1,23 @@
-"""TPU worker health canary: a fixed ~1.7 TFLOP matmul loop.
+"""TPU worker health canary: staged probe with a fixed matmul workload.
 
 The shared axon worker degrades within/across sessions (up to 28x,
-recovering over idle time) and a crashed worker can HANG host syncs
-entirely — see docs/tpu.md. Run this BEFORE any perf measurement.
-Run as `python scripts/tpu_canary.py` (self-subprocesses with a 120 s
-timeout so a hung worker reports HUNG instead of blocking forever).
-Healthy exec is well under 200 ms."""
+recovering over idle time); a crashed worker can HANG host syncs
+entirely; and a third state exists (measured r3): ALIVE-BUT-SLOW, where
+a trivial host sync takes ~50 s and compute runs orders of magnitude
+under speed — see docs/tpu.md. Run this BEFORE any perf measurement.
+
+Stages (each line flushed, so a timeout still reports how far we got):
+  1. tiny sync  — an 8x8 matmul summed to a host scalar (healthy <1 s)
+  2. compile    — remote compilation of the fixed workload
+  3. exec x2    — ~0.34 TFLOP (20-iter 2048^2 matmul loop), timed to a
+                  host scalar; healthy well under 100 ms
+
+Classification: HUNG (stage 1 never answers), SLOW (stage 1 answers but
+the full probe cannot finish in time), DEGRADED (finishes, exec2 slow —
+factor printed), HEALTHY. Run as `python scripts/tpu_canary.py` (self-
+subprocesses with a 140 s timeout so a hung worker reports instead of
+blocking forever).
+"""
 import os
 import subprocess
 import sys
@@ -15,8 +27,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+HEALTHY_EXEC_S = 0.10  # 20-iter loop, healthy v5e measures ~40-80 ms
+
 
 def main():
+    # stage 1: the cheapest possible round-trip — distinguishes a truly
+    # hung worker (nothing answers) from an alive-but-slow one
+    t0 = time.perf_counter()
+    tiny = float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
+    t_tiny = time.perf_counter() - t0
+    assert np.isfinite(tiny)
+    print(f"canary-stage1: sync ok in {t_tiny:.1f}s", flush=True)
+
     a = jnp.asarray(np.random.default_rng(0).normal(size=(2048, 2048)),
                     jnp.float32) * 1e-3
 
@@ -25,11 +47,12 @@ def main():
         def body(_, x):
             return jnp.tanh(x @ x + 0.1)
 
-        return jax.lax.fori_loop(0, 100, body, a)
+        return jax.lax.fori_loop(0, 20, body, a)
 
     t0 = time.perf_counter()
     f.lower(a).compile()
     t_compile = time.perf_counter() - t0
+    print(f"canary-stage2: compile {t_compile:.1f}s", flush=True)
     # device->host transfer: the tunnel's block_until_ready returns
     # early, so time to a host scalar instead
     t0 = time.perf_counter()
@@ -40,10 +63,14 @@ def main():
     t_exec2 = time.perf_counter() - t0
     assert np.isfinite(s1) and np.isfinite(s2)
     dev = jax.devices()[0]
+    if t_exec2 < HEALTHY_EXEC_S:
+        state = "HEALTHY"
+    else:
+        state = f"DEGRADED {t_exec2 / HEALTHY_EXEC_S:.0f}x"
     print(f"canary[{dev.platform}:{dev.device_kind}]: "
-          f"compile {t_compile:.1f}s exec {t_exec * 1e3:.0f}ms "
-          f"exec2 {t_exec2 * 1e3:.0f}ms "
-          f"({'HEALTHY' if t_exec2 < 0.2 else 'DEGRADED'})")
+          f"sync {t_tiny:.1f}s compile {t_compile:.1f}s "
+          f"exec {t_exec * 1e3:.0f}ms exec2 {t_exec2 * 1e3:.0f}ms "
+          f"({state})", flush=True)
     return t_exec2
 
 
@@ -55,10 +82,19 @@ if __name__ == "__main__":
         env["_CANARY_INNER"] = "1"
         try:
             p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=120, text=True,
+                               env=env, timeout=140, text=True,
                                capture_output=True)
             sys.stdout.write(p.stdout)
             sys.stderr.write(p.stderr[-300:] if p.returncode else "")
-        except subprocess.TimeoutExpired:
-            print("canary: HUNG (no host sync within 120s — worker is in "
-                  "the post-crash hang state; do not measure)")
+        except subprocess.TimeoutExpired as e:
+            partial = e.output or b""
+            if isinstance(partial, bytes):
+                partial = partial.decode(errors="replace")
+            if "canary-stage1" in partial:
+                got = [ln for ln in partial.strip().splitlines()][-1]
+                print("canary: SLOW (worker answers host syncs but could "
+                      f"not finish the probe within 140s; last: {got!r} — "
+                      "do not measure)")
+            else:
+                print("canary: HUNG (no host sync within 140s — worker is "
+                      "in the post-crash hang state; do not measure)")
