@@ -1,0 +1,258 @@
+"""Fused BiCGStab body kernels (Mosaic/TPU).
+
+VERDICT r2 weak item 2: the Krylov+CPR stage is launch-overhead-bound
+and, after the GMG V-cycle fusions, the remaining small-op tonnage is
+the BiCGStab body itself — ~9 XLA op groups (5 dot reductions + 4
+elementwise axpy chains) per iteration between the matvec/precond
+calls. This module collapses them into TWO multi-phase Mosaic kernels
+per iteration by exploiting the TPU's *sequential* grid execution:
+a leading grid axis is the phase, SMEM scratch carries reductions
+across phases, and later phases consume scalars the earlier phases
+produced — one pallas_call instead of a reduce + dependent map chain.
+
+Algorithm (right-preconditioned BiCGStab, reference
+linsolve/krylov.jl:34 solver=:bicgstab), restructured so each
+iteration is::
+
+    phat = precond(p); v = matvec(phat)
+    s, alpha           = fused_alpha_s(rhat, r, v, rho)      # kernel A
+    shat = precond(s); t = matvec(shat)
+    x, r, p, rho', res2, ok = fused_omega_update(...)        # kernel B
+
+Kernel A (grid = (2, T)):
+  phase 0  accumulate denom = <rhat, v> into SMEM scratch
+  phase 1  alpha = rho/denom;  s = r - alpha*v
+
+Kernel B (grid = (3, T)):
+  phase 0  accumulate tt = <t, t>, ts = <t, s>
+  phase 1  omega = ts/tt; x += alpha*phat + omega*shat;
+           r' = s - omega*t; accumulate rho' = <rhat, r'>,
+           res2 = <r', r'>
+  phase 2  beta = (rho'/rho)(alpha/omega);
+           p' = r' + beta*(p - omega*v)   (r' recomputed in-register)
+
+The p-update for iteration k+1 is thereby fused into iteration k's
+closing kernel — the classical leading "rho/beta/p" group disappears
+from the loop body entirely.
+
+Vectors are processed as (R, 128) tiles (R a multiple of 8, zero
+padded); zero padding is preserved by every update, and contributes
+nothing to the dots. All reductions accumulate f32 per 128-lane block
+then sum, matching the XLA chain's f32 semantics to roundoff.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_ROWS = 512  # (512, 128) f32 tile = 256 KiB per stream
+
+
+def _pad_to_tiles(n: int):
+    """rows R (multiple of 8) and tile split for a length-n vector."""
+    R = -(-n // 128)
+    R = -(-R // 8) * 8
+    tr = min(_TILE_ROWS, R)
+    T = -(-R // tr)
+    R = T * tr
+    return R, tr, T
+
+
+def _as_tiles(v, R):
+    n = v.shape[0]
+    return jnp.pad(v, (0, R * 128 - n)).reshape(R, 128)
+
+
+def _kernel_alpha_s(rho_ref, rhat_ref, r_ref, v_ref, s_ref, alpha_ref,
+                    acc, *, T):
+    ph = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ph == 0, i == 0))
+    def _():
+        acc[0] = 0.0
+
+    @pl.when(ph == 0)
+    def _():
+        acc[0] += jnp.sum(rhat_ref[...] * v_ref[...])
+        s_ref[...] = r_ref[...]  # placeholder: every visit writes
+
+    @pl.when(ph == 1)
+    def _():
+        denom = acc[0]
+        alpha = rho_ref[0, 0] / jnp.where(denom != 0, denom, 1e-30)
+        s_ref[...] = r_ref[...] - alpha * v_ref[...]
+
+        @pl.when(i == T - 1)
+        def _():
+            alpha_ref[0, 0] = alpha
+
+
+def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
+                         phat_ref, shat_ref, x_ref, p_ref, v_ref,
+                         x_out, r_out, p_out, omega_ref, rho_out,
+                         res2_ref, acc, *, T):
+    ph = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ph == 0, i == 0))
+    def _():
+        acc[0] = 0.0  # tt
+        acc[1] = 0.0  # ts
+        acc[2] = 0.0  # rho'
+        acc[3] = 0.0  # res2
+
+    @pl.when(ph == 0)
+    def _():
+        t = t_ref[...]
+        acc[0] += jnp.sum(t * t)
+        acc[1] += jnp.sum(t * s_ref[...])
+        # placeholders: every output block is written on every visit so
+        # the pipeline never flushes an undefined window
+        x_out[...] = x_ref[...]
+        r_out[...] = s_ref[...]
+        p_out[...] = p_ref[...]
+
+    def _omega():
+        tt = acc[0]
+        return acc[1] / jnp.where(tt != 0, tt, 1e-30)
+
+    @pl.when(ph == 1)
+    def _():
+        omega = _omega()
+        alpha = alpha_ref[0, 0]
+        r_new = s_ref[...] - omega * t_ref[...]
+        x_out[...] = (x_ref[...] + alpha * phat_ref[...]
+                      + omega * shat_ref[...])
+        r_out[...] = r_new
+        p_out[...] = p_ref[...]
+        acc[2] += jnp.sum(rhat_ref[...] * r_new)
+        acc[3] += jnp.sum(r_new * r_new)
+
+    @pl.when(ph == 2)
+    def _():
+        omega = _omega()
+        alpha = alpha_ref[0, 0]
+        rho_new = acc[2]
+        rho_old = rho_ref[0, 0]
+        beta = (rho_new / jnp.where(rho_old != 0, rho_old, 1e-30)) * (
+            alpha / jnp.where(omega != 0, omega, 1e-30))
+        # r' recomputed in-register: output windows are not revisitable
+        # across an intervening block sweep
+        r_new = s_ref[...] - omega * t_ref[...]
+        p_out[...] = r_new + beta * (p_ref[...] - omega * v_ref[...])
+        x_out[...] = (x_ref[...] + alpha * phat_ref[...]
+                      + omega * shat_ref[...])
+        r_out[...] = r_new
+
+        @pl.when(i == T - 1)
+        def _():
+            omega_ref[0, 0] = omega
+            rho_out[0, 0] = rho_new
+            res2_ref[0, 0] = acc[3]
+
+
+def _scalar_spec():
+    return pl.BlockSpec((1, 1), lambda ph, i: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _tile_spec(tr):
+    return pl.BlockSpec((tr, 128), lambda ph, i: (i, 0))
+
+
+def fused_alpha_s(rhat, r, v, rho, interpret: bool | None = None):
+    """(s, alpha) with s = r - (rho/<rhat,v>) v — one pallas call."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = r.shape[0]
+    R, tr, T = _pad_to_tiles(n)
+    args = [_as_tiles(u, R) for u in (rhat, r, v)]
+    rho2 = jnp.reshape(rho.astype(jnp.float32), (1, 1))
+    s, alpha = pl.pallas_call(
+        partial(_kernel_alpha_s, T=T),
+        grid=(2, T),
+        in_specs=[_scalar_spec()] + [_tile_spec(tr)] * 3,
+        out_specs=[_tile_spec(tr), _scalar_spec()],
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        interpret=interpret,
+    )(rho2, *args)
+    return s.reshape(-1)[:n], alpha[0, 0]
+
+
+def fused_omega_update(rhat, t, s, phat, shat, x, p, v, rho, alpha,
+                       interpret: bool | None = None):
+    """Closing kernel: (x', r', p_next, omega, rho', res2)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = x.shape[0]
+    R, tr, T = _pad_to_tiles(n)
+    args = [_as_tiles(u, R) for u in (rhat, t, s, phat, shat, x, p, v)]
+    rho2 = jnp.reshape(rho.astype(jnp.float32), (1, 1))
+    alpha2 = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
+    x2, r2, p2, omega, rho_new, res2 = pl.pallas_call(
+        partial(_kernel_omega_update, T=T),
+        grid=(3, T),
+        in_specs=[_scalar_spec()] * 2 + [_tile_spec(tr)] * 8,
+        out_specs=[_tile_spec(tr)] * 3 + [_scalar_spec()] * 3,
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+        interpret=interpret,
+    )(rho2, alpha2, *args)
+    return (x2.reshape(-1)[:n], r2.reshape(-1)[:n], p2.reshape(-1)[:n],
+            omega[0, 0], rho_new[0, 0], res2[0, 0])
+
+
+def bicgstab_fused(matvec, b, x0=None, maxiter: int = 200,
+                   rtol: float = 1e-8, atol: float = 0.0,
+                   precond=None, interpret: bool | None = None):
+    """Right-preconditioned BiCGStab with the fused Mosaic body.
+
+    Drop-in for linsolve.krylov.bicgstab on the single-device stencil
+    path (f32): identical update formulas, the leading rho/beta/p group
+    folded into the previous iteration's closing kernel. Returns
+    (x, {iterations, residual, converged}).
+    """
+    if precond is None:
+        precond = lambda z: z
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    b = b.astype(jnp.float32)
+    x0 = x0.astype(jnp.float32)
+    bnorm = jnp.sqrt(jnp.dot(b, b))
+    tol = jnp.maximum(rtol * bnorm, atol)
+    tol2 = tol * tol
+
+    r0 = (b - matvec(x0)).astype(jnp.float32)
+    rhat = r0
+    rho0 = jnp.dot(rhat, r0)
+    res2_0 = jnp.dot(r0, r0)
+
+    def cond(carry):
+        x, r, p, rho, it, res2 = carry
+        return jnp.logical_and(res2 > tol2, it < maxiter)
+
+    def step(carry):
+        x, r, p, rho, it, _res2 = carry
+        phat = precond(p).astype(jnp.float32)
+        v = matvec(phat).astype(jnp.float32)
+        s, alpha = fused_alpha_s(rhat, r, v, rho, interpret=interpret)
+        shat = precond(s).astype(jnp.float32)
+        t = matvec(shat).astype(jnp.float32)
+        x, r, p, _omega, rho_new, res2 = fused_omega_update(
+            rhat, t, s, phat, shat, x, p, v, rho, alpha,
+            interpret=interpret)
+        return (x, r, p, rho_new, it + 1, res2)
+
+    # p_1 = r_0 (the folded p-update's first output); rho_1 = <rhat,r0>
+    carry0 = (x0, r0, r0, rho0, 0, res2_0)
+    x, r, *_, it, res2 = jax.lax.while_loop(cond, step, carry0)
+    res = jnp.sqrt(res2)
+    return x, {"iterations": it, "residual": res, "converged": res <= tol}

@@ -588,11 +588,16 @@ class StencilKrylovSolver:
 
     def __init__(self, preconditioner: StencilCPR | None = None,
                  rtol: float = 1e-6, atol: float = 0.0,
-                 max_iterations: int = 100):
+                 max_iterations: int = 100,
+                 use_fused_body: bool | None = None):
         self.preconditioner = preconditioner or StencilCPR()
         self.rtol = rtol
         self.atol = atol
         self.max_iterations = max_iterations
+        # fused Mosaic BiCGStab body (ops/pallas/krylov_kernels.py):
+        # None -> auto (TPU + f32 working dtype only; the kernels are
+        # f32 and the f64 CPU conformance paths must stay exact)
+        self.use_fused_body = use_fused_body
 
     def solve(self, A: StencilMatrix, r, rtol=None):
         from ..linsolve.krylov import bicgstab
@@ -609,8 +614,21 @@ class StencilKrylovSolver:
             return self.preconditioner.apply(pstate, A,
                                              x.reshape(n, neq)).reshape(-1)
 
-        du, stats = bicgstab(matvec, (-r).reshape(-1),
-                             maxiter=self.max_iterations,
-                             rtol=self.rtol if rtol is None else rtol,
-                             atol=self.atol, precond=M)
+        fused = self.use_fused_body
+        if fused is None:
+            fused = (jax.default_backend() == "tpu"
+                     and A.diag.dtype == jnp.float32)
+        if fused:
+            from .pallas.krylov_kernels import bicgstab_fused
+
+            du, stats = bicgstab_fused(
+                matvec, (-r).reshape(-1).astype(jnp.float32),
+                maxiter=self.max_iterations,
+                rtol=self.rtol if rtol is None else rtol,
+                atol=self.atol, precond=M)
+        else:
+            du, stats = bicgstab(matvec, (-r).reshape(-1),
+                                 maxiter=self.max_iterations,
+                                 rtol=self.rtol if rtol is None else rtol,
+                                 atol=self.atol, precond=M)
         return du.reshape(n, ndof), stats

@@ -1,0 +1,149 @@
+"""Fused Mosaic BiCGStab body (ops/pallas/krylov_kernels.py) vs the
+XLA-chain bicgstab — identical update formulas, interpret-mode kernels
+on CPU (the auto-select runs them as real Mosaic programs on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu.linsolve.krylov import bicgstab
+from jutul.jl_tpu.ops.pallas.krylov_kernels import (
+    bicgstab_fused,
+    fused_alpha_s,
+    fused_omega_update,
+)
+
+
+def _random_system(n, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n)) * 0.1
+    A = A @ A.T + n * np.eye(n)  # SPD, well conditioned
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    Aj = jnp.asarray(A, dtype)
+    return (lambda x: Aj @ x), jnp.asarray(b, dtype), x_true
+
+
+def test_fused_alpha_s_matches_formula():
+    rng = np.random.default_rng(1)
+    n = 1000  # not a multiple of 128: exercises padding
+    rhat, r, v = (jnp.asarray(rng.normal(size=n), jnp.float32)
+                  for _ in range(3))
+    rho = jnp.float32(0.7)
+    s, alpha = fused_alpha_s(rhat, r, v, rho, interpret=True)
+    alpha_ref = float(rho) / float(jnp.dot(rhat, v))
+    np.testing.assert_allclose(float(alpha), alpha_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(r - alpha_ref * v), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_fused_omega_update_matches_formulas():
+    rng = np.random.default_rng(2)
+    n = 700
+    rhat, t, s, phat, shat, x, p, v = (
+        jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(8))
+    rho, alpha = jnp.float32(0.9), jnp.float32(0.4)
+    x2, r2, p2, omega, rho_new, res2 = fused_omega_update(
+        rhat, t, s, phat, shat, x, p, v, rho, alpha, interpret=True)
+    om = float(jnp.dot(t, s) / jnp.dot(t, t))
+    np.testing.assert_allclose(float(omega), om, rtol=1e-5)
+    x_ref = x + alpha * phat + om * shat
+    r_ref = s - om * t
+    rho_ref = float(jnp.dot(rhat, r_ref))
+    beta = (rho_ref / float(rho)) * (float(alpha) / om)
+    p_ref = r_ref + beta * (p - om * v)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(rho_new), rho_ref, rtol=1e-4)
+    np.testing.assert_allclose(float(res2), float(jnp.dot(r_ref, r_ref)),
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("n", [64, 300])
+def test_bicgstab_fused_solves(n):
+    matvec, b, x_true = _random_system(n)
+    x, stats = bicgstab_fused(matvec, b, rtol=1e-6, maxiter=200,
+                              interpret=True)
+    assert bool(stats["converged"])
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=2e-3, atol=2e-3)
+
+
+def test_bicgstab_fused_tracks_xla_chain():
+    """Same iterate trajectory as linsolve.krylov.bicgstab to f32
+    roundoff (identical update formulas, different fusion)."""
+    matvec, b, _ = _random_system(128, seed=3)
+    x_f, st_f = bicgstab_fused(matvec, b, rtol=1e-5, maxiter=50,
+                               interpret=True)
+    x_g, st_g = bicgstab(matvec, b, rtol=1e-5, maxiter=50)
+    assert int(st_f["iterations"]) == int(st_g["iterations"])
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_g),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_bicgstab_fused_with_preconditioner():
+    matvec, b, x_true = _random_system(200, seed=4)
+    d = jnp.asarray(1.0 / (200.0 + 0.0 * b))  # scaled Jacobi-ish
+    x, stats = bicgstab_fused(matvec, b, rtol=1e-6, maxiter=200,
+                              precond=lambda z: d * z, interpret=True)
+    assert bool(stats["converged"])
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=2e-3, atol=2e-3)
+
+
+def test_stencil_solver_fused_body_product_equivalence():
+    """StencilKrylovSolver(use_fused_body=True) reaches the same answer
+    as the XLA body on a real stencil Jacobian from the flagship
+    two-phase model."""
+    from jutul.jl_tpu import (
+        CartesianMesh,
+        compile_model,
+        setup_parameters,
+        setup_state,
+    )
+    from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+    from jutul.jl_tpu.models.setup import merge_state
+    from jutul.jl_tpu.ops.stencil import (
+        GMG,
+        StencilCompiledModel,
+        StencilCPR,
+        StencilKrylovSolver,
+    )
+
+    nx = ny = 8
+    nz = 4
+    nc = nx * ny * nz
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny, nz), (100.0, 100.0, 10.0))
+    model = setup_darcy_model(
+        mesh, ImmiscibleFluid(viscosities=(1e-3, 2e-3)),
+        permeability=rng.lognormal(0.0, 1.0, nc) * 1e-13,
+        porosity=0.25, gravity=True)
+    sw = rng.uniform(0.2, 0.8, nc)
+    state0 = setup_state(model, Pressure=200e5,
+                         Saturations=np.stack([sw, 1 - sw], axis=1))
+    params = setup_parameters(model)
+    comp = compile_model(model)
+    sc = StencilCompiledModel(comp)
+    st = {k: jnp.asarray(v, jnp.float32) for k, v in state0.items()}
+    pr = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    full = comp.evaluate_secondaries(merge_state(st, pr))
+    r, A, _ = sc.assemble(full, full, 3600.0)
+    # perturb so the residual is nonzero
+    st2 = dict(st)
+    st2["Pressure"] = st["Pressure"] * (1 + 1e-3 * rng.normal(size=nc)
+                                        ).astype(np.float32)
+    full2 = comp.evaluate_secondaries(merge_state(st2, pr))
+    r2, A2, _ = sc.assemble(full2, full, 3600.0)
+
+    mk = lambda fused: StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, use_pallas=False)),
+        rtol=1e-7, max_iterations=80, use_fused_body=fused)
+    du_f, st_f = mk(True).solve(A2, jnp.asarray(r2))
+    du_g, st_g = mk(False).solve(A2, jnp.asarray(r2))
+    assert bool(st_f["converged"]) and bool(st_g["converged"])
+    scale = float(jnp.max(jnp.abs(du_g))) + 1e-30
+    assert float(jnp.max(jnp.abs(du_f - du_g))) / scale < 1e-4
