@@ -205,7 +205,7 @@ class GenericKrylov:
     def __init__(self, solver: str = "gmres", preconditioner: Preconditioner
                  | None = None, rtol: float = 1e-6, atol: float = 0.0,
                  max_iterations: int = 200, restart: int = 20,
-                 verbose: bool = False):
+                 verbose: bool = False, use_fused_body: bool | None = None):
         if solver not in ("gmres", "bicgstab"):
             raise ValueError(f"unknown solver {solver!r}")
         self.solver = solver
@@ -215,6 +215,20 @@ class GenericKrylov:
         self.max_iterations = max_iterations
         self.restart = restart
         self.verbose = verbose
+        # fused Mosaic BiCGStab body (ops/pallas/krylov_kernels.py);
+        # None -> auto: TPU backend + f32 system only
+        self.use_fused_body = use_fused_body
+
+    def _bicgstab_fn(self, dtype):
+        fused = self.use_fused_body
+        if fused is None:
+            fused = (jax.default_backend() == "tpu"
+                     and dtype == jnp.float32)
+        if fused:
+            from ..ops.pallas.krylov_kernels import bicgstab_fused
+
+            return bicgstab_fused
+        return bicgstab
 
     def solve(self, J, r, rtol=None):
         """Solve J du = -r; shapes (n, neq) -> (n, ndof). Jit-compatible.
@@ -245,9 +259,9 @@ class GenericKrylov:
                              maxiter=self.max_iterations, rtol=rtol,
                              atol=self.atol, precond=precond)
         else:
-            x, stats = bicgstab(matvec, b, maxiter=self.max_iterations,
-                                rtol=rtol, atol=self.atol,
-                                precond=precond)
+            x, stats = self._bicgstab_fn(b.dtype)(
+                matvec, b, maxiter=self.max_iterations,
+                rtol=rtol, atol=self.atol, precond=precond)
         return x.reshape(n, ndof), stats
 
     def _solve_multi(self, J, r: dict, rtol=None):
@@ -277,7 +291,7 @@ class GenericKrylov:
                              maxiter=self.max_iterations, rtol=rtol,
                              atol=self.atol, precond=precond)
         else:
-            x, stats = bicgstab(matvec, b, maxiter=self.max_iterations,
-                                rtol=rtol, atol=self.atol,
-                                precond=precond)
+            x, stats = self._bicgstab_fn(b.dtype)(
+                matvec, b, maxiter=self.max_iterations,
+                rtol=rtol, atol=self.atol, precond=precond)
         return J.unflatten_dofs(x), stats

@@ -147,3 +147,46 @@ def test_stencil_solver_fused_body_product_equivalence():
     assert bool(st_f["converged"]) and bool(st_g["converged"])
     scale = float(jnp.max(jnp.abs(du_g))) + 1e-30
     assert float(jnp.max(jnp.abs(du_f - du_g))) / scale < 1e-4
+
+
+def test_generic_krylov_fused_body_blockell():
+    """GenericKrylov(bicgstab, use_fused_body=True) matches the XLA body
+    on an unstructured BlockELL heat system (interpret-mode on CPU).
+
+    Note the fused kernels are f32; the comparison solves both bodies
+    in f32 so trajectories are comparable."""
+    from jutul.jl_tpu import (
+        CartesianMesh,
+        DataDomain,
+        SimpleHeatSystem,
+        SimulationModel,
+        compile_model,
+        setup_parameters,
+        setup_state,
+    )
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+    from jutul.jl_tpu.ops.blockell import BlockELL
+
+    g = CartesianMesh((16, 16), (1.0, 1.0))
+    model = SimulationModel(DataDomain(g), SimpleHeatSystem())
+    comp = compile_model(model)
+    n = 256
+    state = {**setup_state(model,
+                           T=np.random.default_rng(0).normal(size=n)),
+             **setup_parameters(model)}
+    state = comp.evaluate_secondaries(state)
+    dt = 1e-2
+    r = comp.residual(state, {**state, "T": jnp.zeros(n)}, dt)
+    blocks = comp.jacobian_blocks(state, state, dt)
+    J = BlockELL(comp.ell, jnp.asarray(blocks, jnp.float32))
+    r32 = jnp.asarray(r, jnp.float32)
+
+    mk = lambda fused: GenericKrylov(
+        "bicgstab", preconditioner=ILU0Preconditioner(), rtol=1e-6,
+        max_iterations=120, use_fused_body=fused)
+    du_f, st_f = mk(True).solve(J, r32)
+    du_g, st_g = mk(False).solve(J, r32)
+    assert bool(st_f["converged"]) and bool(st_g["converged"])
+    scale = float(jnp.max(jnp.abs(du_g))) + 1e-30
+    assert float(jnp.max(jnp.abs(du_f - du_g))) / scale < 1e-3
