@@ -365,13 +365,16 @@ def run_product(nx, ny, nz, n_lin_it):
     n_smooth = int(os.environ.get("BENCH_GMG_SMOOTH", "2"))
     pallas_env = os.environ.get("BENCH_PALLAS")  # unset -> auto (TPU on)
     use_pallas = None if pallas_env is None else pallas_env == "1"
+    fused_env = os.environ.get("BENCH_FUSED_BODY")  # unset -> auto
+    use_fused = None if fused_env is None else fused_env == "1"
     solver = StencilKrylovSolver(
         preconditioner=StencilCPR(gmg=GMG(n_smooth=n_smooth,
                                           n_coarse_sweeps=12,
                                           min_cells=16384,
                                           use_pallas=use_pallas)),
         rtol=float(os.environ.get("BENCH_RTOL", "1e-3")),
-        max_iterations=n_lin_it)  # rtol>0 + EW forcing = the in-jit
+        max_iterations=n_lin_it,
+        use_fused_body=use_fused)  # rtol>0 + EW forcing = the in-jit
     # adaptive early exit (reference CPR practice: Krylov rtol ~1e-3,
     # JutulDarcy defaults); BENCH_RTOL=0 re-pins the Krylov work at
     # exactly n_lin_it iterations (the r1/r2 metric)
@@ -573,7 +576,10 @@ def _orchestrate():
         return 0
 
     small_grid = os.environ.get("BENCH_SMALL_GRID", "64,64,32")  # 131k
-    banked, err = _run_worker(small_grid, 4, 420)
+    # bank on the r2-proven solver body (fused Mosaic BiCGStab body OFF):
+    # the banked rung must never die to a new Mosaic path; the flagship
+    # rung runs the full product default and attests the fused body
+    banked, err = _run_worker(small_grid, 4, 420, {"BENCH_FUSED_BODY": "0"})
     if banked is not None:
         banked["tpu_worker_health"] = health
         banked["canary"] = canary_line
