@@ -275,17 +275,38 @@ class GeneralDistributedSimulator:
         # broadcast (neq_eq,) contributions across all neq_total columns,
         # latent for single-equation models, wrong for composite)
         self.acc_cons, self.flux_cons = [], []
+        self._orient_signs = {}
         nb = np.asarray(mesh.neighborship())
         for info, con, meta in self.comp.contribs:
             if isinstance(con, (AccumulationContribution,
                                 CellTermContribution)):
                 self.acc_cons.append((info.row_slice, con))
             elif isinstance(con, FaceFluxContribution):
-                # rows must follow mesh orientation (plus=L, minus=R)
-                if not (np.array_equal(con.plus, nb[:, 0])
-                        and np.array_equal(con.minus, nb[:, 1])):
+                # rows may follow mesh orientation (plus=L, minus=R) or
+                # flip it per face (a discretization ordering its stencil
+                # by its own convention, e.g. upwind-major): flips fold
+                # into a ±1 face "parameter" multiplied inside the flux,
+                # so the mesh-ordered ± scatter, the Jacobian blocks, the
+                # CPR collapse and the adjoint transpose all stay signed
+                # consistently with zero extra plumbing. Rows connecting
+                # DIFFERENT cell pairs than the mesh faces stay
+                # unsupported (the halo plan is built from mesh faces).
+                plus = np.asarray(con.plus)
+                minus = np.asarray(con.minus)
+                same = (plus == nb[:, 0]) & (minus == nb[:, 1])
+                flip = (plus == nb[:, 1]) & (minus == nb[:, 0])
+                if not np.all(same | flip):
                     raise NotImplementedError(
-                        "flux rows must follow mesh neighbor order")
+                        "flux rows must connect the same cell pairs as "
+                        "the mesh faces")
+                if np.any(flip):
+                    key = f"__flux_orient_{len(self.flux_cons)}"
+                    self._orient_signs[key] = np.where(same, 1.0, -1.0)
+                    con = FaceFluxContribution(
+                        fn=(lambda model_, local, f, _b=con.fn, _k=key:
+                            f[_k] * _b(model_, local, f)),
+                        stencil=con.stencil, plus=nb[:, 0], minus=nb[:, 1],
+                        name=con.name)
                 self.flux_cons.append((info.row_slice, con))
         self.flux_con = self.flux_cons[0][1] if self.flux_cons else None
 
@@ -311,6 +332,9 @@ class GeneralDistributedSimulator:
                 self.face_params[name] = dec.gather_faces(g, fill=0.0)
             else:
                 raise NotImplementedError(ent)
+        for key, sign in self._orient_signs.items():
+            # per-face ±1 orientation factors ride the face-param stacks
+            self.face_params[key] = dec.gather_faces(sign, fill=0.0)
         self._newton_jit = None
 
     # -- state plumbing -------------------------------------------------

@@ -857,3 +857,64 @@ def test_general_partition_jit_timestep_matches_eager():
         assert mj["success"] == me["success"]
         assert mj["dt"] == pytest.approx(me["dt"])
         assert mj["iterations"] == me["iterations"]
+
+
+def test_general_partition_flipped_flux_orientation():
+    """A discretization may order its stencil by its own convention —
+    rows flipped relative to mesh neighbors (reference: fluxes keyed by
+    the discretization's left/right, flux.jl TPFA(left,right,face_sign)).
+    The engine folds per-face +-1 orientation factors into the flux, so
+    a flipped system distributes identically to the mesh-ordered one."""
+    require_devices(4)
+    from collections import OrderedDict
+
+    from jutul.jl_tpu import SimpleHeatSystem
+    from jutul.jl_tpu.models.equations import ConservationLaw
+
+    cart = CartesianMesh((6, 5, 4), (60.0, 50.0, 20.0))
+    mesh = UnstructuredMesh.from_cartesian(cart)
+    nc = mesh.number_of_cells()
+    nb = np.asarray(mesh.neighborship())
+    flip = np.arange(len(nb)) % 3 == 0
+    assert flip.any() and (~flip).any()
+    st = nb.copy()
+    st[flip] = st[flip][:, ::-1]
+
+    class FlippedHeatSystem(SimpleHeatSystem):
+        def select_equations(self, model):
+            def mass(model_, cs):
+                return jnp.reshape(cs["T"], (1,))
+
+            def flux(model_, cs, fs):
+                T = cs["T"]  # stencil-ordered: T[0] is THIS system's left
+                return jnp.reshape(-fs["HeatTrans"] * (T[1] - T[0]), (1,))
+
+            return OrderedDict(heat=ConservationLaw(
+                flux_fn=flux, mass_fn=mass, neq=1, stencil=st))
+
+    rng = np.random.default_rng(3)
+    T0 = rng.normal(size=nc)
+    dt = 0.05
+
+    part = GreedyGraphPartitioner().partition(mesh.neighborship(), nc, 4)
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(mesh, FlippedHeatSystem(), dmesh,
+                                       partition=part)
+    assert any(k.startswith("__flux_orient_") for k in dsim.face_params)
+    state0 = dsim.initial_state(T=T0)
+    sharded0 = dsim.shard_state(state0)
+    step = dsim.newton_step_fn(rtol=1e-12, max_lin_it=500)
+    new_state, _crit, _li, _lr = step(sharded0, sharded0, dt)
+    T_dd = dsim.gather_state(new_state)["T"]
+
+    # single-device references: the flipped system AND the mesh-ordered
+    # system (they are the same physics, so all three must agree)
+    for system in (FlippedHeatSystem(), SimpleHeatSystem()):
+        gmodel = SimulationModel(DataDomain(mesh), system)
+        sim = Simulator(gmodel, state0={"T": T0})
+        sim._solver = DirectSolver()
+        ref, *_ = sim._iteration_jit(
+            {"T": jnp.asarray(T0)}, {"T": jnp.asarray(T0)},
+            sim.parameters, dt, None, 1.0)
+        np.testing.assert_allclose(T_dd, np.asarray(ref["T"]), rtol=1e-8,
+                                   err_msg=type(system).__name__)
