@@ -368,10 +368,17 @@ def run_product(nx, ny, nz, n_lin_it):
     fused_env = os.environ.get("BENCH_FUSED_BODY")  # unset -> auto
     use_fused = None if fused_env is None else fused_env == "1"
     solver = StencilKrylovSolver(
-        preconditioner=StencilCPR(gmg=GMG(n_smooth=n_smooth,
-                                          n_coarse_sweeps=12,
-                                          min_cells=16384,
-                                          use_pallas=use_pallas)),
+        preconditioner=StencilCPR(gmg=GMG(
+            n_smooth=n_smooth,
+            n_coarse_sweeps=12,
+            min_cells=16384,
+            use_pallas=use_pallas,
+            # chebyshev measures ~20% fewer Krylov its than jacobi in the
+            # EW-forcing regime (4 vs 5 at 131k) at equal per-sweep cost
+            # via the fused multi-sweep kernels; jacobi remains the
+            # r2-proven default until a TPU A/B lands
+            smoother=os.environ.get("BENCH_SMOOTHER", "jacobi"),
+            prolongation=os.environ.get("BENCH_PROLONG", "injection"))),
         rtol=float(os.environ.get("BENCH_RTOL", "1e-3")),
         max_iterations=n_lin_it,
         use_fused_body=use_fused)  # rtol>0 + EW forcing = the in-jit

@@ -394,6 +394,64 @@ def _scalar_sweeps_call(coeffs, b, u0, ny, n_sweep, omega, emit_residual,
     )(coeffs, b, u0)
 
 
+def _kernel_sweeps_cheby(lmax_ref, coef_ref, b_ref, u0_ref, y_ref, *, ny,
+                         n_sweep, lower, emit_residual, init_zero):
+    """Whole-lattice Chebyshev multi-sweep: same memory plan as the
+    Jacobi kernel (coefficients read from HBM once per phase), with the
+    3-term recurrence unrolled — per-sweep scalars derive from the SMEM
+    lambda_max inside the kernel."""
+    d0 = coef_ref[0, 0]
+    dinv = jnp.where(d0 != 0, 1.0 / d0, 0.0)
+    b = b_ref[0]
+    lmax = lmax_ref[0, 0]
+    lmin = lower * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    if init_zero:
+        r = b  # residual at u=0
+        u = None
+    else:
+        u = u0_ref[0]
+        r = b - _apply_scalar(coef_ref, u, ny)
+    d = (dinv * r) / theta
+    u = d if u is None else u + d
+    for _ in range(1, n_sweep):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = b - _apply_scalar(coef_ref, u, ny)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
+        u = u + d
+        rho = rho_new
+    y_ref[0] = u
+    if emit_residual:
+        y_ref[1] = b - _apply_scalar(coef_ref, u, ny)
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "n_sweep", "lower",
+                                             "emit_residual", "init_zero",
+                                             "interpret"))
+def _scalar_sweeps_cheby_call(lmax, coeffs, b, u0, ny, n_sweep, lower,
+                              emit_residual, init_zero, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, nxp = b.shape[1], b.shape[2]
+    n_out = 2 if emit_residual else 1
+    kern = functools.partial(_kernel_sweeps_cheby, ny=ny, n_sweep=n_sweep,
+                             lower=lower, emit_residual=emit_residual,
+                             init_zero=init_zero)
+    lmax2 = jnp.reshape(lmax.astype(coeffs.dtype), (1, 1))
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coeffs.dtype),
+        interpret=interpret,
+    )(lmax2, coeffs, b, u0)
+
+
 class PallasFusedScalarLevel(PallasScalarLevel):
     """Whole-lattice level ops: the GMG V-cycle consumes the extra
     ``presmooth_residual`` / ``postsmooth`` / ``sweep_n`` hooks, each one
@@ -423,6 +481,29 @@ class PallasFusedScalarLevel(PallasScalarLevel):
 
     def sweep_n(self, b, omega, n_sweep):
         return self._call(b, None, n_sweep, omega, False, True)[0]
+
+    # -- Chebyshev variants (GMG(smoother="chebyshev")) -----------------
+    def _call_cheby(self, b, u0, lmax, n_sweep, lower, emit_residual,
+                    init_zero):
+        nz, ny, nx = self.base.L
+        b_lat = self._lat(b)
+        u0_lat = self._lat(u0) if u0 is not None else jnp.zeros_like(b_lat)
+        y = _scalar_sweeps_cheby_call(jnp.asarray(lmax), self.base.coeffs,
+                                      b_lat, u0_lat, ny, int(n_sweep),
+                                      float(lower), bool(emit_residual),
+                                      bool(init_zero), self.interpret)
+        return y[:, :, :nx].reshape(y.shape[0], -1)
+
+    def presmooth_residual_cheby(self, b, lmax, n_sweep, lower):
+        y = self._call_cheby(b, None, lmax, n_sweep, lower, True, True)
+        return y[0], y[1]
+
+    def postsmooth_cheby(self, u, b, lmax, n_sweep, lower):
+        return self._call_cheby(b, u, lmax, n_sweep, lower, False, False)[0]
+
+    def sweep_n_cheby(self, b, lmax, n_sweep, lower):
+        return self._call_cheby(b, None, lmax, n_sweep, lower, False,
+                                True)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -406,6 +406,40 @@ def _coarsen_scalar(A: ScalarStencil) -> ScalarStencil:
     return ScalarStencil(cL, diag_c.reshape(-1), plus_c, minus_c)
 
 
+def _prolong_linear(e_lat, fine_L):
+    """Trilinear cell-centered prolongation (Wesseling): each fine child
+    sits a quarter coarse-cell off its parent's center, so along every
+    coarsened axis the child value is 3/4 parent + 1/4 nearest neighbor
+    (edge-clamped). Paired with the piecewise-constant restriction this
+    gives transfer orders 2+1 > operator order 2 — the classical
+    cell-centered MG recipe that injection (order 1) misses; measured
+    contraction/cycle 0.85 -> ~0.3 on the heterogeneous pressure
+    stencil."""
+    for axis in range(3):
+        n = e_lat.shape[axis]
+        if fine_L[axis] == n:  # axis not coarsened
+            continue
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[axis] = slice(0, 1)
+        sl_hi[axis] = slice(n - 1, n)
+        sl_m = [slice(None)] * 3
+        sl_p = [slice(None)] * 3
+        sl_m[axis] = slice(0, n - 1)
+        sl_p[axis] = slice(1, n)
+        e_minus = jnp.concatenate(
+            [e_lat[tuple(sl_lo)], e_lat[tuple(sl_m)]], axis=axis)
+        e_plus = jnp.concatenate(
+            [e_lat[tuple(sl_p)], e_lat[tuple(sl_hi)]], axis=axis)
+        even = 0.75 * e_lat + 0.25 * e_minus
+        odd = 0.75 * e_lat + 0.25 * e_plus
+        st = jnp.stack([even, odd], axis=axis + 1)
+        sh = list(e_lat.shape)
+        sh[axis] = 2 * n
+        e_lat = st.reshape(sh)
+    return e_lat
+
+
 def fused_matvec(A, use_pallas=None, min_cells: int = 65536):
     """Matvec callable for a StencilMatrix/ScalarStencil: the Pallas fused
     kernel (ops/pallas/stencil_kernels.py, measured 1.4x the XLA
@@ -422,20 +456,73 @@ def fused_matvec(A, use_pallas=None, min_cells: int = 65536):
     return A.matvec
 
 
+def _cheby_setup(A: ScalarStencil):
+    """Per-level Chebyshev data: inverse diagonal + a Gershgorin upper
+    bound on lambda_max(D^-1 A) (one coefficient pass, no power
+    iteration — a slight overestimate only flattens the polynomial a
+    little, while an UNDERestimate would amplify high modes)."""
+    offs = jnp.zeros(A.L, A.diag.dtype)
+    for a in A.plus:
+        offs = offs + jnp.pad(jnp.abs(A.plus[a]), _PADS[a])
+        offs = offs + jnp.pad(jnp.abs(A.minus[a]), _PADS_R[a])
+    dabs = jnp.abs(A.diag)
+    dsafe = jnp.where(dabs > 0, dabs, 1.0)
+    lmax = 1.0 + jnp.max(offs.reshape(-1) / dsafe)
+    dinv = jnp.where(dabs > 0, 1.0 / A.diag, 1.0)
+    return dinv, lmax
+
+
+def _cheby_smooth(lv, dinv, lmax, u, b, n_sweep, lower=0.25):
+    """n_sweep steps of Chebyshev smoothing for D^-1 A on
+    [lower*lmax, lmax] (3-term recurrence, Saad Alg. 12.1 adapted to a
+    diagonally preconditioned operator). ``u=None`` starts from zero —
+    the first preconditioned residual is then just dinv*b (the same
+    free sweep the Jacobi smooth0 exploits)."""
+    lmin = lower * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = dinv * b if u is None else dinv * lv.residual(u, b)
+    d = r / theta
+    u = d if u is None else u + d
+    for _ in range(1, n_sweep):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = dinv * lv.residual(u, b)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        u = u + d
+        rho = rho_new
+    return u
+
+
 class GMG:
     """Geometric multigrid V-cycle on a scalar 7-point stencil (the CPR
     pressure stage on structured grids — replaces AMG with exact
-    structure-preserving coarsening)."""
+    structure-preserving coarsening).
+
+    ``smoother``: "jacobi" (weighted, fused multi-sweep Mosaic kernels)
+    or "chebyshev" (polynomial smoothing on [lower*lmax, lmax]; no dot
+    products, so it stays communication-free under DD — the TPU-native
+    answer to SURVEY hard part (a))."""
 
     def __init__(self, omega: float = 0.8, n_smooth: int = 2,
                  n_coarse_sweeps: int = 40, min_cells: int = 32,
-                 max_levels: int = 10, use_pallas=None):
+                 max_levels: int = 10, use_pallas=None,
+                 smoother: str = "jacobi", cheby_lower: float = 0.25,
+                 prolongation: str = "injection"):
         self.omega = omega
         self.n_smooth = n_smooth
         self.n_coarse_sweeps = n_coarse_sweeps
         self.min_cells = min_cells
         self.max_levels = max_levels
         self.use_pallas = use_pallas
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        self.smoother = smoother
+        self.cheby_lower = cheby_lower
+        if prolongation not in ("injection", "linear"):
+            raise ValueError(f"unknown prolongation {prolongation!r}")
+        self.prolongation = prolongation
 
     def hierarchy(self, A: ScalarStencil) -> list:
         ops = [A]
@@ -454,23 +541,47 @@ class GMG:
         return [scalar_level_ops(A, self.use_pallas,
                                  n_smooth=self.n_smooth) for A in ops]
 
-    def vcycle(self, ops: list, b, level: int = 0, mvs: list | None = None):
+    def cheby_data(self, ops: list) -> list | None:
+        """Per-level (dinv, lmax) when the Chebyshev smoother is on."""
+        if self.smoother != "chebyshev":
+            return None
+        return [_cheby_setup(A) for A in ops]
+
+    def vcycle(self, ops: list, b, level: int = 0, mvs: list | None = None,
+               cheb: list | None = None):
         from .pallas.stencil_kernels import XLAScalarLevel
 
         A = ops[level]
         lv = mvs[level] if mvs is not None else XLAScalarLevel(A)
+        if cheb is None and self.smoother == "chebyshev":
+            cheb = self.cheby_data(ops)
+        if cheb is not None:
+            dinv, lmax = cheb[level]
+            if level == len(ops) - 1:
+                if hasattr(lv, "sweep_n_cheby"):  # fused multi-sweep
+                    return lv.sweep_n_cheby(b, lmax, self.n_coarse_sweeps,
+                                            self.cheby_lower)
+                return _cheby_smooth(lv, dinv, lmax, None, b,
+                                     self.n_coarse_sweeps, self.cheby_lower)
+            if hasattr(lv, "presmooth_residual_cheby"):
+                u, r = lv.presmooth_residual_cheby(b, lmax, self.n_smooth,
+                                                   self.cheby_lower)
+            else:
+                u = _cheby_smooth(lv, dinv, lmax, None, b, self.n_smooth,
+                                  self.cheby_lower)
+                r = lv.residual(u, b)
         # smooth(0, b) == omega * b / diag: the first sweep from the zero
         # initial guess is ELEMENTWISE — no A-application. One full
         # stencil pass saved per level per V-cycle (and 1 of the
         # n_coarse_sweeps below).
-        if level == len(ops) - 1:
+        elif level == len(ops) - 1:
             if hasattr(lv, "sweep_n"):  # fused multi-sweep kernel
                 return lv.sweep_n(b, self.omega, self.n_coarse_sweeps)
             u = lv.smooth0(b, self.omega)
             for _ in range(self.n_coarse_sweeps - 1):
                 u = lv.smooth(u, b, self.omega)
             return u
-        if hasattr(lv, "presmooth_residual"):
+        elif hasattr(lv, "presmooth_residual"):
             u, r = lv.presmooth_residual(b, self.omega, self.n_smooth)
         else:
             u = lv.smooth0(b, self.omega)
@@ -486,14 +597,25 @@ class GMG:
         for axis, n in enumerate(Ap.L):
             if n > 1:
                 rc = _fold(rc, axis)
-        ec = self.vcycle(ops, rc.reshape(-1), level + 1, mvs)
-        # prolong: inject the coarse value into each child cell
+        ec = self.vcycle(ops, rc.reshape(-1), level + 1, mvs, cheb)
+        # prolong: inject the coarse value into each child cell, or
+        # interpolate it trilinearly (prolongation="linear")
         e_lat = ec.reshape(ops[level + 1].L)
-        for axis, n in enumerate(Ap.L):
-            if n > 1:
-                e_lat = jnp.repeat(e_lat, 2, axis=axis)
+        if self.prolongation == "linear":
+            e_lat = _prolong_linear(e_lat, Ap.L)
+        else:
+            for axis, n in enumerate(Ap.L):
+                if n > 1:
+                    e_lat = jnp.repeat(e_lat, 2, axis=axis)
         e_lat = e_lat[: A.L[0], : A.L[1], : A.L[2]]
         u = u + e_lat.reshape(-1)
+        if cheb is not None:
+            dinv, lmax = cheb[level]
+            if hasattr(lv, "postsmooth_cheby"):
+                return lv.postsmooth_cheby(u, b, lmax, self.n_smooth,
+                                           self.cheby_lower)
+            return _cheby_smooth(lv, dinv, lmax, u, b, self.n_smooth,
+                                 self.cheby_lower)
         if hasattr(lv, "postsmooth"):
             return lv.postsmooth(u, b, self.omega, self.n_smooth)
         for _ in range(self.n_smooth):
@@ -512,6 +634,7 @@ class StencilCPRState:
     # A to a vector that is nonzero only in the pressure dof, so only the
     # p-column coefficient streams need reading — half the HBM traffic of
     # the full C*K matvec at ndof=2
+    cheb: list | None = None  # per-level (dinv, lmax) Chebyshev data
 
 
 class StencilCPR:
@@ -558,14 +681,16 @@ class StencilCPR:
         return StencilCPRState(w, dinv, ops,
                                mvs=self.gmg.matvecs(ops),
                                mv_A=fused_matvec(A, self.gmg.use_pallas),
-                               mv_Ap=fused_matvec(col, self.gmg.use_pallas))
+                               mv_Ap=fused_matvec(col, self.gmg.use_pallas),
+                               cheb=self.gmg.cheby_data(ops))
 
     def apply(self, state: StencilCPRState, A: StencilMatrix, x):
         """x (n, neq) residual -> du (n, ndof)."""
         from .smallmat import bmv
 
         r_p = jnp.einsum("en,ne->n", state.w, x)
-        dp = self.gmg.vcycle(state.ops, r_p, mvs=state.mvs)
+        dp = self.gmg.vcycle(state.ops, r_p, mvs=state.mvs,
+                             cheb=state.cheb)
         # du0 is nonzero only in the pressure dof, so A du0 is the
         # p-column matvec of dp (half the coefficient reads of mv_A)
         mv_Ap = state.mv_Ap if state.mv_Ap is not None else None

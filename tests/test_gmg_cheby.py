@@ -1,0 +1,148 @@
+"""Chebyshev GMG smoother + trilinear prolongation (ops/stencil.py).
+
+SURVEY hard part (a): polynomial smoothing is the TPU-native
+alternative to sequential triangular solves — no dot products, so it
+also stays communication-free under DD. Measured on the heterogeneous
+flagship pressure stencil: ~20% fewer CPR-BiCGStab iterations than
+weighted Jacobi in the EW-forcing regime (4 vs 5 at 131k, rtol 1e-3)
+at equal per-sweep cost via the fused whole-lattice kernels."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jutul.jl_tpu import (
+    CartesianMesh,
+    compile_model,
+    setup_parameters,
+    setup_state,
+    si_unit,
+)
+from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+from jutul.jl_tpu.models.setup import merge_state
+from jutul.jl_tpu.ops.stencil import (
+    GMG,
+    StencilCompiledModel,
+    StencilCPR,
+    StencilKrylovSolver,
+    _cheby_setup,
+    _cheby_smooth,
+    _prolong_linear,
+)
+
+DARCY = si_unit("darcy")
+
+
+def _flagship_system(nx=16, ny=16, nz=8, seed=0):
+    nc = nx * ny * nz
+    rng = np.random.default_rng(seed)
+    mesh = CartesianMesh((nx, ny, nz), (100.0, 100.0, 10.0))
+    model = setup_darcy_model(
+        mesh, ImmiscibleFluid(viscosities=(1e-3, 2e-3)),
+        permeability=rng.lognormal(0.0, 1.0, nc) * 0.1 * DARCY,
+        porosity=0.25, gravity=True)
+    sw = rng.uniform(0.2, 0.8, nc)
+    state0 = setup_state(model, Pressure=200e5,
+                         Saturations=np.stack([sw, 1 - sw], axis=1))
+    params = setup_parameters(model)
+    comp = compile_model(model)
+    sc = StencilCompiledModel(comp)
+    st = {k: jnp.asarray(v, jnp.float32) for k, v in state0.items()}
+    pr = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    full0 = comp.evaluate_secondaries(merge_state(st, pr))
+    st2 = dict(st)
+    st2["Pressure"] = (st["Pressure"]
+                       * (1 + 2e-3 * rng.normal(size=nc))).astype(np.float32)
+    full = comp.evaluate_secondaries(merge_state(st2, pr))
+    r, A, _ = sc.assemble(full, full0, 21600.0)
+    return r, A
+
+
+def test_cheby_setup_bounds_spectrum():
+    r, A = _flagship_system()
+    cpr = StencilCPR(gmg=GMG(use_pallas=False))
+    state = cpr.update(A)
+    Ap = state.ops[0]
+    dinv, lmax = _cheby_setup(Ap)
+    # Gershgorin upper bound: power iteration must stay below it
+    v = jnp.asarray(np.random.default_rng(1).normal(size=Ap.n), jnp.float32)
+    for _ in range(30):
+        v = dinv * Ap.matvec(v)
+        v = v / jnp.linalg.norm(v)
+    rayleigh = float(jnp.dot(v, dinv * Ap.matvec(v)))
+    assert rayleigh <= float(lmax) * (1 + 1e-5)
+    assert float(lmax) <= 3.0  # scaled M-matrix: lmax <= 2 (+ slack)
+
+
+def test_fused_cheby_kernel_matches_xla_chain():
+    """Interpret-mode whole-lattice Chebyshev kernel == the XLA-chain
+    recurrence (same formulas, one pallas program)."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasFusedScalarLevel,
+        XLAScalarLevel,
+    )
+
+    r, A = _flagship_system()
+    state = StencilCPR(gmg=GMG(use_pallas=False)).update(A)
+    Ap = state.ops[0]
+    dinv, lmax = _cheby_setup(Ap)
+    lv_x = XLAScalarLevel(Ap)
+    lv_p = PallasFusedScalarLevel(Ap, interpret=True)
+    b = jnp.asarray(np.random.default_rng(2).normal(size=Ap.n), jnp.float32)
+    u0 = jnp.asarray(np.random.default_rng(3).normal(size=Ap.n), jnp.float32)
+
+    ref0 = _cheby_smooth(lv_x, dinv, lmax, None, b, 4, 0.25)
+    got0 = lv_p.sweep_n_cheby(b, lmax, 4, 0.25)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0),
+                               rtol=2e-5, atol=2e-5)
+
+    ref1 = _cheby_smooth(lv_x, dinv, lmax, u0, b, 3, 0.25)
+    got1 = lv_p.postsmooth_cheby(u0, b, lmax, 3, 0.25)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=2e-5, atol=2e-5)
+
+    u_ref = _cheby_smooth(lv_x, dinv, lmax, None, b, 2, 0.25)
+    r_ref = lv_x.residual(u_ref, b)
+    u_got, r_got = lv_p.presmooth_residual_cheby(b, lmax, 2, 0.25)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_prolong_linear_constant_and_gradient():
+    """Trilinear prolongation reproduces constants exactly and linear
+    fields exactly in the interior (edge-clamped at boundaries)."""
+    cL = (4, 4, 4)
+    ones = jnp.ones(cL)
+    up = _prolong_linear(ones, (8, 8, 8))
+    np.testing.assert_allclose(np.asarray(up), 1.0, atol=1e-7)
+    zc = jnp.arange(4.0)[:, None, None] * jnp.ones(cL)
+    up = np.asarray(_prolong_linear(zc, (8, 8, 8)))
+    # interior fine layers: linear in z with slope 1/2 per fine cell
+    interior = up[1:-1, 4, 4]
+    np.testing.assert_allclose(np.diff(interior), 0.5, atol=1e-6)
+
+
+@pytest.mark.parametrize("prol", ["injection", "linear"])
+def test_cheby_cpr_solves_and_beats_jacobi(prol):
+    r, A = _flagship_system(24, 24, 12, seed=4)
+
+    def run(smoother):
+        solver = StencilKrylovSolver(
+            preconditioner=StencilCPR(gmg=GMG(
+                n_smooth=2, n_coarse_sweeps=12, min_cells=512,
+                use_pallas=False, smoother=smoother, prolongation=prol)),
+            rtol=1e-3, max_iterations=100, use_fused_body=False)
+        du, st = solver.solve(A, jnp.asarray(r))
+        assert bool(st["converged"])
+        return du, int(st["iterations"])
+
+    du_c, its_c = run("chebyshev")
+    du_j, its_j = run("jacobi")
+    assert its_c <= its_j, (its_c, its_j)
+    # both reach the same linear system solution regime
+    resid = lambda du: float(jnp.max(jnp.abs(
+        A.matvec(du) + jnp.asarray(r))))
+    r0 = float(jnp.max(jnp.abs(r)))
+    assert resid(du_c) < 0.1 * r0 and resid(du_j) < 0.1 * r0
