@@ -139,11 +139,15 @@ class AMGPreconditioner(Preconditioner):
     """
 
     def __init__(self, omega: float = 0.67, n_smooth: int = 2,
-                 n_cycles: int = 1, min_coarse: int = 64):
+                 n_cycles: int = 1, min_coarse: int = 64,
+                 smoother: str = "jacobi"):
         self.omega = omega
         self.n_smooth = n_smooth
         self.n_cycles = n_cycles
         self.min_coarse = min_coarse
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        self.smoother = smoother
         self._hier: AMGHierarchy | None = None
         self._struct_id = None
 
@@ -165,7 +169,7 @@ class AMGPreconditioner(Preconditioner):
         hier = self._symbolic(J.structure)
         b = x[:, 0] if x.ndim == 2 else x
         u = amg_vcycle_apply(hier, state, b, self.omega, self.n_smooth,
-                             self.n_cycles)
+                             self.n_cycles, smoother=self.smoother)
         return u[:, None] if x.ndim == 2 else u
 
 
@@ -196,11 +200,49 @@ def amg_coarsen_ops(hier: AMGHierarchy, vals):
     return (ops, dense)
 
 
+def _ell_cheby_data(A):
+    """(dinv, lmax) for Chebyshev smoothing of a scalar ELL level:
+    inverse diagonal + Gershgorin bound on lambda_max(D^-1 A) (see
+    ops/stencil.py _cheby_setup for the stencil counterpart)."""
+    diag = A[:, 0]
+    dabs = jnp.abs(diag)
+    dsafe = jnp.where(dabs > 0, dabs, 1.0)
+    offsum = jnp.sum(jnp.abs(A[:, 1:]), axis=1)
+    lmax = 1.0 + jnp.max(offsum / dsafe)
+    dinv = jnp.where(dabs > 0, 1.0 / diag, 0.0)
+    return dinv, lmax
+
+
+def _ell_cheby_smooth(A, cols, dinv, lmax, u, rhs, n_sweep,
+                      lower: float = 0.25):
+    """Chebyshev relaxation for the scalar ELL level (the 3-term
+    recurrence of ops/stencil.py _cheby_smooth); ``u=None`` starts from
+    zero (first preconditioned residual is elementwise)."""
+    lmin = lower * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = dinv * rhs if u is None else dinv * (rhs - _scalar_matvec(A, cols, u))
+    d = r / theta
+    u = d if u is None else u + d
+    for _ in range(1, n_sweep):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = dinv * (rhs - _scalar_matvec(A, cols, u))
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        u = u + d
+        rho = rho_new
+    return u
+
+
 def amg_vcycle_apply(hier: AMGHierarchy, state, b, omega: float,
-                     n_smooth: int, n_cycles: int):
+                     n_smooth: int, n_cycles: int,
+                     smoother: str = "jacobi"):
     """Aggregation-AMG V-cycle(s) for rhs ``b`` given ``amg_coarsen_ops``
-    output (traceable)."""
+    output (traceable). ``smoother``: "jacobi" or "chebyshev" (per-level
+    Gershgorin intervals derived from the traced operator values)."""
     ops, dense = state
+    cheby = smoother == "chebyshev"
 
     def vcycle(level: int, rhs):
         lvl = hier.levels[level]
@@ -212,16 +254,22 @@ def amg_vcycle_apply(hier: AMGHierarchy, state, b, omega: float,
         if level == hier.n_levels - 1:
             return jnp.linalg.solve(dense, rhs)
 
-        u = omega * dinv * rhs  # first Jacobi sweep from zero
-        for _ in range(n_smooth - 1):
-            r = rhs - _scalar_matvec(A, cols, u)
-            u = u + omega * dinv * r
+        if cheby:
+            cdinv, lmax = _ell_cheby_data(A)
+            u = _ell_cheby_smooth(A, cols, cdinv, lmax, None, rhs, n_smooth)
+        else:
+            u = omega * dinv * rhs  # first Jacobi sweep from zero
+            for _ in range(n_smooth - 1):
+                r = rhs - _scalar_matvec(A, cols, u)
+                u = u + omega * dinv * r
         r = rhs - _scalar_matvec(A, cols, u)
         agg = jnp.asarray(_tbl.table(lvl.agg_key)
                           if lvl.agg_key else lvl.agg)
         r_c = jax.ops.segment_sum(r, agg, num_segments=lvl.n_coarse)
         e_c = vcycle(level + 1, r_c)
         u = u + e_c[agg]
+        if cheby:
+            return _ell_cheby_smooth(A, cols, cdinv, lmax, u, rhs, n_smooth)
         for _ in range(n_smooth):
             r = rhs - _scalar_matvec(A, cols, u)
             u = u + omega * dinv * r

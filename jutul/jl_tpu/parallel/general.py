@@ -689,7 +689,7 @@ class GeneralDistributedSimulator:
                     max_residual: float = 1e20, rtol: float = 1e-8,
                     max_lin_it: int = 200, linear_forcing: str = "none",
                     relaxation=None, preconditioner: str = "block_jacobi",
-                    _raw: bool = False):
+                    cpr_smoother: str = "jacobi", _raw: bool = False):
         """The WHOLE ministep Newton loop as ONE SPMD device program:
         ``lax.while_loop`` inside the shard_map body with convergence
         decided from psum/pmax-reduced criteria in the carry — every
@@ -801,7 +801,8 @@ class GeneralDistributedSimulator:
                     def precond(x_flat):
                         return cpr_apply(
                             cpr_setup, pstate, arrays, tabs[nh:], halo,
-                            ax, dec.K, x_flat.reshape(nom, neq)
+                            ax, dec.K, x_flat.reshape(nom, neq),
+                            smoother=cpr_smoother,
                         ).reshape(-1)
                 else:
                     dinv = block_inv(diag_own)

@@ -185,19 +185,50 @@ def cpr_update(setup: GeneralCPRSetup, sys_arrays, face_tabs, cpr_tabs,
             y = y.at[row_minus].add(-cpM[:, k] * uk)
         return y[:nom] * own_alive
 
+    # fine-level Chebyshev interval: Gershgorin row-abs-sums of the
+    # distributed pressure operator (faces touching an owned row are
+    # always shard-local, so the row sums are local; the max is a pmax)
+    offsum = jnp.zeros(nom + 1, apd_full.dtype)
+    offsum = offsum.at[row_plus].add(jnp.sum(jnp.abs(cpP), axis=1))
+    offsum = offsum.at[row_minus].add(jnp.sum(jnp.abs(cpM), axis=1))
+    ratio = offsum[:nom] * jnp.abs(dinv_p) * own_alive
+    lmax_p = 1.0 + jax.lax.pmax(jnp.max(ratio), axis)
+
     return dict(w=w, dinv=dinv, dinv_p=dinv_p, ap_matvec=ap_matvec,
                 amg_state=amg_state, aggG_own=aggG_own,
-                own_alive=own_alive)
+                own_alive=own_alive, lmax_p=lmax_p)
+
+
+def _cheby_fine(ap_mv, dinv_p, lmax, u, rhs, n_sweep, lower=0.25):
+    """Chebyshev relaxation on the distributed fine pressure level —
+    the ops/stencil.py recurrence with the halo-aware matvec; no dot
+    products, so smoothing costs zero extra collectives."""
+    lmin = lower * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = dinv_p * rhs if u is None else dinv_p * (rhs - ap_mv(u))
+    d = r / theta
+    u = d if u is None else u + d
+    for _ in range(1, n_sweep):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = dinv_p * (rhs - ap_mv(u))
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        u = u + d
+        rho = rho_new
+    return u
 
 
 def cpr_apply(setup: GeneralCPRSetup, pstate, sys_arrays, face_tabs,
               halo, axis, flux_k: int, x, omega: float = 0.8,
-              n_fine_smooth: int = 1):
+              n_fine_smooth: int = 1, smoother: str = "jacobi"):
     """CPR application: x (nom, neq) residual -> du (nom, ndof).
 
-    Stage 1: halo-aware Jacobi pre-smooth on A_p, shard-local restriction
-    (aggregates never cross shards), psum-replicated coarse AMG V-cycle,
-    prolong, post-smooth. Stage 2: block-Jacobi with the p-column SpMV.
+    Stage 1: halo-aware pre-smooth on A_p (damped Jacobi or Chebyshev),
+    shard-local restriction (aggregates never cross shards),
+    psum-replicated coarse AMG V-cycle, prolong, post-smooth. Stage 2:
+    block-Jacobi with the p-column SpMV.
     """
     _r_own, _diag_own, _diag_acc, jacK = sys_arrays
     (face_l, face_r, row_plus, row_minus, face_alive, own_alive,
@@ -207,13 +238,18 @@ def cpr_apply(setup: GeneralCPRSetup, pstate, sys_arrays, face_tabs,
     ap_mv, amg_state = pstate["ap_matvec"], pstate["amg_state"]
     aggG_own = pstate["aggG_own"]
     nom = x.shape[0]
+    cheby = smoother == "chebyshev"
 
     r_p = jnp.einsum("ne,ne->n", w, x)  # weighted pressure residual
 
     # pre-smooth (first sweep from zero is elementwise)
-    u = omega * dinv_p * r_p
-    for _ in range(n_fine_smooth - 1):
-        u = u + omega * dinv_p * (r_p - ap_mv(u))
+    if cheby:
+        u = _cheby_fine(ap_mv, dinv_p, pstate["lmax_p"], None, r_p,
+                        n_fine_smooth)
+    else:
+        u = omega * dinv_p * r_p
+        for _ in range(n_fine_smooth - 1):
+            u = u + omega * dinv_p * (r_p - ap_mv(u))
     rho = r_p - ap_mv(u)
 
     # restrict shard-locally, replicate ONLY the coarse residual
@@ -221,12 +257,16 @@ def cpr_apply(setup: GeneralCPRSetup, pstate, sys_arrays, face_tabs,
     rc = rc.at[aggG_own].add(rho * own_alive)
     rc = jax.lax.psum(rc, axis)[:setup.n_coarse]
     ec = amg_vcycle_apply(setup.hier, amg_state, rc, omega=0.67,
-                          n_smooth=2, n_cycles=1)
+                          n_smooth=2, n_cycles=1, smoother=smoother)
     u = u + ec[aggG_own] * own_alive
 
     # post-smooth (halo-aware)
-    for _ in range(n_fine_smooth):
-        u = u + omega * dinv_p * (r_p - ap_mv(u))
+    if cheby:
+        u = _cheby_fine(ap_mv, dinv_p, pstate["lmax_p"], u, r_p,
+                        n_fine_smooth)
+    else:
+        for _ in range(n_fine_smooth):
+            u = u + omega * dinv_p * (r_p - ap_mv(u))
     dp = u
 
     # stage 2: r2 = x - A (dp e_p) via the pressure COLUMN of the

@@ -918,3 +918,51 @@ def test_general_partition_flipped_flux_orientation():
             sim.parameters, dt, None, 1.0)
         np.testing.assert_allclose(T_dd, np.asarray(ref["T"]), rtol=1e-8,
                                    err_msg=type(system).__name__)
+
+
+def test_general_partition_cpr_chebyshev_smoother():
+    """Distributed CPR with Chebyshev smoothing (communication-free:
+    the recurrence needs no dot products, and the Gershgorin interval
+    is one pmax) matches single-device and stays within the 2x linear-
+    iteration budget."""
+    from jutul.jl_tpu.linsolve.cpr import CPRPreconditioner
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    require_devices(8)
+    mesh, system, perm, poro, p0, sw = build_unstructured_case(
+        nx=10, ny=8, nz=4, seed=31)
+    nc = mesh.number_of_cells()
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    dsim = GeneralDistributedSimulator(
+        mesh, system, dmesh,
+        data_fields={"permeability": perm, "porosity": poro})
+    state0 = dsim.initial_state(
+        Pressure=p0, Saturations=np.stack([sw, 1 - sw], axis=1))
+    forces = {"src": PhaseSourceTerm([0, nc - 1],
+                                     np.array([[0.05, 0.0],
+                                               [-0.02, -0.02]]))}
+    dts = [0.1 * DAY, 0.2 * DAY]
+    tols = {"default": 1e-10}
+    states, reports = dsim.simulate(
+        state0, dts, forces=forces, max_newton=30, info_level=-1,
+        tolerances=tols, preconditioner="cpr",
+        cpr_smoother="chebyshev", rtol=1e-9)
+    lin_dist = sum(m["linear_iterations"] for rep in reports
+                   for m in rep["ministeps"])
+
+    sim = Simulator(dsim.global_model, state0=state0)
+    ref, ref_reports = sim.simulate(
+        dts, forces=forces, info_level=-1, tolerances=tols,
+        max_nonlinear_iterations=30,
+        linear_solver=GenericKrylov("bicgstab",
+                                    preconditioner=CPRPreconditioner(),
+                                    rtol=1e-9, max_iterations=200))
+    np.testing.assert_allclose(states[-1]["Pressure"],
+                               np.asarray(ref[-1]["Pressure"]), rtol=1e-6)
+    np.testing.assert_allclose(states[-1]["Saturations"],
+                               np.asarray(ref[-1]["Saturations"]),
+                               atol=1e-7)
+    lin_ref = sum(m.get("linear_iterations", 0) for rep in ref_reports
+                  for m in rep["ministeps"])
+    assert lin_dist <= 2 * lin_ref, (lin_dist, lin_ref)

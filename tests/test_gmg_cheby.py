@@ -146,3 +146,43 @@ def test_cheby_cpr_solves_and_beats_jacobi(prol):
         A.matvec(du) + jnp.asarray(r))))
     r0 = float(jnp.max(jnp.abs(r)))
     assert resid(du_c) < 0.1 * r0 and resid(du_j) < 0.1 * r0
+
+
+def test_amg_chebyshev_on_heat_system():
+    """AMGPreconditioner(smoother="chebyshev") on the unstructured
+    aggregation hierarchy: converges, with no more Krylov iterations
+    than the damped-Jacobi smoothing."""
+    from jutul.jl_tpu import (
+        DataDomain,
+        SimpleHeatSystem,
+        SimulationModel,
+    )
+    from jutul.jl_tpu.linsolve.amg import AMGPreconditioner
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.ops.blockell import BlockELL
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    g = CartesianMesh((32, 32), (1.0, 1.0))
+    # rough (lognormal) conductivity: the regime where polynomial
+    # smoothing pays; on smooth coefficients the two are within one it
+    dom = DataDomain(g, heat_coefficient=rng.lognormal(0.0, 1.5, n))
+    model = SimulationModel(dom, SimpleHeatSystem())
+    comp = compile_model(model)
+    state = {**setup_state(model, T=rng.normal(size=n)),
+             **setup_parameters(model)}
+    state = comp.evaluate_secondaries(state)
+    r = comp.residual(state, {**state, "T": jnp.zeros(n)}, 1e-2)
+    J = BlockELL(comp.ell, comp.jacobian_blocks(state, state, 1e-2))
+
+    def run(smoother):
+        solver = GenericKrylov(
+            "gmres", preconditioner=AMGPreconditioner(smoother=smoother),
+            rtol=1e-8, max_iterations=100)
+        du, st = solver.solve(J, r)
+        assert bool(st["converged"])
+        return int(st["iterations"])
+
+    its_c = run("chebyshev")
+    its_j = run("jacobi")
+    assert its_c <= its_j + 1, (its_c, its_j)
