@@ -552,15 +552,27 @@ def _orchestrate():
     if not os.environ.get("BENCH_FORCE_CPU"):
         health, canary_line = _probe_canary()
         print(f"# {canary_line} [{health}]", file=sys.stderr)
-        if health in ("HUNG", "SLOW"):
-            time.sleep(240)
-            health, canary_line = _probe_canary()
-            print(f"# re-probe: {canary_line} [{health}]", file=sys.stderr)
     if health in ("HUNG", "SLOW"):
         # SLOW = alive-but-orders-of-magnitude-slow (measured r3: trivial
-        # host syncs ~50 s); a rung would burn its whole timeout for a
-        # number that measures the tunnel, not the framework
+        # host syncs ~50 s). A sick worker STILL sometimes completes a
+        # short execution (measured: a full 2048-cell product run landed
+        # in 86 s wall between two HUNG canaries), so spend ONE bank-rung
+        # attempt on it — honestly degraded-labeled, numbers measure the
+        # tunnel as much as the framework — before the CPU fallback.
+        # (No rest+re-probe: the 4-min settle never recovered a hung
+        # worker in any r2/r3 measurement; the rung budget is better.)
         errors.append(f"tpu worker {health.lower()}: {canary_line}")
+        sick, err = _run_worker(
+            os.environ.get("BENCH_SICK_GRID", "64,64,16"), 2, 420,
+            {"BENCH_FUSED_BODY": "0", "BENCH_REFINE": "0"})
+        if sick is not None:
+            sick["degraded"] = f"tpu_worker_{health.lower()}"
+            sick["tpu_worker_health"] = health
+            sick["canary"] = canary_line
+            sick["tpu_errors"] = [e[-300:] for e in errors]
+            print(json.dumps(sick))
+            return 0
+        errors.append(f"sick-worker bank attempt: {err}")
         # refinement off: the rehearsed fallback timed out at 240 s under
         # load with the CPU correction solves included (compile alone 57 s)
         result, err = _run_worker("32,32,8", 2, 420,

@@ -352,10 +352,14 @@ class SmoothedAggregationAMG(Preconditioner):
 
     def __init__(self, theta: float = 0.08, omega: float = 0.67,
                  n_smooth: int = 1, n_cycles: int = 1,
-                 min_coarse: int = 64, max_levels: int = 10):
+                 min_coarse: int = 64, max_levels: int = 10,
+                 smoother: str = "jacobi"):
         SmoothedAggregationAMG._uid[0] += 1
         self.uid = SmoothedAggregationAMG._uid[0]
         self.theta = theta
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        self.smoother = smoother
         self.omega = omega  # relaxation smoother weight
         self.n_smooth = n_smooth
         self.n_cycles = n_cycles
@@ -584,10 +588,15 @@ class SmoothedAggregationAMG(Preconditioner):
             cols = jnp.asarray(lvl.structure.cols_t())
             d0 = A[:, 0]
             dinv = 1.0 / jnp.where(jnp.abs(d0) > 0, d0, 1.0)
-            u = self.omega * dinv * rhs
-            for _ in range(self.n_smooth - 1):
-                r = rhs - _scalar_matvec(A, cols, u)
-                u = u + self.omega * dinv * r
+            if self.smoother == "chebyshev":
+                cdinv, lmax = _ell_cheby_data(A)
+                u = _ell_cheby_smooth(A, cols, cdinv, lmax, None, rhs,
+                                      self.n_smooth)
+            else:
+                u = self.omega * dinv * rhs
+                for _ in range(self.n_smooth - 1):
+                    r = rhs - _scalar_matvec(A, cols, u)
+                    u = u + self.omega * dinv * r
             r = rhs - _scalar_matvec(A, cols, u)
             # restriction: r_c = P^T r
             P = Ps[li]
@@ -602,6 +611,9 @@ class SmoothedAggregationAMG(Preconditioner):
             # prolongation: u += P e_c
             e_pad = jnp.concatenate([e_c, jnp.zeros(1, e_c.dtype)])
             u = u + jnp.sum(P[:, :-1] * e_pad[pattern], axis=1)
+            if self.smoother == "chebyshev":
+                return _ell_cheby_smooth(A, cols, cdinv, lmax, u, rhs,
+                                         self.n_smooth)
             for _ in range(self.n_smooth):
                 r = rhs - _scalar_matvec(A, cols, u)
                 u = u + self.omega * dinv * r

@@ -186,3 +186,41 @@ def test_amg_chebyshev_on_heat_system():
     its_c = run("chebyshev")
     its_j = run("jacobi")
     assert its_c <= its_j + 1, (its_c, its_j)
+
+
+def test_smoothed_aggregation_chebyshev():
+    """SmoothedAggregationAMG(smoother="chebyshev") converges on the
+    heterogeneous heat system within one iteration of jacobi."""
+    from jutul.jl_tpu import (
+        DataDomain,
+        SimpleHeatSystem,
+        SimulationModel,
+    )
+    from jutul.jl_tpu.linsolve.amg import SmoothedAggregationAMG
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.ops.blockell import BlockELL
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    g = CartesianMesh((32, 32), (1.0, 1.0))
+    dom = DataDomain(g, heat_coefficient=rng.lognormal(0.0, 1.5, n))
+    model = SimulationModel(dom, SimpleHeatSystem())
+    comp = compile_model(model)
+    state = {**setup_state(model, T=rng.normal(size=n)),
+             **setup_parameters(model)}
+    state = comp.evaluate_secondaries(state)
+    r = comp.residual(state, {**state, "T": jnp.zeros(n)}, 1e-2)
+    J = BlockELL(comp.ell, comp.jacobian_blocks(state, state, 1e-2))
+
+    def run(smoother):
+        p = SmoothedAggregationAMG(smoother=smoother)
+        p.update(J)  # concrete first update builds the hierarchy
+        solver = GenericKrylov("gmres", preconditioner=p, rtol=1e-8,
+                               max_iterations=100)
+        du, st = solver.solve(J, r)
+        assert bool(st["converged"])
+        return int(st["iterations"])
+
+    its_c = run("chebyshev")
+    its_j = run("jacobi")
+    assert its_c <= its_j + 1, (its_c, its_j)
