@@ -224,3 +224,45 @@ def test_smoothed_aggregation_chebyshev():
     its_c = run("chebyshev")
     its_j = run("jacobi")
     assert its_c <= its_j + 1, (its_c, its_j)
+
+
+def test_chebyshev_through_simulate_jit():
+    """The whole-schedule product path (simulate_jit) with the
+    Chebyshev-smoothed CPR matches the Jacobi-smoothed run."""
+    from jutul.jl_tpu import Simulator
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    nx, ny, nz = 8, 8, 4
+    nc = nx * ny * nz
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny, nz), (50.0, 50.0, 5.0))
+    model = setup_darcy_model(
+        mesh, ImmiscibleFluid(viscosities=(1e-3, 2e-3)),
+        permeability=rng.lognormal(0.0, 1.0, nc) * 1e-13,
+        porosity=0.25, gravity=True)
+    sw = rng.uniform(0.2, 0.8, nc)
+    state0 = setup_state(model, Pressure=200e5,
+                         Saturations=np.stack([sw, 1 - sw], axis=1))
+    forces = {"w": PhaseSourceTerm([0, nc - 1],
+                                   np.array([[5e-4, 0.0],
+                                             [-2e-4, -2e-4]]))}
+
+    def run(smoother):
+        solver = StencilKrylovSolver(
+            preconditioner=StencilCPR(gmg=GMG(
+                n_smooth=2, min_cells=64, use_pallas=False,
+                smoother=smoother, prolongation="linear")),
+            rtol=1e-6, max_iterations=60, use_fused_body=False)
+        sim = Simulator(model, state0=state0, use_stencil=True)
+        res = sim.simulate_jit(
+            [21600.0] * 2, forces=forces, linear_solver=solver,
+            tolerances={"mass_conservation/CNV": 1e-3,
+                        "mass_conservation/MB": 1e-6},
+            max_nonlinear_iterations=12, info_level=-1)
+        return np.asarray(res.states[-1]["Pressure"])
+
+    p_c = run("chebyshev")
+    p_j = run("jacobi")
+    assert np.all(np.isfinite(p_c))
+    rel = np.max(np.abs(p_c - p_j)) / np.max(np.abs(p_j))
+    assert rel < 1e-4, rel
