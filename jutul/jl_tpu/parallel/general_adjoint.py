@@ -87,7 +87,7 @@ class GeneralDistributedAdjoint:
         nom, ndof, neq = dec.n_own_max, comp.ndof, comp.neq_total
 
         def local_step(u_n, u_prev, u_next, lam_next, cp, fp, tb, q, bc,
-                       dts):
+                       q_nx, bc_nx, dts):
             cp = {k: v[0] for k, v in cp.items()}
             fp = {k: v[0] for k, v in fp.items()}
             tabs = tuple(t[0] for t in tb)
@@ -97,17 +97,24 @@ class GeneralDistributedAdjoint:
             # convention) — one code path, still exact (ADVICE r2 high:
             # BCs must be inside every residual/Jacobian the sweep
             # transposes, or gradients are silently wrong).
+            # step-(n+1) stacks for the F_{n+1} cross term: per-step force
+            # schedules make them differ from step n's (state-dependent
+            # pressure BCs linearize differently per step; constant cell
+            # sources drop out of every vjp, threaded anyway for hygiene)
+            q2 = q_nx[0]
+            bc2 = tuple(b[0] for b in bc_nx)
             dt_n, dt_next = dts[0], dts[1]
             n_step = n if static_step else dts[2].astype(jnp.int32)
             nh = dsim._n_halo_tabs
             own_alive = tabs[nh + 5]
             am = own_alive[:, None]
 
-            def r_fn(u_own, u0_own, cp_, fp_, dt_):
+            def r_fn(u_own, u0_own, cp_, fp_, dt_, q_=None, bc_=None):
                 sys = dsim._local_system(
                     comp.unpack_dofs(u_own), comp.unpack_dofs(u0_own),
-                    cp_, fp_, tabs, q1, dt_,
-                    with_jac=False, with_crit=False, bc=bc1)
+                    cp_, fp_, tabs, q1 if q_ is None else q_, dt_,
+                    with_jac=False, with_crit=False,
+                    bc=bc1 if bc_ is None else bc_)
                 return sys["r_own"]
 
             # rhs = -dG/du_n - (dF_{n+1}/du_n)^T λ_{n+1}
@@ -117,7 +124,8 @@ class GeneralDistributedAdjoint:
             rhs = -g_u
             if has_next:
                 _, pull0 = jax.vjp(
-                    lambda u0_: r_fn(u_next, u0_, cp, fp, dt_next), u_n)
+                    lambda u0_: r_fn(u_next, u0_, cp, fp, dt_next,
+                                     q_=q2, bc_=bc2), u_n)
                 (du0_bar,) = pull0(lam_next)
                 rhs = rhs - du0_bar
 
@@ -179,7 +187,8 @@ class GeneralDistributedAdjoint:
             local_step,
             mesh=dsim.device_mesh,
             in_specs=(u_spec, u_spec, u_spec, u_spec, cp_spec, fp_spec,
-                      tab_spec, P(ax), (P(ax),) * 4, P()),
+                      tab_spec, P(ax), (P(ax),) * 4,
+                      P(ax), (P(ax),) * 4, P()),
             out_specs=(u_spec, cp_spec, fp_spec, P()),
             check_vma=False,
         ))
@@ -193,10 +202,12 @@ class GeneralDistributedAdjoint:
 
         ``states``/``state0`` are GLOBAL states (mesh order); the sweep
         shards them internally. ``G(model, state, dt, n, forces)`` must be
-        a sum over cells. CONSTANT forces only (one dict for the whole
-        schedule, same as the slab adjoint), and G receives
-        ``forces=None`` — a G that reads its forces argument is
-        unsupported here (ADVICE r2).
+        a sum over cells. ``forces`` may be one dict for the whole
+        schedule OR a per-step list (len == len(states), matching the
+        forward per-step schedule support): each backward step then
+        transposes F_n with step-n stacks and the F_{n+1} cross term
+        with step-(n+1) stacks. G receives ``forces=None`` — a G that
+        reads its forces argument is unsupported here (ADVICE r2).
 
         EXACTNESS REQUIREMENT (same as the reference and the single-device
         adjoint, adjoint/gradients.py:21): ``states[n]`` must satisfy the
@@ -239,19 +250,30 @@ class GeneralDistributedAdjoint:
 
         u0 = dofs_of(state0)
         us = [dofs_of(s) for s in states]
-        q = (jnp.asarray(dsim.stack_cell_sources(forces)) if forces
-             else jnp.zeros((dsim.n_devices, dec.n_own_max,
-                             comp.neq_total)))
-        # pressure BCs enter every residual the sweep transposes (ADVICE r2
-        # high). No-BC runs get trans=0 dummy rows: exactly zero effect.
-        bc = dsim.stack_boundary_conditions(forces) if forces else None
-        if bc is None:
-            nph = comp.neq_total
-            bc = (np.zeros((dsim.n_devices, 1), np.int32),
-                  np.zeros((dsim.n_devices, 1)),
-                  np.zeros((dsim.n_devices, 1)),
-                  np.full((dsim.n_devices, 1, nph), 1.0 / nph))
-        bc = tuple(jnp.asarray(a) for a in bc)
+
+        def _stacks_for(f):
+            q = (jnp.asarray(dsim.stack_cell_sources(f)) if f
+                 else jnp.zeros((dsim.n_devices, dec.n_own_max,
+                                 comp.neq_total)))
+            # pressure BCs enter every residual the sweep transposes
+            # (ADVICE r2 high). No-BC runs get trans=0 dummy rows:
+            # exactly zero effect.
+            bc = dsim.stack_boundary_conditions(f) if f else None
+            if bc is None:
+                nph = comp.neq_total
+                bc = (np.zeros((dsim.n_devices, 1), np.int32),
+                      np.zeros((dsim.n_devices, 1)),
+                      np.zeros((dsim.n_devices, 1)),
+                      np.full((dsim.n_devices, 1, nph), 1.0 / nph))
+            return q, tuple(jnp.asarray(a) for a in bc)
+
+        if isinstance(forces, (list, tuple)):
+            if len(forces) != N:
+                raise ValueError(
+                    f"per-step forces: {len(forces)} entries for {N} steps")
+            stacks = [_stacks_for(f) for f in forces]
+        else:
+            stacks = [_stacks_for(forces)] * N
 
         cp_grad = {k: np.zeros((dsim.n_devices, dec.n_own_max)
                                + np.asarray(v).shape[2:])
@@ -273,9 +295,11 @@ class GeneralDistributedAdjoint:
             dt_pair = jnp.asarray([dts[n],
                                    dts[n + 1] if has_next else dts[n],
                                    float(n)])
+            q_n, bc_n = stacks[n]
+            q_nx, bc_nx = stacks[n + 1] if has_next else stacks[n]
             lam, cp_bar, fp_bar, _lin = step(
                 us[n], u_prev, u_next, lam, self.cp, self.fp,
-                self._tables, q, bc, dt_pair)
+                self._tables, q_n, bc_n, q_nx, bc_nx, dt_pair)
             for k in cp_grad:
                 cp_grad[k] += np.asarray(cp_bar[k], dtype=np.float64) \
                     .reshape(cp_grad[k].shape)
