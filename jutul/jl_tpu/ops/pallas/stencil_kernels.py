@@ -587,10 +587,102 @@ def _scalar_slab_sweeps_call(coef_pad, b_pad, u_pad, ny, H, n_sweep, omega,
     )(coef_pad, b_pad, u_pad)
 
 
+def _kernel_slab_sweeps_cheby(lmax_ref, coef_hbm, b_hbm, u_hbm, y_ref, cs,
+                              bs, us, sem, *, ny, H, Rt, n_sweep, lower,
+                              emit_residual, init_zero):
+    """Slab-tiled Chebyshev multi-sweep: the whole smoothing phase on a
+    deep-halo z-slab (halo math identical to the Jacobi kernel — the
+    direction vector d is elementwise in the residual, so wrong values
+    still creep exactly one ny-band per stencil application)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    win = pl.ds(i * Rt, Rt + 2 * H)
+    dma1 = pltpu.make_async_copy(coef_hbm.at[:, :, win], cs, sem)
+    dma1.start()
+    dma1.wait()
+    dma2 = pltpu.make_async_copy(b_hbm.at[:, win], bs, sem)
+    dma2.start()
+    dma2.wait()
+    if not init_zero:
+        dma3 = pltpu.make_async_copy(u_hbm.at[:, win], us, sem)
+        dma3.start()
+        dma3.wait()
+
+    d0 = cs[0, 0]
+    dinv = jnp.where(d0 != 0, 1.0 / d0, 0.0)
+    b = bs[0]
+    lmax = lmax_ref[0, 0]
+    lmin = lower * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    if init_zero:
+        r = b
+        u = None
+    else:
+        u = us[0]
+        r = b - _apply_scalar(cs, u, ny)
+    d = (dinv * r) / theta
+    u = d if u is None else u + d
+    for _ in range(1, n_sweep):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = b - _apply_scalar(cs, u, ny)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
+        u = u + d
+        rho = rho_new
+    y_ref[0] = u[H:H + Rt]
+    if emit_residual:
+        y_ref[1] = (b - _apply_scalar(cs, u, ny))[H:H + Rt]
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "H", "n_sweep", "lower",
+                                             "emit_residual", "init_zero",
+                                             "tz", "interpret"))
+def _scalar_slab_sweeps_cheby_call(lmax, coef_pad, b_pad, u_pad, ny, H,
+                                   n_sweep, lower, emit_residual,
+                                   init_zero, tz, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = coef_pad.shape[2] - 2 * H
+    nxp = coef_pad.shape[3]
+    Rt = tz * ny
+    grid = (R // Rt,)
+    n_out = 2 if emit_residual else 1
+    kern = functools.partial(_kernel_slab_sweeps_cheby, ny=ny, H=H, Rt=Rt,
+                             n_sweep=n_sweep, lower=lower,
+                             emit_residual=emit_residual,
+                             init_zero=init_zero)
+    lmax2 = jnp.reshape(lmax.astype(coef_pad.dtype), (1, 1))
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((n_out, Rt, nxp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coef_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_TERMS, 1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(lmax2, coef_pad, b_pad, u_pad)
+
+
 class PallasSlabFusedScalarLevel(PallasScalarLevel):
     """Deep-halo slab-tiled multi-sweep level for big scalar lattices
     (the 1M fine level): same ``presmooth_residual``/``postsmooth``/
-    ``sweep_n`` hooks as the whole-lattice fused level."""
+    ``sweep_n`` hooks as the whole-lattice fused level, plus the
+    Chebyshev pre/post variants. (No ``sweep_n_cheby``: the recurrence
+    cannot be chunked across halo-depth-limited calls without carrying
+    d and rho, and a slab-sized COARSEST level does not occur in
+    practice — GMG falls back to the per-sweep chain there.)"""
 
     def __init__(self, A, n_smooth: int = 2, interpret: bool | None = None,
                  vmem_budget: int = 10 * 1024 * 1024):
@@ -644,6 +736,31 @@ class PallasSlabFusedScalarLevel(PallasScalarLevel):
             u = self._call(b, u, k, omega, False, False)[0]
             done += k
         return u
+
+    # -- Chebyshev variants (see class docstring for the sweep_n gap) ---
+    def _call_cheby(self, b, u0, lmax, n_sweep, lower, emit_residual,
+                    init_zero):
+        n_apply = (n_sweep - 1 if init_zero else n_sweep) + (
+            1 if emit_residual else 0)
+        assert n_apply * self.base.L[1] <= self.H, (
+            "slab Chebyshev: phase exceeds the halo depth this level "
+            "was built for")
+        nz, ny, nx = self.base.L
+        b_pad = self._pad_rows(b)
+        u_pad = self._pad_rows(u0) if u0 is not None else \
+            jnp.zeros_like(b_pad)
+        y = _scalar_slab_sweeps_cheby_call(
+            jnp.asarray(lmax), self.coef_pad, b_pad, u_pad, ny, self.H,
+            int(n_sweep), float(lower), bool(emit_residual),
+            bool(init_zero), self.tz, self.interpret)
+        return y[:, :, :nx].reshape(y.shape[0], -1)
+
+    def presmooth_residual_cheby(self, b, lmax, n_sweep, lower):
+        y = self._call_cheby(b, None, lmax, n_sweep, lower, True, True)
+        return y[0], y[1]
+
+    def postsmooth_cheby(self, u, b, lmax, n_sweep, lower):
+        return self._call_cheby(b, u, lmax, n_sweep, lower, False, False)[0]
 
 
 class XLAScalarLevel:

@@ -266,3 +266,37 @@ def test_chebyshev_through_simulate_jit():
     assert np.all(np.isfinite(p_c))
     rel = np.max(np.abs(p_c - p_j)) / np.max(np.abs(p_j))
     assert rel < 1e-4, rel
+
+
+def test_slab_cheby_kernel_matches_xla_chain():
+    """Interpret-mode slab-tiled Chebyshev kernel == the XLA-chain
+    recurrence (deep-halo creep bounded exactly as for Jacobi)."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasSlabFusedScalarLevel,
+        XLAScalarLevel,
+    )
+
+    r, A = _flagship_system(16, 16, 8)
+    state = StencilCPR(gmg=GMG(use_pallas=False)).update(A)
+    Ap = state.ops[0]
+    dinv, lmax = _cheby_setup(Ap)
+    lv_x = XLAScalarLevel(Ap)
+    # tiny vmem budget forces real slab tiling (several grid programs)
+    lv_s = PallasSlabFusedScalarLevel(Ap, n_smooth=2, interpret=True,
+                                      vmem_budget=600 * 1024)
+    assert lv_s.tz < Ap.L[0], "budget did not force tiling"
+    b = jnp.asarray(np.random.default_rng(6).normal(size=Ap.n), jnp.float32)
+    u0 = jnp.asarray(np.random.default_rng(7).normal(size=Ap.n), jnp.float32)
+
+    u_ref = _cheby_smooth(lv_x, dinv, lmax, None, b, 2, 0.25)
+    r_ref = lv_x.residual(u_ref, b)
+    u_got, r_got = lv_s.presmooth_residual_cheby(b, lmax, 2, 0.25)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref),
+                               rtol=2e-5, atol=2e-4)
+
+    ref1 = _cheby_smooth(lv_x, dinv, lmax, u0, b, 2, 0.25)
+    got1 = lv_s.postsmooth_cheby(u0, b, lmax, 2, 0.25)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=2e-5, atol=2e-5)
