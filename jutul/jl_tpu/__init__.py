@@ -83,6 +83,10 @@ from .simulator.io import (
     valid_restart_indices,
 )
 from .simulator.relaxation import NoRelaxation, SimpleRelaxation
+from .simulator.reporting import (
+    EndTimeTerminationCriterion,
+    TerminationCriterion,
+)
 from .simulator.simulator import (
     SimResult,
     Simulator,
