@@ -32,13 +32,23 @@ def _identity(x):
 
 def gmres(matvec: Callable, b, x0=None, restart: int = 20,
           maxiter: int = 200, rtol: float = 1e-8, atol: float = 0.0,
-          precond: Callable | None = None, dot_fn: Callable | None = None):
+          precond: Callable | None = None, dot_fn: Callable | None = None,
+          orth: str = "cgs2"):
     """Right-preconditioned restarted GMRES(m).
 
     Returns (x, stats) with stats = dict(iterations, residual, converged).
     ``dot_fn`` overrides the inner product (pass a psum-reducing dot inside
-    shard_map for a distributed solve, like bicgstab).
+    shard_map for a distributed solve, like bicgstab; it receives the
+    basis MATRIX in the cgs2 path — ``psum(jnp.dot(a, b))`` handles both).
+
+    ``orth``: "cgs2" (classical Gram-Schmidt, twice — the Arnoldi
+    orthogonalization becomes TWO (m+1, N) matmuls that tile onto the
+    MXU, instead of m+1 sequential masked dots; reorthogonalization
+    makes it as stable as MGS in practice) or "mgs" (the sequential
+    reference formulation).
     """
+    if orth not in ("cgs2", "mgs"):
+        raise ValueError(f"unknown orthogonalization {orth!r}")
     N = b.shape[0]
     dtype = b.dtype
     if precond is None:
@@ -67,14 +77,27 @@ def gmres(matvec: Callable, b, x0=None, restart: int = 20,
         def arnoldi_step(carry):
             V, H, cs, sn, g, k, _res = carry
             w = matvec(precond(V[k]))
-            # modified Gram-Schmidt against all columns (masked beyond k)
-            def mgs(j, wh):
-                w, hcol = wh
-                hij = jnp.where(j <= k, dot(V[j], w), 0.0)
-                w = w - hij * V[j]
-                return (w, hcol.at[j].set(hij))
+            if orth == "cgs2":
+                # classical Gram-Schmidt x2: each pass is one (m+1, N)
+                # matmul (MXU) + one rank-1-ish combine; columns beyond k
+                # are zero rows of V, so masking is only needed to keep
+                # the h coefficients clean
+                mask = (jnp.arange(m + 1) <= k).astype(dtype)
+                h1 = dot(V, w) * mask
+                w = w - V.T @ h1
+                h2 = dot(V, w) * mask
+                w = w - V.T @ h2
+                hcol = h1 + h2
+            else:
+                # modified Gram-Schmidt (masked beyond k)
+                def mgs(j, wh):
+                    w, hcol = wh
+                    hij = jnp.where(j <= k, dot(V[j], w), 0.0)
+                    w = w - hij * V[j]
+                    return (w, hcol.at[j].set(hij))
 
-            w, hcol = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+                w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
+                                            (w, jnp.zeros(m + 1, dtype)))
             hk1 = norm(w)
             hcol = hcol.at[k + 1].set(hk1)
             V = V.at[k + 1].set(w / jnp.where(hk1 > 0, hk1, 1.0))

@@ -190,3 +190,20 @@ def test_generic_krylov_fused_body_blockell():
     assert bool(st_f["converged"]) and bool(st_g["converged"])
     scale = float(jnp.max(jnp.abs(du_g))) + 1e-30
     assert float(jnp.max(jnp.abs(du_f - du_g))) / scale < 1e-3
+
+
+def test_gmres_cgs2_matches_mgs():
+    """CGS2 (MXU-matmul Arnoldi orthogonalization) reaches the same
+    solution as the MGS reference formulation."""
+    from jutul.jl_tpu.linsolve.krylov import gmres
+
+    matvec, b, x_true = _random_system(200, seed=7)
+    x_c, st_c = gmres(matvec, b, rtol=1e-6, maxiter=200, orth="cgs2")
+    x_m, st_m = gmres(matvec, b, rtol=1e-6, maxiter=200, orth="mgs")
+    assert bool(st_c["converged"]) and bool(st_m["converged"])
+    # identical counts away from the f32 residual-estimate floor
+    assert int(st_c["iterations"]) == int(st_m["iterations"])
+    np.testing.assert_allclose(np.asarray(x_c), x_true, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_c), np.asarray(x_m),
+                               rtol=1e-3, atol=1e-4)
