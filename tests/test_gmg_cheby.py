@@ -255,7 +255,7 @@ def test_chebyshev_through_simulate_jit():
             rtol=1e-6, max_iterations=60, use_fused_body=False)
         sim = Simulator(model, state0=state0, use_stencil=True)
         res = sim.simulate_jit(
-            [21600.0] * 2, forces=forces, linear_solver=solver,
+            [21600.0], forces=forces, linear_solver=solver,
             tolerances={"mass_conservation/CNV": 1e-3,
                         "mass_conservation/MB": 1e-6},
             max_nonlinear_iterations=12, info_level=-1)
