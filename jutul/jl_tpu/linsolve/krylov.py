@@ -228,7 +228,8 @@ class GenericKrylov:
     def __init__(self, solver: str = "gmres", preconditioner: Preconditioner
                  | None = None, rtol: float = 1e-6, atol: float = 0.0,
                  max_iterations: int = 200, restart: int = 20,
-                 verbose: bool = False, use_fused_body: bool | None = None):
+                 verbose: bool = False, use_fused_body: bool | None = None,
+                 orth: str = "cgs2"):
         if solver not in ("gmres", "bicgstab"):
             raise ValueError(f"unknown solver {solver!r}")
         self.solver = solver
@@ -238,6 +239,7 @@ class GenericKrylov:
         self.max_iterations = max_iterations
         self.restart = restart
         self.verbose = verbose
+        self.orth = orth  # GMRES orthogonalization: "cgs2" (MXU) | "mgs"
         # fused Mosaic BiCGStab body (ops/pallas/krylov_kernels.py);
         # None -> auto: TPU backend + f32 system only
         self.use_fused_body = use_fused_body
@@ -280,7 +282,8 @@ class GenericKrylov:
         if self.solver == "gmres":
             x, stats = gmres(matvec, b, restart=self.restart,
                              maxiter=self.max_iterations, rtol=rtol,
-                             atol=self.atol, precond=precond)
+                             atol=self.atol, precond=precond,
+                             orth=self.orth)
         else:
             x, stats = self._bicgstab_fn(b.dtype)(
                 matvec, b, maxiter=self.max_iterations,
@@ -312,7 +315,8 @@ class GenericKrylov:
         if self.solver == "gmres":
             x, stats = gmres(matvec, b, restart=self.restart,
                              maxiter=self.max_iterations, rtol=rtol,
-                             atol=self.atol, precond=precond)
+                             atol=self.atol, precond=precond,
+                             orth=self.orth)
         else:
             x, stats = self._bicgstab_fn(b.dtype)(
                 matvec, b, maxiter=self.max_iterations,
