@@ -102,6 +102,8 @@ from .simulator.timesteps import (
 )
 from .adjoint.dict_opt import DictParameters
 from .adjoint.gradients import (
+    AdjointStorage,
+    setup_adjoint_storage,
     solve_adjoint_forces,
     solve_adjoint_sensitivities,
     solve_numerical_sensitivities,

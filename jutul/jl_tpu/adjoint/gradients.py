@@ -106,6 +106,14 @@ class AdjointStorage:
         return lam.reshape(n, comp.neq_total)
 
 
+def setup_adjoint_storage(model, parameters: dict, forces=None,
+                          direct_limit: int = 20_000) -> AdjointStorage:
+    """Reference-named constructor (gradients.jl:108): precompile the
+    adjoint sweep kernels once and reuse across solves."""
+    return AdjointStorage(model, parameters, forces=forces,
+                          direct_limit=direct_limit)
+
+
 def solve_adjoint_sensitivities(
     model_or_case,
     states: list,
