@@ -71,7 +71,8 @@ from .models.variables import (
     VectorVariables,
     secondary_variable,
 )
-from .multimodel.core import CrossTerm, AdditiveCrossTerm, MultiModel
+from .multimodel.core import (CrossTerm, AdditiveCrossTerm,
+                              MultiModel, add_cross_term)
 from .ops.assembly import CompiledModel, compile_model
 from .ops.blockell import BlockELL, ELLStructure
 from .simulator.io import (

@@ -223,6 +223,17 @@ jax.tree_util.register_pytree_node(
 )
 
 
+
+def add_cross_term(model: "MultiModel", cross_term: CrossTerm, target: str,
+                   source: str, equation: str, target_cells=None,
+                   source_cells=None):
+    """Free-function form of ``MultiModel.add_cross_term`` (the
+    reference's exported ``add_cross_term!``, multimodel/crossterm.jl)."""
+    model.add_cross_term(cross_term, target, source, equation,
+                         target_cells=target_cells,
+                         source_cells=source_cells)
+
+
 class CompiledMultiModel:
     """Assembly engine for MultiModel — same interface as CompiledModel so
     the Simulator drives both."""
