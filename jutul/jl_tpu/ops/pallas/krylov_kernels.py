@@ -181,6 +181,10 @@ def fused_alpha_s(rhat, r, v, rho, interpret: bool | None = None):
         out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        # the phase axis MUST run sequentially (SMEM scratch carries the
+        # dot reduction between phases); "arbitrary" pins that ordering
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(rho2, *args)
     return s.reshape(-1)[:n], alpha[0, 0]
@@ -204,6 +208,8 @@ def fused_omega_update(rhat, t, s, phat, shat, x, p, v, rho, alpha,
         out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3,
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(rho2, alpha2, *args)
     return (x2.reshape(-1)[:n], r2.reshape(-1)[:n], p2.reshape(-1)[:n],
