@@ -506,12 +506,14 @@ def _run_worker(grid, n_step, timeout_s, extra_env=None):
     return None, f"no JSON in worker output: {(proc.stdout or '')[-400:]}"
 
 
-def _probe_canary(timeout_s=160):
-    """Classify the TPU worker (HEALTHY/DEGRADED/HUNG) before spending
-    rung budget on it. A hung worker blocks host syncs entirely, so a
-    blind bank-rung attempt would burn its full timeout; the canary
-    (~1.7 TFLOP fixed matmul loop, self-capped at 120 s) answers in
-    seconds when healthy. See scripts/tpu_canary.py + docs/tpu.md."""
+def _probe_canary(timeout_s=200):
+    """Classify the TPU worker (HEALTHY/DEGRADED/SLOW/HUNG) before
+    spending rung budget on it. A hung worker blocks host syncs
+    entirely, so a blind bank-rung attempt would burn its full timeout;
+    the staged canary (tiny sync / compile / ~0.34 TFLOP matmul loop,
+    self-capped at 140 s) answers in seconds when healthy. The outer
+    cap leaves ~60 s for python+jax startup under load so the SLOW vs
+    HUNG distinction survives. See scripts/tpu_canary.py + docs/tpu.md."""
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "tpu_canary.py")
     try:
@@ -531,10 +533,11 @@ def _orchestrate():
     """Bank-first ladder (VERDICT r2 item 1: a bench that cannot fail to
     deliver a TPU number inside the driver's ~25-min budget).
 
-    0. Canary-probe the worker (~3 min worst case). HUNG -> one 4-min
-       rest + re-probe; still HUNG -> skip straight to the CPU fallback
-       (honestly labeled) instead of burning 16 min of rung timeouts on
-       a worker that cannot answer.
+    0. Canary-probe the worker (~3.5 min worst case). HUNG/SLOW -> ONE
+       sick-worker rung attempt (a sick worker still sometimes completes
+       a short execution; measured r3), then the CPU fallback (honestly
+       labeled). No rest+re-probe: a 4-min settle never recovered a
+       hung worker in any r2/r3 measurement.
     1. BANK a small known-survivable TPU result first (131k cells, ~2-4
        min incl. compile + the 1e-8 refinement record) while the worker
        is fresh — measured r2: crash probability grows with execution

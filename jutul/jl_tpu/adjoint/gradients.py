@@ -102,7 +102,10 @@ class AdjointStorage:
             return ell_rmatvec(blocks, cols, x.reshape(n, comp.neq_total)
                                ).reshape(-1)
 
-        lam, stats = gmres(matvec, rhs.reshape(-1), rtol=1e-10, maxiter=500)
+        # f64 CPU path where certainty beats matmul throughput: keep the
+        # sequential MGS formulation for the adjoint lambda solves
+        lam, stats = gmres(matvec, rhs.reshape(-1), rtol=1e-10, maxiter=500,
+                           orth="mgs")
         return lam.reshape(n, comp.neq_total)
 
 

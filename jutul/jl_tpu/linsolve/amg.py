@@ -140,7 +140,7 @@ class AMGPreconditioner(Preconditioner):
 
     def __init__(self, omega: float = 0.67, n_smooth: int = 2,
                  n_cycles: int = 1, min_coarse: int = 64,
-                 smoother: str = "jacobi"):
+                 smoother: str = "jacobi", cheby_lower: float = 0.25):
         self.omega = omega
         self.n_smooth = n_smooth
         self.n_cycles = n_cycles
@@ -148,6 +148,7 @@ class AMGPreconditioner(Preconditioner):
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
+        self.cheby_lower = cheby_lower
         self._hier: AMGHierarchy | None = None
         self._struct_id = None
 
@@ -169,7 +170,8 @@ class AMGPreconditioner(Preconditioner):
         hier = self._symbolic(J.structure)
         b = x[:, 0] if x.ndim == 2 else x
         u = amg_vcycle_apply(hier, state, b, self.omega, self.n_smooth,
-                             self.n_cycles, smoother=self.smoother)
+                             self.n_cycles, smoother=self.smoother,
+                             cheby_lower=self.cheby_lower)
         return u[:, None] if x.ndim == 2 else u
 
 
@@ -215,29 +217,20 @@ def _ell_cheby_data(A):
 
 def _ell_cheby_smooth(A, cols, dinv, lmax, u, rhs, n_sweep,
                       lower: float = 0.25):
-    """Chebyshev relaxation for the scalar ELL level (the 3-term
-    recurrence of ops/stencil.py _cheby_smooth); ``u=None`` starts from
-    zero (first preconditioned residual is elementwise)."""
-    lmin = lower * lmax
-    theta = 0.5 * (lmax + lmin)
-    delta = 0.5 * (lmax - lmin)
-    sigma = theta / delta
-    rho = 1.0 / sigma
-    r = dinv * rhs if u is None else dinv * (rhs - _scalar_matvec(A, cols, u))
-    d = r / theta
-    u = d if u is None else u + d
-    for _ in range(1, n_sweep):
-        rho_new = 1.0 / (2.0 * sigma - rho)
-        r = dinv * (rhs - _scalar_matvec(A, cols, u))
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
-        u = u + d
-        rho = rho_new
-    return u
+    """Chebyshev relaxation for the scalar ELL level via the shared
+    recurrence (linsolve/cheby.py); ``u=None`` starts from zero (first
+    preconditioned residual is elementwise)."""
+    from .cheby import chebyshev_recurrence
+
+    return chebyshev_recurrence(
+        lambda u_: dinv * (rhs - _scalar_matvec(A, cols, u_)),
+        dinv * rhs, u, n_sweep, lmax, lower)
 
 
 def amg_vcycle_apply(hier: AMGHierarchy, state, b, omega: float,
                      n_smooth: int, n_cycles: int,
-                     smoother: str = "jacobi"):
+                     smoother: str = "jacobi",
+                     cheby_lower: float = 0.25):
     """Aggregation-AMG V-cycle(s) for rhs ``b`` given ``amg_coarsen_ops``
     output (traceable). ``smoother``: "jacobi" or "chebyshev" (per-level
     Gershgorin intervals derived from the traced operator values)."""
@@ -256,7 +249,8 @@ def amg_vcycle_apply(hier: AMGHierarchy, state, b, omega: float,
 
         if cheby:
             cdinv, lmax = _ell_cheby_data(A)
-            u = _ell_cheby_smooth(A, cols, cdinv, lmax, None, rhs, n_smooth)
+            u = _ell_cheby_smooth(A, cols, cdinv, lmax, None, rhs,
+                                  n_smooth, lower=cheby_lower)
         else:
             u = omega * dinv * rhs  # first Jacobi sweep from zero
             for _ in range(n_smooth - 1):
@@ -269,7 +263,8 @@ def amg_vcycle_apply(hier: AMGHierarchy, state, b, omega: float,
         e_c = vcycle(level + 1, r_c)
         u = u + e_c[agg]
         if cheby:
-            return _ell_cheby_smooth(A, cols, cdinv, lmax, u, rhs, n_smooth)
+            return _ell_cheby_smooth(A, cols, cdinv, lmax, u, rhs,
+                                     n_smooth, lower=cheby_lower)
         for _ in range(n_smooth):
             r = rhs - _scalar_matvec(A, cols, u)
             u = u + omega * dinv * r
@@ -353,13 +348,14 @@ class SmoothedAggregationAMG(Preconditioner):
     def __init__(self, theta: float = 0.08, omega: float = 0.67,
                  n_smooth: int = 1, n_cycles: int = 1,
                  min_coarse: int = 64, max_levels: int = 10,
-                 smoother: str = "jacobi"):
+                 smoother: str = "jacobi", cheby_lower: float = 0.25):
         SmoothedAggregationAMG._uid[0] += 1
         self.uid = SmoothedAggregationAMG._uid[0]
         self.theta = theta
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
+        self.cheby_lower = cheby_lower
         self.omega = omega  # relaxation smoother weight
         self.n_smooth = n_smooth
         self.n_cycles = n_cycles
@@ -591,7 +587,8 @@ class SmoothedAggregationAMG(Preconditioner):
             if self.smoother == "chebyshev":
                 cdinv, lmax = _ell_cheby_data(A)
                 u = _ell_cheby_smooth(A, cols, cdinv, lmax, None, rhs,
-                                      self.n_smooth)
+                                      self.n_smooth,
+                                      lower=self.cheby_lower)
             else:
                 u = self.omega * dinv * rhs
                 for _ in range(self.n_smooth - 1):
@@ -613,7 +610,8 @@ class SmoothedAggregationAMG(Preconditioner):
             u = u + jnp.sum(P[:, :-1] * e_pad[pattern], axis=1)
             if self.smoother == "chebyshev":
                 return _ell_cheby_smooth(A, cols, cdinv, lmax, u, rhs,
-                                         self.n_smooth)
+                                         self.n_smooth,
+                                         lower=self.cheby_lower)
             for _ in range(self.n_smooth):
                 r = rhs - _scalar_matvec(A, cols, u)
                 u = u + self.omega * dinv * r

@@ -216,6 +216,29 @@ def bicgstab(matvec: Callable, b, x0=None, maxiter: int = 200,
     return x, {"iterations": it, "residual": res, "converged": res <= tol}
 
 
+def resolve_bicgstab(dtype, use_fused: bool | None):
+    """Resolve the BiCGStab implementation: the fused Mosaic body
+    (ops/pallas/krylov_kernels.py; auto when on the TPU backend with an
+    f32 system) or the XLA chain. The single dispatch point for
+    StencilKrylovSolver AND GenericKrylov — change the auto rule here
+    only. Explicitly forcing the fused body on a non-f32 system raises:
+    it computes in f32 and would silently lose the precision the f64
+    conformance paths rely on."""
+    if use_fused is None:
+        use_fused = (jax.default_backend() == "tpu"
+                     and dtype == jnp.float32)
+    elif use_fused and dtype != jnp.float32:
+        raise ValueError(
+            "use_fused_body=True requires an f32 system (the Mosaic "
+            "body computes in f32 and would silently downcast); cast "
+            "the system or leave use_fused_body=None")
+    if use_fused:
+        from ..ops.pallas.krylov_kernels import bicgstab_fused
+
+        return bicgstab_fused
+    return bicgstab
+
+
 class GenericKrylov:
     """Krylov linear solver for BlockELL systems
     (reference linsolve/krylov.jl:34 GenericKrylov).
@@ -245,15 +268,7 @@ class GenericKrylov:
         self.use_fused_body = use_fused_body
 
     def _bicgstab_fn(self, dtype):
-        fused = self.use_fused_body
-        if fused is None:
-            fused = (jax.default_backend() == "tpu"
-                     and dtype == jnp.float32)
-        if fused:
-            from ..ops.pallas.krylov_kernels import bicgstab_fused
-
-            return bicgstab_fused
-        return bicgstab
+        return resolve_bicgstab(dtype, self.use_fused_body)
 
     def solve(self, J, r, rtol=None):
         """Solve J du = -r; shapes (n, neq) -> (n, ndof). Jit-compatible.

@@ -468,31 +468,19 @@ def _cheby_setup(A: ScalarStencil):
     dabs = jnp.abs(A.diag)
     dsafe = jnp.where(dabs > 0, dabs, 1.0)
     lmax = 1.0 + jnp.max(offs.reshape(-1) / dsafe)
-    dinv = jnp.where(dabs > 0, 1.0 / A.diag, 1.0)
+    # dead rows never update (dinv = 0), matching the fused kernels
+    dinv = jnp.where(dabs > 0, 1.0 / A.diag, 0.0)
     return dinv, lmax
 
 
 def _cheby_smooth(lv, dinv, lmax, u, b, n_sweep, lower=0.25):
-    """n_sweep steps of Chebyshev smoothing for D^-1 A on
-    [lower*lmax, lmax] (3-term recurrence, Saad Alg. 12.1 adapted to a
-    diagonally preconditioned operator). ``u=None`` starts from zero —
-    the first preconditioned residual is then just dinv*b (the same
-    free sweep the Jacobi smooth0 exploits)."""
-    lmin = lower * lmax
-    theta = 0.5 * (lmax + lmin)
-    delta = 0.5 * (lmax - lmin)
-    sigma = theta / delta
-    rho = 1.0 / sigma
-    r = dinv * b if u is None else dinv * lv.residual(u, b)
-    d = r / theta
-    u = d if u is None else u + d
-    for _ in range(1, n_sweep):
-        rho_new = 1.0 / (2.0 * sigma - rho)
-        r = dinv * lv.residual(u, b)
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
-        u = u + d
-        rho = rho_new
-    return u
+    """Chebyshev smoothing of the level via the shared recurrence
+    (linsolve/cheby.py) with the level's fused residual op."""
+    from ..linsolve.cheby import chebyshev_recurrence
+
+    return chebyshev_recurrence(
+        lambda u_: dinv * lv.residual(u_, b), dinv * b, u, n_sweep,
+        lmax, lower)
 
 
 class GMG:
@@ -739,21 +727,11 @@ class StencilKrylovSolver:
             return self.preconditioner.apply(pstate, A,
                                              x.reshape(n, neq)).reshape(-1)
 
-        fused = self.use_fused_body
-        if fused is None:
-            fused = (jax.default_backend() == "tpu"
-                     and A.diag.dtype == jnp.float32)
-        if fused:
-            from .pallas.krylov_kernels import bicgstab_fused
+        from ..linsolve.krylov import resolve_bicgstab
 
-            du, stats = bicgstab_fused(
-                matvec, (-r).reshape(-1).astype(jnp.float32),
-                maxiter=self.max_iterations,
-                rtol=self.rtol if rtol is None else rtol,
-                atol=self.atol, precond=M)
-        else:
-            du, stats = bicgstab(matvec, (-r).reshape(-1),
-                                 maxiter=self.max_iterations,
-                                 rtol=self.rtol if rtol is None else rtol,
-                                 atol=self.atol, precond=M)
+        fn = resolve_bicgstab(A.diag.dtype, self.use_fused_body)
+        du, stats = fn(matvec, (-r).reshape(-1).astype(A.diag.dtype),
+                       maxiter=self.max_iterations,
+                       rtol=self.rtol if rtol is None else rtol,
+                       atol=self.atol, precond=M)
         return du.reshape(n, ndof), stats

@@ -689,7 +689,8 @@ class GeneralDistributedSimulator:
                     max_residual: float = 1e20, rtol: float = 1e-8,
                     max_lin_it: int = 200, linear_forcing: str = "none",
                     relaxation=None, preconditioner: str = "block_jacobi",
-                    cpr_smoother: str = "jacobi", _raw: bool = False):
+                    cpr_smoother: str = "jacobi",
+                    cpr_cheby_lower: float = 0.25, _raw: bool = False):
         """The WHOLE ministep Newton loop as ONE SPMD device program:
         ``lax.while_loop`` inside the shard_map body with convergence
         decided from psum/pmax-reduced criteria in the carry — every
@@ -796,13 +797,15 @@ class GeneralDistributedSimulator:
 
                 if use_cpr:
                     pstate = cpr_update(cpr_setup, arrays, tabs[nh:],
-                                        ctabs1, halo, ax, dec.K)
+                                        ctabs1, halo, ax, dec.K,
+                                        smoother=cpr_smoother)
 
                     def precond(x_flat):
                         return cpr_apply(
                             cpr_setup, pstate, arrays, tabs[nh:], halo,
                             ax, dec.K, x_flat.reshape(nom, neq),
                             smoother=cpr_smoother,
+                            cheby_lower=cpr_cheby_lower,
                         ).reshape(-1)
                 else:
                     dinv = block_inv(diag_own)

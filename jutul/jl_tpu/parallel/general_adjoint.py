@@ -153,9 +153,12 @@ class GeneralDistributedAdjoint:
 
             # parameter cotangents: ∇_p G += (dF_n/dp)^T λ + dG/dp.
             # Integer face tables (e.g. WENO membership indices) are not
-            # differentiable — close over them and report zero gradients.
+            # differentiable, and the engine's synthetic ±1 orientation
+            # factors (__flux_orient_*, general.py) are internal plumbing,
+            # not model parameters — close over both, report zeros.
             fp_f = {k: v for k, v in fp.items()
-                    if jnp.issubdtype(v.dtype, jnp.floating)}
+                    if jnp.issubdtype(v.dtype, jnp.floating)
+                    and not k.startswith("__flux_orient_")}
             fp_i = {k: v for k, v in fp.items() if k not in fp_f}
             _, pull = jax.vjp(
                 lambda cp_, fpf_: r_fn(u_n, u_prev, cp_,
@@ -313,7 +316,10 @@ class GeneralDistributedAdjoint:
             out[k] = dec.unshard_cells(
                 v.reshape((dsim.n_devices * dec.n_own_max,) + v.shape[2:]))
         # face gradients: shard-sum over the face localization tables
+        # (internal __flux_orient_* factors are not model parameters)
         for k, v in fp_grad.items():
+            if k.startswith("__flux_orient_"):
+                continue
             nfg = dsim.mesh.number_of_faces()
             g = np.zeros((nfg,) + v.shape[2:])
             for d in range(dsim.n_devices):

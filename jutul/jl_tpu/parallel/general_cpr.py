@@ -138,7 +138,7 @@ class GeneralCPRSetup:
 
 
 def cpr_update(setup: GeneralCPRSetup, sys_arrays, face_tabs, cpr_tabs,
-               halo, axis, flux_k: int):
+               halo, axis, flux_k: int, smoother: str = "jacobi"):
     """Per-Newton-iteration CPR state (traced, inside the shard_map body).
 
     Collapses the face-block Jacobian to the scalar pressure operator
@@ -187,12 +187,16 @@ def cpr_update(setup: GeneralCPRSetup, sys_arrays, face_tabs, cpr_tabs,
 
     # fine-level Chebyshev interval: Gershgorin row-abs-sums of the
     # distributed pressure operator (faces touching an owned row are
-    # always shard-local, so the row sums are local; the max is a pmax)
-    offsum = jnp.zeros(nom + 1, apd_full.dtype)
-    offsum = offsum.at[row_plus].add(jnp.sum(jnp.abs(cpP), axis=1))
-    offsum = offsum.at[row_minus].add(jnp.sum(jnp.abs(cpM), axis=1))
-    ratio = offsum[:nom] * jnp.abs(dinv_p) * own_alive
-    lmax_p = 1.0 + jax.lax.pmax(jnp.max(ratio), axis)
+    # always shard-local, so the row sums are local; the max is a pmax).
+    # Only built when the Chebyshev smoother will read it — the default
+    # jacobi path must not gamble on XLA DCE-ing a cross-device pmax.
+    lmax_p = None
+    if smoother == "chebyshev":
+        offsum = jnp.zeros(nom + 1, apd_full.dtype)
+        offsum = offsum.at[row_plus].add(jnp.sum(jnp.abs(cpP), axis=1))
+        offsum = offsum.at[row_minus].add(jnp.sum(jnp.abs(cpM), axis=1))
+        ratio = offsum[:nom] * jnp.abs(dinv_p) * own_alive
+        lmax_p = 1.0 + jax.lax.pmax(jnp.max(ratio), axis)
 
     return dict(w=w, dinv=dinv, dinv_p=dinv_p, ap_matvec=ap_matvec,
                 amg_state=amg_state, aggG_own=aggG_own,
@@ -201,28 +205,20 @@ def cpr_update(setup: GeneralCPRSetup, sys_arrays, face_tabs, cpr_tabs,
 
 def _cheby_fine(ap_mv, dinv_p, lmax, u, rhs, n_sweep, lower=0.25):
     """Chebyshev relaxation on the distributed fine pressure level —
-    the ops/stencil.py recurrence with the halo-aware matvec; no dot
-    products, so smoothing costs zero extra collectives."""
-    lmin = lower * lmax
-    theta = 0.5 * (lmax + lmin)
-    delta = 0.5 * (lmax - lmin)
-    sigma = theta / delta
-    rho = 1.0 / sigma
-    r = dinv_p * rhs if u is None else dinv_p * (rhs - ap_mv(u))
-    d = r / theta
-    u = d if u is None else u + d
-    for _ in range(1, n_sweep):
-        rho_new = 1.0 / (2.0 * sigma - rho)
-        r = dinv_p * (rhs - ap_mv(u))
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
-        u = u + d
-        rho = rho_new
-    return u
+    the shared recurrence (linsolve/cheby.py) with the halo-aware
+    matvec; no dot products, so smoothing costs zero extra
+    collectives."""
+    from ..linsolve.cheby import chebyshev_recurrence
+
+    return chebyshev_recurrence(
+        lambda u_: dinv_p * (rhs - ap_mv(u_)), dinv_p * rhs, u, n_sweep,
+        lmax, lower)
 
 
 def cpr_apply(setup: GeneralCPRSetup, pstate, sys_arrays, face_tabs,
               halo, axis, flux_k: int, x, omega: float = 0.8,
-              n_fine_smooth: int = 1, smoother: str = "jacobi"):
+              n_fine_smooth: int = 1, smoother: str = "jacobi",
+              cheby_lower: float = 0.25):
     """CPR application: x (nom, neq) residual -> du (nom, ndof).
 
     Stage 1: halo-aware pre-smooth on A_p (damped Jacobi or Chebyshev),
@@ -245,7 +241,7 @@ def cpr_apply(setup: GeneralCPRSetup, pstate, sys_arrays, face_tabs,
     # pre-smooth (first sweep from zero is elementwise)
     if cheby:
         u = _cheby_fine(ap_mv, dinv_p, pstate["lmax_p"], None, r_p,
-                        n_fine_smooth)
+                        n_fine_smooth, lower=cheby_lower)
     else:
         u = omega * dinv_p * r_p
         for _ in range(n_fine_smooth - 1):
@@ -263,7 +259,7 @@ def cpr_apply(setup: GeneralCPRSetup, pstate, sys_arrays, face_tabs,
     # post-smooth (halo-aware)
     if cheby:
         u = _cheby_fine(ap_mv, dinv_p, pstate["lmax_p"], u, r_p,
-                        n_fine_smooth)
+                        n_fine_smooth, lower=cheby_lower)
     else:
         for _ in range(n_fine_smooth):
             u = u + omega * dinv_p * (r_p - ap_mv(u))

@@ -371,6 +371,7 @@ class DistributedSimulator:
         Ap_st = ScalarStencil(L, glob["d"].reshape(-1), plus, minus)
         gmg = self.gmg
         ops = gmg.hierarchy(Ap_st)
+        cheb = gmg.cheby_data(ops)  # once per update, not per apply
 
         ilu = ILU0Preconditioner()
         ist = ilu.update(J_sane)
@@ -381,7 +382,7 @@ class DistributedSimulator:
             x = x_flat.reshape(n_own, neq)
             r_p = jnp.sum(w_own * x, axis=-1)  # (n_own,)
             r_g = jax.lax.all_gather(r_p, ax).reshape(-1)  # (nc,)
-            dp = gmg.vcycle(ops, r_g)
+            dp = gmg.vcycle(ops, r_g, cheb=cheb)
             dp_own = jax.lax.dynamic_slice(dp, (my * n_own,), (n_own,))
             du = jnp.zeros((n_own, ndof), x.dtype).at[:, p].set(dp_own)
             x2 = x - matvec(du.reshape(-1)).reshape(n_own, neq)

@@ -139,11 +139,16 @@ def test_stencil_solver_fused_body_product_equivalence():
     full2 = comp.evaluate_secondaries(merge_state(st2, pr))
     r2, A2, _ = sc.assemble(full2, full, 3600.0)
 
+    # a true f32 system: use_fused_body=True rejects f64 (the Mosaic
+    # body computes f32 and refuses to silently downcast)
+    A32 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), A2)
+    r32 = jnp.asarray(r2, jnp.float32)
     mk = lambda fused: StencilKrylovSolver(
         preconditioner=StencilCPR(gmg=GMG(n_smooth=2, use_pallas=False)),
         rtol=1e-7, max_iterations=80, use_fused_body=fused)
-    du_f, st_f = mk(True).solve(A2, jnp.asarray(r2))
-    du_g, st_g = mk(False).solve(A2, jnp.asarray(r2))
+    du_f, st_f = mk(True).solve(A32, r32)
+    du_g, st_g = mk(False).solve(A32, r32)
     assert bool(st_f["converged"]) and bool(st_g["converged"])
     scale = float(jnp.max(jnp.abs(du_g))) + 1e-30
     assert float(jnp.max(jnp.abs(du_f - du_g))) / scale < 1e-4

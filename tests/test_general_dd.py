@@ -1036,3 +1036,68 @@ def test_general_partition_adjoint_per_step_forces():
         scale = max(np.abs(gr).max(), 1e-30)
         np.testing.assert_allclose(gd, gr, atol=1e-6 * scale,
                                    err_msg=name)
+
+
+def test_flipped_orientation_adjoint_excludes_internal_params():
+    """The synthetic __flux_orient_* factors are engine plumbing, not
+    model parameters: the distributed adjoint must not return gradients
+    for them, and the real gradients must match the mesh-ordered
+    system's."""
+    from collections import OrderedDict
+
+    from jutul.jl_tpu import (SimpleHeatSystem, Simulator,
+                              solve_adjoint_sensitivities)
+    from jutul.jl_tpu.models.equations import ConservationLaw
+    from jutul.jl_tpu.parallel.general_adjoint import (
+        solve_adjoint_sensitivities_general,
+    )
+
+    require_devices(4)
+    cart = CartesianMesh((5, 4, 3), (50.0, 40.0, 15.0))
+    mesh = UnstructuredMesh.from_cartesian(cart)
+    nc = mesh.number_of_cells()
+    nb = np.asarray(mesh.neighborship())
+    st = nb.copy()
+    flip = np.arange(len(nb)) % 2 == 0
+    st[flip] = st[flip][:, ::-1]
+
+    class FlippedHeatSystem(SimpleHeatSystem):
+        def select_equations(self, model):
+            def mass(model_, cs):
+                return jnp.reshape(cs["T"], (1,))
+
+            def flux(model_, cs, fs):
+                T = cs["T"]
+                return jnp.reshape(-fs["HeatTrans"] * (T[1] - T[0]), (1,))
+
+            return OrderedDict(heat=ConservationLaw(
+                flux_fn=flux, mass_fn=mass, neq=1, stencil=st))
+
+    rng = np.random.default_rng(4)
+    T0 = rng.normal(size=nc)
+    dts = [0.05, 0.05]
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedSimulator(mesh, FlippedHeatSystem(), dmesh)
+    gmodel = dsim.global_model
+    from jutul.jl_tpu import setup_parameters as _sp
+    params = _sp(gmodel)
+    sim = Simulator(gmodel, state0={"T": T0}, parameters=params)
+    states, _ = sim.simulate(dts, info_level=-1,
+                             tolerances={"default": 1e-12})
+
+    def G(model, state, dt, n, forces_):
+        return dt * jnp.sum(state["T"] ** 2)
+
+    grad_dist = solve_adjoint_sensitivities_general(
+        dsim, states, dts, G, {"T": T0}, parameters=params,
+        rtol=1e-13, max_lin_it=1000)
+    assert not any(k.startswith("__flux_orient_") for k in grad_dist), (
+        list(grad_dist))
+    grad_ref = solve_adjoint_sensitivities(
+        gmodel, states, dts, G, parameters=params, state0={"T": T0})
+    for name in grad_ref:
+        gr = np.asarray(grad_ref[name])
+        gd = np.asarray(grad_dist[name]).reshape(gr.shape)
+        scale = max(np.abs(gr).max(), 1e-30)
+        np.testing.assert_allclose(gd, gr, atol=1e-6 * scale,
+                                   err_msg=name)
