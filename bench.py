@@ -430,8 +430,22 @@ def run_product(nx, ny, nz, n_lin_it):
     print(f"# compile: {t_compile:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    result = post(*compiled(*args))  # the ONE device execution (+ sync)
-    t_exec = time.perf_counter() - t0
+    out = compiled(*args)  # the ONE device execution...
+    # Force EXECUTION completion with one tiny host scalar: the axon
+    # tunnel's block_until_ready returns before the program finishes
+    # (measured: device 0.0s + fetch 180s on a degraded worker), so the
+    # only reliable sync is a host value. One ~8-byte leaf keeps the
+    # bulk transfer out of the device-time figure.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    t_device = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    result = post(*out)  # ...then device->host fetch + report assembly.
+    t_fetch = time.perf_counter() - t1
+    # Split kept separate in the record: on the axon tunnel, host fetches
+    # have been measured orders-of-magnitude slow on a degraded worker, and
+    # the split attributes a slow wall-clock to the tunnel vs the program.
+    t_exec = t_device + t_fetch
 
     stats = report_stats(result.reports)
     newtons = stats["newtons"]
@@ -447,7 +461,8 @@ def run_product(nx, ny, nz, n_lin_it):
     refine_cap = int(os.environ.get("BENCH_REFINE_MAX_CELLS", "300000"))
     if os.environ.get("BENCH_REFINE", "1") == "1" and nc <= refine_cap:
         ver.update(_refine_record(sim, result, forces_last, n_lin_it))
-    print(f"# exec: {t_exec:.1f}s steps={n_step} "
+    print(f"# exec: {t_exec:.1f}s (device {t_device:.1f}s + fetch "
+          f"{t_fetch:.1f}s) steps={n_step} "
           f"ministeps={stats['ministeps']} newtons={newtons} "
           f"lin_its={stats['linear_iterations']} f64={ver}", file=sys.stderr)
     cells_per_sec = nc * newtons / t_exec
@@ -469,6 +484,8 @@ def run_product(nx, ny, nz, n_lin_it):
         "linear_iterations": int(stats["linear_iterations"]),
         "seconds_per_newton": round(t_exec / newtons, 5),
         "exec_seconds": round(t_exec, 2),
+        "device_seconds": round(t_device, 2),
+        "fetch_seconds": round(t_fetch, 2),
         "compile_seconds": round(_COMPILE_S[0], 1),
         **{k: (round(v, 14) if isinstance(v, float) else v)
            for k, v in ver.items()},
