@@ -1,0 +1,156 @@
+"""Fused Mosaic assembly: flux + Jacobian blocks in one lattice pass.
+
+The stencil fast path's Jacobian (ops/stencil.py StencilCompiledModel)
+evaluates the flux chain 2*ndof+1 times per axis (one primal + a jvp per
+(side, dof)) — XLA materializes the intermediate streams of every chain
+in HBM, plus the stack/pad/transpose traffic of assembling the
+coefficient blocks. At 1M cells this measures ~0.5 s/Newton against a
+~2 ms bandwidth bound. (Reference counterpart: the hard-coded TPFA
+assembly loop of src/conservation/conservation.jl:101-484, which keeps
+each face's dual numbers in registers — this kernel is the TPU version
+of that locality.)
+
+This kernel runs the WHOLE per-axis assembly — flux primal and all
+2*ndof directional jvps — on a VMEM-resident z-slab, reading the dof /
+parameter streams ONCE and writing the face flux plus both (neq, ndof)
+Jacobian blocks:
+
+    out[0:neq]                 F      flux at the face (left-cell pos)
+    out[neq  : neq(1+ndof)]    dF/du_L   (j-major: [j*neq + e])
+    out[neq(1+ndof) : ...]     dF/du_R
+
+The physics enters as a ``ScalarAssemblyForm`` (models/equations.py): the
+flux closure is written over plain scalars, phases unrolled in Python,
+so tracing it on 2D (rows, lanes) slabs yields pure elementwise Mosaic
+ops — no component axes, no tiled-layout hazards. ``jax.jvp`` of such a
+closure is just more elementwise ops, so forward-mode AD happens INSIDE
+the kernel.
+
+Layout (same as stencil_kernels.py): lattice flattened to rows
+r = z*ny + y (sublanes) with x on lanes padded to 128; +x neighbor is a
+lane roll, +y a row roll by 1, +z a row roll by ny. Wrapped rolls are
+killed by the zero-embedded face parameters (every flux/Jacobian output
+is proportional to the transmissibility-like face entries, which are
+zero outside the valid face region — a contract of ScalarAssemblyForm).
+Each grid program DMAs its slab with an ny-row TRAILING halo (only +side
+neighbors are read). Requires ny % 8 == 0; callers fall back to the
+autodiff path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stencil_kernels import _roll, _round_up, pallas_supported  # noqa: F401
+
+# (array axis in the 2D slab, shift magnitude factory) per lattice axis
+# slab views are (rows, lanes): x -> lane roll 1, y -> row roll 1,
+# z -> row roll ny
+_AXIS_ROLL = {0: (1, lambda ny: 1), 1: (0, lambda ny: 1),
+              2: (0, lambda ny: ny)}
+
+
+def _kernel_axis(u_hbm, fp_hbm, y_ref, us, fs, sem_u, sem_f, *, flux,
+                 ndof, neq, nfp, ncp, Rt, ny, axis):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    dma_u = pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(i * Rt, Rt + ny)], us, sem_u)
+    dma_u.start()
+    dma_f = pltpu.make_async_copy(
+        fp_hbm.at[:, pl.ds(i * Rt, Rt + ny)], fs, sem_f)
+    dma_f.start()
+    dma_u.wait()
+    dma_f.wait()
+
+    u_all = us[:]  # (ndof + ncp, Rt + ny, nxp)
+    f_all = fs[:]  # (nfp, Rt + ny, nxp)
+    ax, shift_of = _AXIS_ROLL[axis]
+    shift = shift_of(ny)
+
+    def nbr(v):
+        return _roll(v, -shift, ax)
+
+    u_l = tuple(u_all[j] for j in range(ndof))
+    u_r = tuple(nbr(u_all[j]) for j in range(ndof))
+    cp_l = tuple(u_all[ndof + k] for k in range(ncp))
+    cp_r = tuple(nbr(u_all[ndof + k]) for k in range(ncp))
+    fp = tuple(f_all[k] for k in range(nfp))
+
+    def flux2(ul, ur):
+        return flux(ul, ur, cp_l, cp_r, fp)
+
+    outs = list(flux2(u_l, u_r))
+    zeros = tuple(jnp.zeros_like(u_l[0]) for _ in range(ndof))
+    for j in range(ndof):
+        ej = tuple(jnp.ones_like(u_l[0]) if k == j else
+                   jnp.zeros_like(u_l[0]) for k in range(ndof))
+        _, tl = jax.jvp(flux2, (u_l, u_r), (ej, zeros))
+        outs.extend(tl)
+    for j in range(ndof):
+        ej = tuple(jnp.ones_like(u_l[0]) if k == j else
+                   jnp.zeros_like(u_l[0]) for k in range(ndof))
+        _, tr = jax.jvp(flux2, (u_l, u_r), (zeros, ej))
+        outs.extend(tr)
+    for idx, v in enumerate(outs):
+        y_ref[idx] = v[:Rt]
+
+
+def axis_flux_jacobian(form, u_pad, fp_pad, L, axis, ndof,
+                       interpret: bool | None = None):
+    """One fused pass over axis ``axis``: flux + dF/du_L + dF/du_R.
+
+    ``u_pad``  (ndof + ncp, nz*ny + ny, nxp) — dof streams then the
+    form's cell-parameter streams, row-padded by ny (trailing halo).
+    ``fp_pad`` (nfp, nz*ny + ny, nxp) — face parameters embedded at the
+    LEFT-cell lattice position, zero elsewhere (incl. the halo pad).
+    Returns (neq*(1 + 2*ndof), nz*ny, nxp); rows valid wherever the
+    face-parameter embedding is nonzero, exact zeros elsewhere.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nz, ny, nx = L
+    nxp = u_pad.shape[-1]
+    R = nz * ny
+    neq = form.n_eq
+    nfp = len(form.face_params)
+    ncp = len(form.cell_params)
+    n_out = neq * (1 + 2 * ndof)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # z-slab tile: VMEM for streams + headroom for the traced chain's
+    # live intermediates (compiler-managed; budget conservatively)
+    budget = 4 * 1024 * 1024
+    per_plane = (ndof + ncp + nfp + n_out + 24) * ny * nxp * 4
+    tz = max(1, min(nz, budget // max(per_plane, 1)))
+    while nz % tz:
+        tz -= 1
+    Rt = tz * ny
+
+    kern = functools.partial(_kernel_axis, flux=form.flux, ndof=ndof,
+                             neq=neq, nfp=nfp, ncp=ncp, Rt=Rt, ny=ny,
+                             axis=axis)
+    return pl.pallas_call(
+        kern,
+        grid=(nz // tz,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((n_out, Rt, nxp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), u_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ndof + ncp, Rt + ny, nxp), u_pad.dtype),
+            pltpu.VMEM((nfp, Rt + ny, nxp), fp_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(u_pad, fp_pad)

@@ -145,6 +145,17 @@ class StencilCompiledModel:
                 if con.stencil.shape[1] != 2:
                     raise NotImplementedError("TPFA (K=2) stencils only")
                 self.flux_con = con
+        # fused Mosaic assembly (ops/pallas/assembly_kernels.py): available
+        # when the system exposes its physics in dof-scalar form
+        self.form = None
+        form_fn = getattr(comp.model.system, "scalar_assembly_form", None)
+        if form_fn is not None and self.flux_con is not None:
+            form = form_fn(comp.model)
+            if form is not None and form.n_eq == self.neq:
+                self.form = form
+        # None = auto (TPU + f32 + supported lattice + >= 65536 cells);
+        # set True/False to force (True off-TPU runs in interpret mode)
+        self.use_fused_assembly: bool | None = None
 
     # -- local state helpers -------------------------------------------
     def _axis_cell_states(self, cell_state, a):
@@ -294,12 +305,123 @@ class StencilCompiledModel:
             diag = diag_lat.reshape(neq, ndof, n)
         return StencilMatrix(self.L, diag, plus, minus)
 
+    def _fused_assembly_on(self, dtype) -> bool:
+        if self.form is None:
+            return False
+        import os
+
+        if os.environ.get("BENCH_ASSEMBLY") == "0":
+            return False
+        if self.use_fused_assembly is not None:
+            return bool(self.use_fused_assembly)
+        from .pallas.stencil_kernels import pallas_supported
+
+        return (jax.default_backend() == "tpu" and dtype == jnp.float32
+                and pallas_supported(self.L) and self.n_cells >= 65536)
+
     def assemble(self, state, state0, dt, forces=None):
         state = self.comp.evaluate_secondaries(state)
         state0 = self.comp.evaluate_secondaries(state0)
+        U = self.comp.get_dofs(state)
+        if self._fused_assembly_on(U.dtype):
+            r, A = self._assemble_fused(state, state0, dt, forces, U)
+            return r, A, state
         r = self.residual(state, state0, dt, forces)
         A = self.jacobian(state, state0, dt, forces)
         return r, A, state
+
+    def _assemble_fused(self, state, state0, dt, forces, U):
+        """Residual + StencilMatrix via the fused Mosaic assembly kernels
+        (one pass per axis; see ops/pallas/assembly_kernels.py). The
+        cell-local accumulation term stays in XLA — its residual uses the
+        generic contribution fns and its diagonal a jvp loop (one jvp per
+        dof; no (n, neq, ndof) jacfwd outputs, whose tiny trailing dims
+        tile-pad on TPU)."""
+        from .pallas.assembly_kernels import _round_up, axis_flux_jacobian
+
+        comp = self.comp
+        model = comp.model
+        form = self.form
+        neq, ndof = self.neq, self.ndof
+        n = self.n_cells
+        nz, ny, nx = self.L
+        nxp = _round_up(nx, 128)
+        dtype = U.dtype
+        cell_state = comp._cell_entries(state)
+        cell_state0 = comp._cell_entries(state0)
+        params_cell = comp._cell_entries(state, include=("parameter",
+                                                         "extra"))
+
+        # --- accumulation (cell-local, XLA) ---------------------------
+        r = jnp.zeros((neq, n), dtype)
+        for con in self.acc_cons:
+            fn = lambda cs, cs0, _c=con: _c.fn(model, cs, cs0, dt)
+            vals = jax.vmap(fn)(cell_state, cell_state0)  # (n, neq)
+            r = r + vals.T
+        diag = jnp.zeros((neq, ndof, n), dtype)
+        for con in self.acc_cons:
+            def local_fn(u_c, p_c, cs0, _c=con):
+                local = dict(p_c)
+                local.update(comp.unpack_dofs(u_c))
+                local = comp._eval_secondaries_local(local)
+                return _c.fn(model, local, cs0, dt)
+
+            loc_vec = jax.vmap(local_fn, in_axes=(0, 0, 0))
+            for j in range(ndof):
+                ej = jnp.zeros_like(U).at[:, j].set(1.0)
+                _, tj = jax.jvp(
+                    lambda u: loc_vec(u, params_cell, cell_state0),
+                    (U,), (ej,))  # (n, neq)
+                diag = diag.at[:, j].add(tj.T)
+
+        # --- flux + Jacobian blocks: one fused kernel per axis --------
+        streams = [U[:, j] for j in range(ndof)]
+        streams += [jnp.asarray(state[nm]).astype(dtype)
+                    for nm in form.cell_params]
+        u_flat = jnp.stack(streams).reshape(len(streams), nz * ny, nx)
+        u_pad = jnp.pad(u_flat, ((0, 0), (0, ny), (0, nxp - nx)))
+
+        face_state = comp._face_entries(state)
+        r_lat = r.reshape((neq,) + self.L)
+        diag_lat = diag.reshape((neq, ndof) + self.L)
+        plus, minus = {}, {}
+        nfp = len(form.face_params)
+        for a in range(3):
+            if self.face_lat[a] is None:
+                continue
+            fs = self._axis_face_state(face_state, a)
+            fp_lat = [jnp.pad(jnp.asarray(fs[nm]).astype(dtype)
+                              .reshape(self.face_lat[a]), _PADS[a])
+                      for nm in form.face_params]
+            fp_flat = jnp.stack(fp_lat).reshape(nfp, nz * ny, nx)
+            fp_pad = jnp.pad(fp_flat, ((0, 0), (0, ny), (0, nxp - nx)))
+            out = axis_flux_jacobian(form, u_pad, fp_pad, self.L, a,
+                                     ndof, interpret=None)
+            out = out[:, :, :nx].reshape(-1, nz, ny, nx)
+            F_full = out[:neq]
+            JL_full = jnp.moveaxis(
+                out[neq:neq + ndof * neq].reshape((ndof, neq) + self.L),
+                0, 1)  # (neq, ndof, nz, ny, nx)
+            JR_full = jnp.moveaxis(
+                out[neq + ndof * neq:].reshape((ndof, neq) + self.L),
+                0, 1)
+            lat_ax = {0: 2, 1: 1, 2: 0}[a]
+            # left cell: +F, +dF/du_L on the diagonal; right cell (one
+            # step +a): -F, -dF/du_R — a wrap-safe roll (the wrapped
+            # positions carry exact zeros from the face embedding)
+            r_lat = r_lat + F_full - jnp.roll(F_full, 1, axis=1 + lat_ax)
+            diag_lat = (diag_lat + JL_full
+                        - jnp.roll(JR_full, 1, axis=2 + lat_ax))
+            sl = (slice(None), slice(None)) + _SLICES[a][0]
+            plus[a] = JR_full[sl]
+            minus[a] = -JL_full[sl]
+
+        r2 = r_lat.reshape(neq, -1).T  # (n, neq)
+        if forces:
+            r2 = comp._apply_forces(r2, state, dt, forces)
+        A = StencilMatrix(self.L, diag_lat.reshape(neq, ndof, n), plus,
+                          minus)
+        return r2, A
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+"""Fused Mosaic assembly kernel vs the autodiff stencil path.
+
+The fused kernel (ops/pallas/assembly_kernels.py) computes flux + both
+(neq, ndof) Jacobian blocks in one lattice pass from a system's
+ScalarAssemblyForm; it must agree with StencilCompiledModel's
+residual()/jacobian() (the jvp-through-vectorized-flux path) to
+round-off. Run here in Pallas interpret mode on CPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh, compile_model, setup_parameters, \
+    setup_state, si_unit
+from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+from jutul.jl_tpu.models.setup import merge_state
+from jutul.jl_tpu.ops.stencil import StencilCompiledModel
+
+BAR = si_unit("bar")
+DARCY = si_unit("darcy")
+
+
+def darcy_setup(nx=6, ny=8, nz=4, gravity=True):
+    # ny must satisfy the kernel's sublane-tiling contract (ny % 8 == 0)
+    nc = nx * ny * nz
+    rng = np.random.default_rng(3)
+    mesh = CartesianMesh((nx, ny, nz), (6.0, 8.0, 4.0))
+    model = setup_darcy_model(
+        mesh, ImmiscibleFluid(viscosities=(1e-3, 3e-3),
+                              compressibilities=(1e-9, 5e-10),
+                              residual_saturations=(0.1, 0.15),
+                              corey_exponents=(2.0, 3.0)),
+        permeability=rng.lognormal(0, 1, nc) * 0.1 * DARCY,
+        porosity=0.25, gravity=9.81 if gravity else False)
+    sw = rng.uniform(0.15, 0.8, nc)
+    state0 = setup_state(
+        model, Pressure=100 * BAR + rng.uniform(-1, 1, nc) * BAR,
+        Saturations=np.stack([sw, 1 - sw], 1))
+    params = setup_parameters(model)
+    comp = compile_model(model)
+    full = comp.evaluate_secondaries(merge_state(
+        {k: jnp.asarray(v) for k, v in state0.items()},
+        {k: jnp.asarray(v) for k, v in params.items()}))
+    full0 = dict(full)
+    full0["Saturations"] = jnp.roll(full["Saturations"], 1, axis=0)
+    full0 = comp.evaluate_secondaries(full0)
+    return comp, full, full0
+
+
+def _assemble_both(gravity):
+    comp, full, full0 = darcy_setup(gravity=gravity)
+    sc = StencilCompiledModel(comp)
+    assert sc.form is not None, "ImmiscibleSystem must expose the form"
+    dt = 3e4
+    sc.use_fused_assembly = False
+    r_ref, A_ref, _ = sc.assemble(full, full0, dt)
+    sc.use_fused_assembly = True  # interpret mode off-TPU
+    r_fu, A_fu, _ = sc.assemble(full, full0, dt)
+    return r_ref, A_ref, r_fu, A_fu
+
+
+def test_fused_assembly_matches_autodiff_gravity():
+    r_ref, A_ref, r_fu, A_fu = _assemble_both(gravity=True)
+    assert np.allclose(r_fu, r_ref, rtol=1e-11, atol=1e-16)
+    assert np.allclose(A_fu.diag, A_ref.diag, rtol=1e-11, atol=1e-16)
+    assert set(A_fu.plus) == set(A_ref.plus)
+    for a in A_ref.plus:
+        assert np.allclose(A_fu.plus[a], A_ref.plus[a],
+                           rtol=1e-11, atol=1e-16), f"plus[{a}]"
+        assert np.allclose(A_fu.minus[a], A_ref.minus[a],
+                           rtol=1e-11, atol=1e-16), f"minus[{a}]"
+
+
+def test_fused_assembly_matches_autodiff_no_gravity():
+    r_ref, A_ref, r_fu, A_fu = _assemble_both(gravity=False)
+    assert np.allclose(r_fu, r_ref, rtol=1e-11, atol=1e-16)
+    for a in A_ref.plus:
+        assert np.allclose(A_fu.plus[a], A_ref.plus[a],
+                           rtol=1e-11, atol=1e-16)
+        assert np.allclose(A_fu.minus[a], A_ref.minus[a],
+                           rtol=1e-11, atol=1e-16)
+
+
+def test_fused_matvec_matches():
+    r_ref, A_ref, r_fu, A_fu = _assemble_both(gravity=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(A_ref.n, A_ref.diag.shape[1])))
+    assert np.allclose(A_fu.matvec(x), A_ref.matvec(x),
+                       rtol=1e-10, atol=1e-14)
+
+
+def test_scalar_form_mass_matches_total_masses():
+    """The form's mass() contract: must track TotalMasses exactly."""
+    comp, full, _ = darcy_setup()
+    form = comp.model.system.scalar_assembly_form(comp.model)
+    U = comp.get_dofs(full)
+    u = tuple(U[:, j] for j in range(U.shape[1]))
+    cp = tuple(jnp.asarray(full[nm]) for nm in form.cell_params)
+    m = jnp.stack(form.mass(u, cp), axis=-1)  # (n, neq)
+    assert np.allclose(m, full["TotalMasses"], rtol=1e-12, atol=1e-18)
+
+
+def test_fused_assembly_with_source_forces():
+    """Forces go through the same _apply_forces hook on both paths."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    comp, full, full0 = darcy_setup()
+    sc = StencilCompiledModel(comp)
+    dt = 3e4
+    forces = {"sources": PhaseSourceTerm(
+        [0, 17], np.array([[1e-3, 0.0], [-3e-4, -2e-4]]))}
+    sc.use_fused_assembly = False
+    r_ref, _, _ = sc.assemble(full, full0, dt, forces=forces)
+    sc.use_fused_assembly = True
+    r_fu, _, _ = sc.assemble(full, full0, dt, forces=forces)
+    assert np.allclose(r_fu, r_ref, rtol=1e-11, atol=1e-16)
