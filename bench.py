@@ -584,7 +584,8 @@ def _orchestrate():
         errors.append(f"tpu worker {health.lower()}: {canary_line}")
         sick, err = _run_worker(
             os.environ.get("BENCH_SICK_GRID", "64,64,16"), 2, 420,
-            {"BENCH_FUSED_BODY": "0", "BENCH_REFINE": "0"})
+            {"BENCH_FUSED_BODY": "0", "BENCH_ASSEMBLY": "0",
+             "BENCH_REFINE": "0"})
         if sick is not None:
             sick["degraded"] = f"tpu_worker_{health.lower()}"
             sick["tpu_worker_health"] = health
@@ -615,10 +616,13 @@ def _orchestrate():
         return 0
 
     small_grid = os.environ.get("BENCH_SMALL_GRID", "64,64,32")  # 131k
-    # bank on the r2-proven solver body (fused Mosaic BiCGStab body OFF):
-    # the banked rung must never die to a new Mosaic path; the flagship
-    # rung runs the full product default and attests the fused body
-    banked, err = _run_worker(small_grid, 4, 420, {"BENCH_FUSED_BODY": "0"})
+    # bank on the r2-proven paths (fused Mosaic BiCGStab body + fused
+    # assembly OFF): the banked rung must never die to a new Mosaic
+    # path; the flagship rung runs the full product default and attests
+    # the fused kernels
+    banked, err = _run_worker(small_grid, 4, 420,
+                              {"BENCH_FUSED_BODY": "0",
+                               "BENCH_ASSEMBLY": "0"})
     if banked is not None:
         banked["tpu_worker_health"] = health
         banked["canary"] = canary_line
