@@ -294,7 +294,8 @@ def _refine_record(sim, result, forces, n_lin_it, tol=1e-8):
         preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
                                           min_cells=16384,
                                           use_pallas=False)),
-        rtol=0.0, max_iterations=max(60, 2 * n_lin_it))  # the
+        rtol=0.0, max_iterations=max(60, 2 * n_lin_it),
+        use_fused_body=False)  # the
     # correction solves must gain >=1 digit/sweep; 25 its stalled at
     # 2.7e-8 on the 131k bank rung (measured)
     try:
@@ -429,6 +430,22 @@ def run_product(nx, ny, nz, n_lin_it):
     _COMPILE_S[0] = t_compile
     print(f"# compile: {t_compile:.1f}s", file=sys.stderr)
 
+    # Upload the program arguments EXPLICITLY and sync on a trivial
+    # program that depends on every leaf: the tunnel's per-process
+    # first-sync/upload cost has measured 50-180 s on a degraded worker
+    # (r3: canary stage-1 sync 97.5 s while warm exec was 53 ms), and
+    # without this split that cost lands inside the "device" figure and
+    # masquerades as a slow simulator.
+    t0 = time.perf_counter()
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    dev = jax.devices()[0]
+    leaves = [jax.device_put(l, dev) for l in leaves]
+    probe = jax.jit(lambda ls: sum(jnp.ravel(l)[0].astype(jnp.float32)
+                                   for l in ls))
+    float(probe(leaves))  # host scalar = uploads complete
+    args = jax.tree_util.tree_unflatten(treedef, leaves)
+    t_upload = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     out = compiled(*args)  # the ONE device execution...
     # Force EXECUTION completion with one tiny host scalar: the axon
@@ -439,6 +456,12 @@ def run_product(nx, ny, nz, n_lin_it):
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(jax.device_get(leaf)).ravel()[:1]
     t_device = time.perf_counter() - t0
+    # a second tiny sync right after: measures the tunnel's per-round-trip
+    # latency in the warm state (discriminates "program really ran 100 s"
+    # from "every sync pays 100 s of tunnel queue")
+    t1 = time.perf_counter()
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    t_resync = time.perf_counter() - t1
     t1 = time.perf_counter()
     result = post(*out)  # ...then device->host fetch + report assembly.
     t_fetch = time.perf_counter() - t1
@@ -461,7 +484,8 @@ def run_product(nx, ny, nz, n_lin_it):
     refine_cap = int(os.environ.get("BENCH_REFINE_MAX_CELLS", "300000"))
     if os.environ.get("BENCH_REFINE", "1") == "1" and nc <= refine_cap:
         ver.update(_refine_record(sim, result, forces_last, n_lin_it))
-    print(f"# exec: {t_exec:.1f}s (device {t_device:.1f}s + fetch "
+    print(f"# exec: {t_exec:.1f}s (upload {t_upload:.1f}s | device "
+          f"{t_device:.1f}s, resync {t_resync:.2f}s | fetch "
           f"{t_fetch:.1f}s) steps={n_step} "
           f"ministeps={stats['ministeps']} newtons={newtons} "
           f"lin_its={stats['linear_iterations']} f64={ver}", file=sys.stderr)
@@ -484,7 +508,9 @@ def run_product(nx, ny, nz, n_lin_it):
         "linear_iterations": int(stats["linear_iterations"]),
         "seconds_per_newton": round(t_exec / newtons, 5),
         "exec_seconds": round(t_exec, 2),
+        "upload_seconds": round(t_upload, 2),
         "device_seconds": round(t_device, 2),
+        "resync_seconds": round(t_resync, 2),
         "fetch_seconds": round(t_fetch, 2),
         "compile_seconds": round(_COMPILE_S[0], 1),
         **{k: (round(v, 14) if isinstance(v, float) else v)

@@ -55,3 +55,19 @@ class default_float:
         global _DEFAULT_FLOAT
         _DEFAULT_FLOAT = self._saved
         return False
+
+
+def compute_platform() -> str:
+    """The platform new computations will actually land on: the
+    ``jax.default_device(...)`` override when one is active, else the
+    process default backend. Mosaic auto-gates MUST use this instead of
+    ``jax.default_backend()`` — a TPU-attached process running a CPU
+    sub-computation (e.g. the mixed-precision refinement's correction
+    solves under ``jax.default_device(cpu)``) still reports "tpu" as its
+    default backend, and a Pallas kernel auto-enabled there dies with
+    "Only interpret mode is supported on CPU backend" (measured on the
+    r3 bench: the fused BiCGStab body fired inside refine_solution)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()

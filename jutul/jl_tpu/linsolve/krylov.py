@@ -225,7 +225,9 @@ def resolve_bicgstab(dtype, use_fused: bool | None):
     it computes in f32 and would silently lose the precision the f64
     conformance paths rely on."""
     if use_fused is None:
-        use_fused = (jax.default_backend() == "tpu"
+        from ..dtypes import compute_platform
+
+        use_fused = (compute_platform() == "tpu"
                      and dtype == jnp.float32)
     elif use_fused and dtype != jnp.float32:
         raise ValueError(

@@ -124,7 +124,9 @@ def axis_flux_jacobian(form, u_pad, fp_pad, L, axis, ndof,
     ncp = len(form.cell_params)
     n_out = neq * (1 + 2 * ndof)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ...dtypes import compute_platform
+
+        interpret = compute_platform() != "tpu"
 
     # z-slab tile: VMEM for streams + headroom for the traced chain's
     # live intermediates (compiler-managed; budget conservatively)
@@ -143,8 +145,13 @@ def axis_flux_jacobian(form, u_pad, fp_pad, L, axis, ndof,
         grid=(nz // tz,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((n_out, Rt, nxp), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
+        # constants in the index map must be i32: under global x64 a
+        # Python 0 lifts to i64 and Mosaic rejects the mixed-type
+        # func.return (caught AOT-compiling for real TPU, r3)
+        out_specs=pl.BlockSpec(
+            (n_out, Rt, nxp),
+            lambda i: (jnp.int32(0), i, jnp.int32(0)),
+            memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), u_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((ndof + ncp, Rt + ny, nxp), u_pad.dtype),

@@ -46,8 +46,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .stencil_kernels import _i32map
+
+# Strong-typed f32 literals for KERNEL bodies: under the package's
+# global x64 a bare Python float lifts to f64 inside the traced kernel
+# and Mosaic rejects the resulting tpu.truncf f64->f32 (caught
+# AOT-compiling for real TPU, r3). numpy scalars carry a strong dtype
+# without touching any device at import.
+_ZERO = np.float32(0.0)
+_TINY = np.float32(1e-30)
 
 _TILE_ROWS = 512  # (512, 128) f32 tile = 256 KiB per stream
 
@@ -74,7 +85,7 @@ def _kernel_alpha_s(rho_ref, rhat_ref, r_ref, v_ref, s_ref, alpha_ref,
 
     @pl.when(jnp.logical_and(ph == 0, i == 0))
     def _():
-        acc[0] = 0.0
+        acc[0] = _ZERO
 
     @pl.when(ph == 0)
     def _():
@@ -84,7 +95,7 @@ def _kernel_alpha_s(rho_ref, rhat_ref, r_ref, v_ref, s_ref, alpha_ref,
     @pl.when(ph == 1)
     def _():
         denom = acc[0]
-        alpha = rho_ref[0, 0] / jnp.where(denom != 0, denom, 1e-30)
+        alpha = rho_ref[0, 0] / jnp.where(denom != 0, denom, _TINY)
         s_ref[...] = r_ref[...] - alpha * v_ref[...]
 
         @pl.when(i == T - 1)
@@ -101,10 +112,10 @@ def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
 
     @pl.when(jnp.logical_and(ph == 0, i == 0))
     def _():
-        acc[0] = 0.0  # tt
-        acc[1] = 0.0  # ts
-        acc[2] = 0.0  # rho'
-        acc[3] = 0.0  # res2
+        acc[0] = _ZERO  # tt
+        acc[1] = _ZERO  # ts
+        acc[2] = _ZERO  # rho'
+        acc[3] = _ZERO  # res2
 
     @pl.when(ph == 0)
     def _():
@@ -119,7 +130,7 @@ def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
 
     def _omega():
         tt = acc[0]
-        return acc[1] / jnp.where(tt != 0, tt, 1e-30)
+        return acc[1] / jnp.where(tt != 0, tt, _TINY)
 
     @pl.when(ph == 1)
     def _():
@@ -139,8 +150,8 @@ def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
         alpha = alpha_ref[0, 0]
         rho_new = acc[2]
         rho_old = rho_ref[0, 0]
-        beta = (rho_new / jnp.where(rho_old != 0, rho_old, 1e-30)) * (
-            alpha / jnp.where(omega != 0, omega, 1e-30))
+        beta = (rho_new / jnp.where(rho_old != 0, rho_old, _TINY)) * (
+            alpha / jnp.where(omega != 0, omega, _TINY))
         # r' recomputed in-register: output windows are not revisitable
         # across an intervening block sweep
         r_new = s_ref[...] - omega * t_ref[...]
@@ -157,18 +168,22 @@ def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
 
 
 def _scalar_spec():
-    return pl.BlockSpec((1, 1), lambda ph, i: (0, 0),
+    # _i32map: Python-int constants in index maps lift to i64 under the
+    # package's global x64 and Mosaic rejects the mixed func.return
+    return pl.BlockSpec((1, 1), _i32map(lambda ph, i: (0, 0)),
                         memory_space=pltpu.SMEM)
 
 
 def _tile_spec(tr):
-    return pl.BlockSpec((tr, 128), lambda ph, i: (i, 0))
+    return pl.BlockSpec((tr, 128), _i32map(lambda ph, i: (i, 0)))
 
 
 def fused_alpha_s(rhat, r, v, rho, interpret: bool | None = None):
     """(s, alpha) with s = r - (rho/<rhat,v>) v — one pallas call."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ...dtypes import compute_platform
+
+        interpret = compute_platform() != "tpu"
     n = r.shape[0]
     R, tr, T = _pad_to_tiles(n)
     args = [_as_tiles(u, R) for u in (rhat, r, v)]
@@ -194,7 +209,9 @@ def fused_omega_update(rhat, t, s, phat, shat, x, p, v, rho, alpha,
                        interpret: bool | None = None):
     """Closing kernel: (x', r', p_next, omega, rho', res2)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ...dtypes import compute_platform
+
+        interpret = compute_platform() != "tpu"
     n = x.shape[0]
     R, tr, T = _pad_to_tiles(n)
     args = [_as_tiles(u, R) for u in (rhat, t, s, phat, shat, x, p, v)]

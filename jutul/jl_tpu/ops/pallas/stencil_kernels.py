@@ -42,11 +42,30 @@ import numpy as np
 _TERMS = 7  # diag, +x, -x, +y, -y, +z, -z
 
 
+def _i32map(fn):
+    """Wrap a BlockSpec index map so every returned index is i32.
+
+    Under the package's global x64, Python-int constants in an index map
+    lift to i64 while the grid index stays i32 — Mosaic then rejects the
+    mixed-type func.return ("failed to legalize operation 'func.return'",
+    caught AOT-compiling for real TPU, r3). Applies to EVERY map that
+    returns a constant."""
+
+    def wrapped(*idx):
+        return tuple(jnp.int32(v) for v in fn(*idx))
+
+    return wrapped
+
+
 def _roll(v, shift, axis):
     from jax.experimental.pallas import tpu as pltpu
 
-    # pltpu.roll only takes non-negative shifts; -k == +(N - k)
-    return pltpu.roll(v, shift % v.shape[axis], axis)
+    # pltpu.roll only takes non-negative shifts; -k == +(N - k).
+    # int32 is REQUIRED: under the package's global x64 a bare Python int
+    # lifts to an i64 scalar and tpu.dynamic_rotate rejects it (Mosaic
+    # verification error, caught AOT-compiling the fused assembly kernel
+    # for real TPU r3).
+    return pltpu.roll(v, np.int32(shift % v.shape[axis]), axis)
 
 
 def _neighbor_views(x, ny):
@@ -105,11 +124,11 @@ def _stencil_matvec_call(coeffs, xpad, L, C, K, nxp, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TERMS, C * K, Rt, nxp),
-                         lambda i: (0, 0, i, 0),
+                         _i32map(lambda i: (0, 0, i, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # xpad stays in HBM
         ],
-        out_specs=pl.BlockSpec((C, Rt, nxp), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((C, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, R, nxp), coeffs.dtype),
         scratch_shapes=[
@@ -165,7 +184,9 @@ def stencil_matvec(coeffs, x, L, C, K, interpret: bool | None = None):
     nz, ny, nx = L
     nxp = coeffs.shape[-1]
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ...dtypes import compute_platform
+
+        interpret = compute_platform() != "tpu"
     x_lat = x.T.reshape(K, nz * ny, nx).astype(coeffs.dtype)
     xpad = jnp.pad(x_lat, ((0, 0), (ny, ny), (0, nxp - nx)))
     y = _stencil_matvec_call(coeffs, xpad, tuple(L), int(C), int(K),
@@ -270,13 +291,13 @@ def _stencil_fused_call(coeffs, b, xpad, L, C, K, nxp, mode, omega,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TERMS, C * K, Rt, nxp),
-                         lambda i: (0, 0, i, 0),
+                         _i32map(lambda i: (0, 0, i, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Rt, nxp), lambda i: (0, i, 0),
+            pl.BlockSpec((C, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((C, Rt, nxp), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((C, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, R, nxp), coeffs.dtype),
         scratch_shapes=[
@@ -296,8 +317,11 @@ class PallasScalarLevel:
         nz, ny, nx = self.base.L
         self.ny, self.nx = ny, nx
         self.nxp = self.base.coeffs.shape[-1]
-        self.interpret = (jax.default_backend() != "tpu"
-                          if interpret is None else interpret)
+        if interpret is None:
+            from ...dtypes import compute_platform
+
+            interpret = compute_platform() != "tpu"
+        self.interpret = interpret
 
     def matvec(self, x):
         return self.base(x)
@@ -574,7 +598,7 @@ def _scalar_slab_sweeps_call(coef_pad, b_pad, u_pad, ny, H, n_sweep, omega,
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=pl.BlockSpec((n_out, Rt, nxp), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((n_out, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coef_pad.dtype),
         scratch_shapes=[
@@ -662,7 +686,7 @@ def _scalar_slab_sweeps_cheby_call(lmax, coef_pad, b_pad, u_pad, ny, H,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=pl.BlockSpec((n_out, Rt, nxp), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((n_out, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coef_pad.dtype),
         scratch_shapes=[
@@ -794,7 +818,9 @@ def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
     PHASE); per-sweep Pallas kernels when the slab tiling cannot apply;
     the XLA chain otherwise."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from ...dtypes import compute_platform
+
+        use_pallas = compute_platform() == "tpu"
     if not (use_pallas and pallas_supported(A.L)):
         return XLAScalarLevel(A)
     nz, ny, nx = A.L

@@ -316,7 +316,9 @@ class StencilCompiledModel:
             return bool(self.use_fused_assembly)
         from .pallas.stencil_kernels import pallas_supported
 
-        return (jax.default_backend() == "tpu" and dtype == jnp.float32
+        from ..dtypes import compute_platform
+
+        return (compute_platform() == "tpu" and dtype == jnp.float32
                 and pallas_supported(self.L) and self.n_cells >= 65536)
 
     def assemble(self, state, state0, dt, forces=None):
@@ -569,7 +571,9 @@ def fused_matvec(A, use_pallas=None, min_cells: int = 65536):
     sublane tiling, and the level is big enough to amortize the kernel
     launch; the XLA chain otherwise."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from ..dtypes import compute_platform
+
+        use_pallas = compute_platform() == "tpu"
     if use_pallas and A.n >= min_cells:
         from .pallas import PallasStencilMatvec, pallas_supported
 
