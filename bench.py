@@ -430,6 +430,20 @@ def run_product(nx, ny, nz, n_lin_it):
     _COMPILE_S[0] = t_compile
     print(f"# compile: {t_compile:.1f}s", file=sys.stderr)
 
+    if os.environ.get("BENCH_COMPILE_ONLY") == "1":
+        # pre-flight mode: the exact product program is AOT-compiled for
+        # the attached backend and NOT executed (remote compilation is
+        # safe even on a sick worker; executions are the risky part).
+        # Used to validate new Mosaic kernels at flagship shapes before
+        # any rung spends execution budget on them.
+        print(json.dumps({
+            "metric": "compile-only pre-flight", "value": 1.0,
+            "unit": "ok", "vs_baseline": 0.0, "cells": nc,
+            "compile_seconds": round(t_compile, 1),
+            "device": _device_kind(),
+        }))
+        return
+
     # Upload the program arguments EXPLICITLY and sync on a trivial
     # program that depends on every leaf: the tunnel's per-process
     # first-sync/upload cost has measured 50-180 s on a degraded worker
