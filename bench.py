@@ -129,8 +129,14 @@ def main():
     # (marginal step cost ~0.39 s).
     grid = os.environ.get("BENCH_GRID")  # default below; 1,048,576 cells
     if grid is None:
+        # 256x64x64, NOT 128x128x64: the remote TPU compiler hangs >7 min
+        # on the (nz,ny,nx)=(64,128,128) lattice (measured r3 across
+        # fused/non-fused/pallas-off/2-level variants) while the same
+        # 1M-cell program at (64,64,256) compiles in ~55 s — an XLA
+        # backend shape pathology, not a program-size effect; 131k-524k
+        # and (64,64,256) all compile in 19-55 s.
         grid = ("64,64,16" if jax.default_backend() == "cpu"
-                else "128,128,64")  # CPU fallback (driver runs on TPU)
+                else "256,64,64")  # CPU fallback (driver runs on TPU)
     nx, ny, nz = (int(v) for v in grid.split(","))
     if jax.default_backend() == "cpu":
         n_rep = min(n_rep, 2)
@@ -372,7 +378,7 @@ def run_product(nx, ny, nz, n_lin_it):
         preconditioner=StencilCPR(gmg=GMG(
             n_smooth=n_smooth,
             n_coarse_sweeps=12,
-            min_cells=16384,
+            min_cells=int(os.environ.get("BENCH_GMG_MIN_CELLS", "16384")),
             use_pallas=use_pallas,
             # chebyshev measures ~20% fewer Krylov its than jacobi in the
             # EW-forcing regime (4 vs 5 at 131k) at equal per-sweep cost
