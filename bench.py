@@ -460,8 +460,9 @@ def run_product(nx, ny, nz, n_lin_it):
     leaves, treedef = jax.tree_util.tree_flatten(args)
     dev = jax.devices()[0]
     leaves = [jax.device_put(l, dev) for l in leaves]
-    probe = jax.jit(lambda ls: sum(jnp.ravel(l)[0].astype(jnp.float32)
-                                   for l in ls))
+    probe = jax.jit(lambda ls: sum(
+        (jnp.ravel(l)[0].astype(jnp.float32) for l in ls if l.size),
+        start=jnp.float32(0.0)))
     float(probe(leaves))  # host scalar = uploads complete
     args = jax.tree_util.tree_unflatten(treedef, leaves)
     t_upload = time.perf_counter() - t0
