@@ -673,19 +673,33 @@ def _orchestrate():
     if banked is not None:
         banked["tpu_worker_health"] = health
         banked["canary"] = canary_line
+    skip_flagship = False
     if banked is None:
         errors.append(f"bank({small_grid}): {err}")
         print(f"# bench bank rung failed: {err[-300:]}", file=sys.stderr)
+        if "timeout" in err and "# compile:" not in err:
+            # the bank rung timed out WITHOUT finishing its compile: the
+            # remote compile service is wedged (measured r3: after a
+            # killed compile, previously-54s compiles hang too, and the
+            # canary's tiny compile still passes). The flagship's bigger
+            # compile would hang the same way — skip straight to the CPU
+            # fallback instead of burning its 540 s.
+            skip_flagship = True
+            errors.append("flagship skipped: bank compile never finished "
+                          "(wedged compile service)")
 
     # Flagship: 1M cells, SHORT execution (3 report steps ~58s: the only
     # config measured to survive repeatedly at 1M), refinement off (CPU
     # correction solves at 1M would blow the rung budget; the banked rung
     # carries the 1e-8 record).
-    flag, err = _run_worker(os.environ.get("BENCH_GRID"), 3, 540,
-                            {"BENCH_REFINE": "0"})
-    if flag is None:
-        errors.append(f"flagship(1M): {err}")
-        print(f"# bench flagship rung failed: {err[-300:]}", file=sys.stderr)
+    flag = None
+    if not skip_flagship:
+        flag, err = _run_worker(os.environ.get("BENCH_GRID"), 3, 540,
+                                {"BENCH_REFINE": "0"})
+        if flag is None:
+            errors.append(f"flagship(1M): {err}")
+            print(f"# bench flagship rung failed: {err[-300:]}",
+                  file=sys.stderr)
 
     if flag is not None:
         flag["tpu_worker_health"] = health
