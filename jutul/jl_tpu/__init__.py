@@ -37,7 +37,7 @@ from .interpolation import (
     get_1d_interpolator,
     get_2d_interpolator,
 )
-from .meshes.cartesian import CartesianMesh, JutulMesh
+from .meshes.cartesian import CartesianMesh, JutulMesh, tpfv_geometry
 from .meshes.unstructured import IndirectionMap, UnstructuredMesh
 from .models.equations import (
     AccumulationContribution,
@@ -101,7 +101,13 @@ from .simulator.timesteps import (
     TimestepSelector,
     VariableChangeTimestepSelector,
 )
-from .adjoint.dict_opt import DictParameters
+from .adjoint.dict_opt import (
+    DictParameters,
+    free_optimization_parameter,
+    freeze_optimization_parameter,
+    optimize,
+    parameters_gradient,
+)
 from .adjoint.gradients import (
     AdjointStorage,
     setup_adjoint_storage,
@@ -147,6 +153,7 @@ from .meshes.cutcell import (
     PlaneCut,
     SurfaceCut,
     cut_mesh,
+    embed_mesh,
     glue_mesh,
     merge_faces,
 )
@@ -158,7 +165,11 @@ from .meshes.extruded import (
     face_planarity,
 )
 from .models.composite import CompositeSystem
-from .models.helper import HelperSimulator
+from .models.helper import (
+    HelperSimulator,
+    model_accumulation,
+    model_residual,
+)
 from .models.transport import NFVMPressureSystem, TransportSystem
 from .models.vectorization import (
     data_domain_parameter_gradient,
@@ -170,6 +181,7 @@ from .models.vectorization import (
 from .adjoint.generic import solve_adjoint_generic
 from .adjoint.objectives import GlobalObjective, SumObjective
 from .linsolve.schur import SchurComplementSolver
+from .linsolve.system import LinearizedSystem
 from .ops.stencil import (
     GMG,
     StencilCPR,
@@ -177,13 +189,19 @@ from .ops.stencil import (
     StencilKrylovSolver,
 )
 from .parallel.adjoint import solve_adjoint_sensitivities_distributed
-from .parallel.dd import subforces, submodel, substate
+from .parallel.dd import subdomain, subforces, submodel, substate
+from .parallel.partition import (
+    GreedyGraphPartitioner,
+    LinearPartitioner,
+    MetisPartitioner,
+)
 from .parallel.general import GeneralDistributedSimulator
 from .parallel.general_adjoint import solve_adjoint_sensitivities_general
 from .parallel.sharded import DistributedSimulator, simulate_parray
 from .units import convert_from_si, convert_to_si, si_unit, si_units
 from .utils.gmsh import mesh_from_gmsh
 from .utils.mrst import mesh_from_mat, mesh_from_mrst_grid
+from .utils.plotting import triangulate_mesh
 
 # Reference-compatible aliases (SURVEY appendix export list)
 LUSolver = DirectSolver  # reference LUSolver = dense/direct fallback

@@ -223,3 +223,31 @@ class DictParameters:
             setup_function, self.parameters, objective, list(self.free),
             sim_kwargs or {})
         return grads
+
+
+# -- reference-compatible free functions ------------------------------
+# (the reference exports these as functions taking the DictParameters
+# first: free_optimization_parameter! interface.jl, optimize
+# interface.jl:102, parameters_gradient optimization.jl:446)
+
+def optimize(dopt: DictParameters, objective, setup_function=None, **kwargs):
+    """Free-function form of :meth:`DictParameters.optimize`."""
+    return dopt.optimize(objective, setup_function, **kwargs)
+
+
+def free_optimization_parameter(dopt: DictParameters, path, **kwargs):
+    """Free-function form of
+    :meth:`DictParameters.free_optimization_parameter`."""
+    return dopt.free_optimization_parameter(path, **kwargs)
+
+
+def freeze_optimization_parameter(dopt: DictParameters, path):
+    """Free-function form of
+    :meth:`DictParameters.freeze_optimization_parameter`."""
+    return dopt.freeze_optimization_parameter(path)
+
+
+def parameters_gradient(dopt: DictParameters, objective,
+                        setup_function=None, sim_kwargs=None):
+    """Free-function form of :meth:`DictParameters.parameters_gradient`."""
+    return dopt.parameters_gradient(objective, setup_function, sim_kwargs)

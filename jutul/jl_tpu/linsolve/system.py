@@ -1,0 +1,49 @@
+"""LinearizedSystem: the (Jacobian, residual) pair with a solve entry.
+
+Counterpart of the reference ``LinearizedSystem`` (src/linsolve/default.jl:34
+— jac + r + dx buffers handed to ``linear_solve!``). Here the Jacobian is a
+:class:`~jutul.jl_tpu.ops.blockell.BlockELL` and the solve is functional:
+``solve()`` returns the Newton update instead of mutating a dx buffer.
+``compile_model(model).assemble(...)`` returns the (r, J) pair this wraps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from .direct import DIRECT_SOLVE_LIMIT, DirectSolver
+
+
+@dataclass
+class LinearizedSystem:
+    """Jacobian + residual of one Newton iteration.
+
+    ``jac``: BlockELL (n, slots, neq, ndof); ``r``: residual (n, neq).
+    """
+
+    jac: Any
+    r: Any
+
+    @property
+    def n_unknowns(self) -> int:
+        n, _, _, ndof = self.jac.blocks.shape
+        return n * ndof
+
+    def solve(self, solver=None, rtol=None):
+        """Newton update ``du`` with ``J du = -r``.
+
+        ``solver=None`` picks the reference default: a direct solve below
+        the size limit (default.jl:467), otherwise ILU(0)-BiCGStab.
+        Returns ``(du, stats)``.
+        """
+        if solver is None:
+            if self.n_unknowns <= DIRECT_SOLVE_LIMIT:
+                solver = DirectSolver()
+            else:
+                from .krylov import GenericKrylov
+                from .precond import ILU0Preconditioner
+
+                solver = GenericKrylov(
+                    "bicgstab", preconditioner=ILU0Preconditioner())
+        return solver.solve(self.jac, self.r, rtol=rtol)

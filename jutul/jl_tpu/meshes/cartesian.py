@@ -277,3 +277,9 @@ class CartesianMesh(JutulMesh):
 
     def __repr__(self) -> str:
         return f"CartesianMesh(dims={self.dims})"
+
+
+def tpfv_geometry(mesh) -> TwoPointFiniteVolumeGeometry:
+    """Free-function form of ``mesh.tpfv_geometry()`` (the reference
+    exports ``tpfv_geometry`` as a function — src/meshes/)."""
+    return mesh.tpfv_geometry()

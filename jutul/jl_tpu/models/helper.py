@@ -80,3 +80,16 @@ class HelperSimulator:
         return jax.jacfwd(
             lambda v: self.model_residual(v, x0=x0, dt=dt, forces=forces)
         )(jnp.asarray(x))
+
+
+def model_residual(sim: HelperSimulator, x, x0=None, dt: float = 1.0,
+                   forces=None, parameters=None):
+    """Free-function form of :meth:`HelperSimulator.model_residual`
+    (the reference exports ``model_residual`` — simulator/helper.jl:3)."""
+    return sim.model_residual(x, x0=x0, dt=dt, forces=forces,
+                              parameters=parameters)
+
+
+def model_accumulation(sim: HelperSimulator, x, parameters=None):
+    """Free-function form of :meth:`HelperSimulator.model_accumulation`."""
+    return sim.model_accumulation(x, parameters=parameters)

@@ -115,3 +115,58 @@ def save_figure(ax, path) -> str:
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return str(path)
+
+
+def triangulate_mesh(mesh, outer: bool = True):
+    """Triangulate a mesh surface for visualization (reference
+    ``triangulate_mesh`` — src/meshes/, used by the Makie extension).
+
+    Pure numpy; no matplotlib required. Returns a dict with
+
+    - ``points``: (n_pts, dim) node coordinates,
+    - ``triangles``: (n_tri, 3) int indices into ``points``,
+    - ``cells``: (n_tri,) the source cell of each triangle (the "mapping"
+      the reference returns so per-cell fields color triangles).
+
+    2D meshes fan-triangulate every cell polygon; 3D meshes triangulate
+    the boundary faces (the visible surface). Cartesian meshes convert
+    through :meth:`UnstructuredMesh.from_cartesian` first.
+    """
+    from ..meshes.cartesian import CartesianMesh
+    from ..meshes.unstructured import UnstructuredMesh
+
+    if isinstance(mesh, CartesianMesh):
+        mesh = UnstructuredMesh.from_cartesian(mesh)
+    if not isinstance(mesh, UnstructuredMesh):
+        raise TypeError(f"triangulate_mesh: unsupported mesh {type(mesh)}")
+
+    tris = []
+    cells = []
+
+    def fan(loop, cell):
+        for k in range(1, len(loop) - 1):
+            tris.append((loop[0], loop[k], loop[k + 1]))
+            cells.append(cell)
+
+    if mesh.dim == 2:
+        from ..meshes.extruded import _cell_node_loops
+
+        for c, loop in enumerate(_cell_node_loops(mesh)):
+            fan(list(loop), c)
+    else:
+        bnodes = mesh.boundary_face_nodes
+        bcells = mesh.boundary_face_cells
+        for f in range(len(bnodes)):
+            fan(list(bnodes[f]), int(bcells[f]))
+        if not outer:
+            # include interior faces, attributed to the lower-index cell
+            fnodes = mesh.face_nodes
+            nb = mesh.face_neighbors
+            for f in range(len(fnodes)):
+                fan(list(fnodes[f]), int(min(nb[f])))
+
+    return {
+        "points": np.asarray(mesh.points, dtype=np.float64),
+        "triangles": np.asarray(tris, dtype=np.int64).reshape(-1, 3),
+        "cells": np.asarray(cells, dtype=np.int64),
+    }
