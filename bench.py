@@ -426,6 +426,11 @@ def run_product(nx, ny, nz, n_lin_it):
         linear_forcing=forcing,
         timestep_selectors=[TimestepSelector(initial_fraction=0.25),
                             IterationTimestepSelector(target_iterations=6)],
+        # reference storage behavior (models.jl:249): output states carry
+        # primaries + the system's output variables, not every secondary.
+        # On the tunnel "all" also costs a SECOND device execution (the
+        # post-run secondary evaluation) inside the fetch figure.
+        output_variables="primary",
         info_level=-1,
     )
 

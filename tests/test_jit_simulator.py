@@ -329,3 +329,28 @@ def test_simulate_jit_per_step_forces():
            {"src": PhaseSourceTerm([3], np.array([[0.02, 0.0]]))}]
     with pytest.raises(NotImplementedError, match="structure"):
         sim_j.simulate_jit(dts, forces=bad, **kw)
+
+
+def test_output_variables_option():
+    """output_variables config: "primary" matches the reference's storage
+    behavior (primaries + model output variables, models.jl:249); a list
+    keeps named secondaries alongside the primaries; identical physics
+    on both the eager and the whole-schedule jit paths."""
+    model, state0, params = darcy_case()
+    dts = [0.5 * DAY, 1.0 * DAY]
+    kw = dict(info_level=-1)
+    st_all, _ = Simulator(model, state0=state0, parameters=params).simulate(
+        dts, **kw)
+    st_pri, _ = Simulator(model, state0=state0, parameters=params).simulate(
+        dts, output_variables="primary", **kw)
+    assert set(st_pri[-1]) == {"Pressure", "Saturations"}
+    assert "PhaseMassDensities" in st_all[-1]
+    assert np.allclose(final_pressure(st_all), final_pressure(st_pri))
+    st_lst, _ = Simulator(model, state0=state0, parameters=params).simulate(
+        dts, output_variables=["PhaseMobilities"], **kw)
+    assert set(st_lst[-1]) == {"Pressure", "Saturations", "PhaseMobilities"}
+    res_j = Simulator(model, state0=state0, parameters=params).simulate_jit(
+        dts, output_variables="primary", **kw)
+    assert set(res_j.states[-1]) == {"Pressure", "Saturations"}
+    assert np.allclose(final_pressure(res_j.states),
+                       final_pressure(st_pri), rtol=1e-6)
