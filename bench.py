@@ -380,10 +380,11 @@ def run_product(nx, ny, nz, n_lin_it):
             n_coarse_sweeps=12,
             min_cells=int(os.environ.get("BENCH_GMG_MIN_CELLS", "16384")),
             use_pallas=use_pallas,
-            # chebyshev measures ~20% fewer Krylov its than jacobi in the
-            # EW-forcing regime (4 vs 5 at 131k) at equal per-sweep cost
-            # via the fused multi-sweep kernels; jacobi remains the
-            # r2-proven default until a TPU A/B lands
+            # TPU A/B at 1M (2026-08-18, same worker back-to-back):
+            # jacobi 0.104 s/Newton (82 N / 330 its, 4.02 its/N) vs
+            # chebyshev 0.107 s/Newton (70 N / 306 its, 4.37 its/N) —
+            # the 131k advantage (4 vs 5 its) does not carry to 1M in
+            # the EW regime, so jacobi stays the default
             smoother=os.environ.get("BENCH_SMOOTHER", "jacobi"),
             prolongation=os.environ.get("BENCH_PROLONG", "injection"))),
         rtol=float(os.environ.get("BENCH_RTOL", "1e-3")),
