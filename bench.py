@@ -391,8 +391,9 @@ def run_product(nx, ny, nz, n_lin_it):
         max_iterations=n_lin_it,
         use_fused_body=use_fused)  # rtol>0 + EW forcing = the in-jit
     # adaptive early exit (reference CPR practice: Krylov rtol ~1e-3,
-    # JutulDarcy defaults); BENCH_RTOL=0 re-pins the Krylov work at
-    # exactly n_lin_it iterations (the r1/r2 metric)
+    # JutulDarcy defaults); BENCH_RTOL=0 BENCH_FORCING=none re-pins the
+    # Krylov work at exactly n_lin_it iterations (the r1/r2 metric) —
+    # rtol alone is not enough, EW forcing overrides it per Newton
     forcing = os.environ.get("BENCH_FORCING", "ew")
     n_step = int(os.environ.get("BENCH_NSTEP", "3"))
     if jax.default_backend() == "cpu":
@@ -517,7 +518,8 @@ def run_product(nx, ny, nz, n_lin_it):
           f"ministeps={stats['ministeps']} newtons={newtons} "
           f"lin_its={stats['linear_iterations']} f64={ver}", file=sys.stderr)
     cells_per_sec = nc * newtons / t_exec
-    lin_desc = (f"{n_lin_it} pinned its" if solver.rtol == 0.0 else
+    lin_desc = (f"{n_lin_it} pinned its"
+                if solver.rtol == 0.0 and forcing == "none" else
                 f"rtol {solver.rtol:g}/{forcing} forcing, cap {n_lin_it}")
     print(json.dumps({
         "metric": f"{nc}-cell two-phase Darcy with gravity + 5 wells "

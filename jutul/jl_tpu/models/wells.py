@@ -178,6 +178,11 @@ def setup_well_graph_model(mesh, fluid, wells: "list[WellSpec]",
     nc = mesh.number_of_cells()
     wmesh = WellGraphMesh(mesh, wells)
     nw = len(wells)
+    if permeability is None:
+        # np.asarray(None) is a 0-d NaN under NumPy 2.x — without this
+        # guard every reservoir transmissibility silently goes NaN
+        raise ValueError("setup_well_graph_model: permeability is "
+                         "required (scalar or per-cell array)")
     perm = np.asarray(permeability, dtype=np.float64)
     if perm.ndim == 0:
         perm = np.full(nc, float(perm))

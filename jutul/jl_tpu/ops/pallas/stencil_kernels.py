@@ -542,23 +542,27 @@ class PallasFusedScalarLevel(PallasScalarLevel):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_slab_sweeps(coef_hbm, b_hbm, u_hbm, y_ref, cs, bs, us, sem,
-                        *, ny, H, Rt, n_sweep, omega, emit_residual,
-                        init_zero):
+def _kernel_slab_sweeps(coef_hbm, b_hbm, u_hbm, y_ref, cs, bs, us, sem_c,
+                        sem_b, sem_u, *, ny, H, Rt, n_sweep, omega,
+                        emit_residual, init_zero):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
     win = pl.ds(i * Rt, Rt + 2 * H)
-    dma1 = pltpu.make_async_copy(coef_hbm.at[:, :, win], cs, sem)
+    # start every slab DMA before the first wait (per-semaphore) so the
+    # three HBM streams overlap instead of serializing their latencies
+    dma1 = pltpu.make_async_copy(coef_hbm.at[:, :, win], cs, sem_c)
     dma1.start()
-    dma1.wait()
-    dma2 = pltpu.make_async_copy(b_hbm.at[:, win], bs, sem)
+    dma2 = pltpu.make_async_copy(b_hbm.at[:, win], bs, sem_b)
     dma2.start()
-    dma2.wait()
+    dma3 = None
     if not init_zero:
-        dma3 = pltpu.make_async_copy(u_hbm.at[:, win], us, sem)
+        dma3 = pltpu.make_async_copy(u_hbm.at[:, win], us, sem_u)
         dma3.start()
+    dma1.wait()
+    dma2.wait()
+    if dma3 is not None:
         dma3.wait()
 
     d = cs[0, 0]
@@ -606,14 +610,16 @@ def _scalar_slab_sweeps_call(coef_pad, b_pad, u_pad, ny, H, n_sweep, omega,
             pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
             pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(coef_pad, b_pad, u_pad)
 
 
 def _kernel_slab_sweeps_cheby(lmax_ref, coef_hbm, b_hbm, u_hbm, y_ref, cs,
-                              bs, us, sem, *, ny, H, Rt, n_sweep, lower,
-                              emit_residual, init_zero):
+                              bs, us, sem_c, sem_b, sem_u, *, ny, H, Rt,
+                              n_sweep, lower, emit_residual, init_zero):
     """Slab-tiled Chebyshev multi-sweep: the whole smoothing phase on a
     deep-halo z-slab (halo math identical to the Jacobi kernel — the
     direction vector d is elementwise in the residual, so wrong values
@@ -623,15 +629,18 @@ def _kernel_slab_sweeps_cheby(lmax_ref, coef_hbm, b_hbm, u_hbm, y_ref, cs,
 
     i = pl.program_id(0)
     win = pl.ds(i * Rt, Rt + 2 * H)
-    dma1 = pltpu.make_async_copy(coef_hbm.at[:, :, win], cs, sem)
+    # overlap all slab DMAs (see _kernel_slab_sweeps)
+    dma1 = pltpu.make_async_copy(coef_hbm.at[:, :, win], cs, sem_c)
     dma1.start()
-    dma1.wait()
-    dma2 = pltpu.make_async_copy(b_hbm.at[:, win], bs, sem)
+    dma2 = pltpu.make_async_copy(b_hbm.at[:, win], bs, sem_b)
     dma2.start()
-    dma2.wait()
+    dma3 = None
     if not init_zero:
-        dma3 = pltpu.make_async_copy(u_hbm.at[:, win], us, sem)
+        dma3 = pltpu.make_async_copy(u_hbm.at[:, win], us, sem_u)
         dma3.start()
+    dma1.wait()
+    dma2.wait()
+    if dma3 is not None:
         dma3.wait()
 
     d0 = cs[0, 0]
@@ -693,6 +702,8 @@ def _scalar_slab_sweeps_cheby_call(lmax, coef_pad, b_pad, u_pad, ny, H,
             pltpu.VMEM((_TERMS, 1, Rt + 2 * H, nxp), coef_pad.dtype),
             pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
             pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -310,10 +310,11 @@ class StencilCompiledModel:
             return False
         import os
 
-        if os.environ.get("BENCH_ASSEMBLY") == "0":
-            return False
+        # an explicit programmatic choice always beats the bench env var
         if self.use_fused_assembly is not None:
             return bool(self.use_fused_assembly)
+        if os.environ.get("BENCH_ASSEMBLY") == "0":
+            return False
         from .pallas.stencil_kernels import pallas_supported
 
         from ..dtypes import compute_platform

@@ -718,7 +718,12 @@ class GeneralDistributedSimulator:
         stripped-input SPMD body for composition inside a larger
         shard_map program (used by ``timestep_fn``).
         """
-        from ..simulator.simulator import tolerance_for
+        from ..simulator.newton_common import (
+            ew_eta,
+            newton_accept,
+            newton_continue,
+            scaled_error as scaled_error_common,
+        )
 
         comp = self.comp
         dec = self.dec
@@ -746,13 +751,8 @@ class GeneralDistributedSimulator:
                 for _ in range(4))  # uniform arg structure
 
         def scaled_error(crit):
-            worst = jnp.asarray(0.0)
-            for eq_name, criteria in crit.items():
-                for crit_name, arr in criteria.items():
-                    tol = tolerance_for(eq_name, crit_name, tols,
-                                        comp.equations, self.global_model)
-                    worst = jnp.maximum(worst, jnp.max(arr) / tol)
-            return worst
+            return scaled_error_common(crit, tols, comp.equations,
+                                       self.global_model)
 
         def mini_core(state_own, state0_own, cp, fp, tabs, q1, bc1,
                       ctabs1, dt):
@@ -825,18 +825,12 @@ class GeneralDistributedSimulator:
 
             def cond(carry):
                 _s, _a, err, _ep, _w, it, bad, _lin = carry
-                done = ((err <= 1.0) & (it >= min_newton)) | bad
-                return (~done) & (it < max_newton)
+                return newton_continue(err, it, bad, min_newton,
+                                       max_newton)
 
             def body(carry):
                 s, arrays, err, err_prev, omega, it, _bad, lin = carry
-                if forcing == "ew":
-                    ratio2 = jnp.where(
-                        jnp.isfinite(err_prev),
-                        (err / jnp.maximum(err_prev, 1e-30)) ** 2, 1.0)
-                    eta = jnp.clip(0.9 * ratio2, 1e-4, 0.1)
-                else:
-                    eta = rtol
+                eta = ew_eta(err, err_prev) if forcing == "ew" else rtol
                 du, stats = solve(arrays, eta)
                 omega_new = (relax.select_relaxation_jit(omega, err,
                                                          err_prev)
@@ -854,9 +848,7 @@ class GeneralDistributedSimulator:
                       bad0, jnp.asarray(0, jnp.int32))
             s, _a, err, _ep, _w, its, bad, lin = jax.lax.while_loop(
                 cond, body, carry0)
-            converged = (~bad) & ((err <= 1.0)
-                                  | ((its >= max_newton)
-                                     & (err <= tol_final)))
+            converged = newton_accept(err, its, bad, max_newton, tol_final)
             return s, its, err, converged, lin
 
         if _raw:
@@ -1045,11 +1037,9 @@ class GeneralDistributedSimulator:
     def _timestep_program(self, ts_kwargs: dict):
         """Build-once cache of the jitted whole-report-step program keyed
         by the baked-in configuration (mirrors ``_ministep_program``)."""
-        relax = ts_kwargs.get("relaxation")
-        key = tuple(sorted(
-            (k, repr(v) if k != "relaxation"
-             else f"{type(v).__name__}:{vars(v) if v else None}")
-            for k, v in ts_kwargs.items()))
+        from ..simulator.newton_common import program_cache_key
+
+        key = program_cache_key(ts_kwargs)
         if getattr(self, "_ts_key", None) != key:
             self._ts_jit = self.timestep_fn(**ts_kwargs)
             self._ts_key = key
@@ -1078,9 +1068,13 @@ class GeneralDistributedSimulator:
         bc = self.stack_boundary_conditions(forces) if forces else None
         if bc is not None:
             bc = tuple(jnp.asarray(a) for a in bc)
+        import time as _time
+
+        t0 = _time.perf_counter()
         s, t_done, k, aborted, bufs = step(dict(state), float(dT), q, bc,
                                            dt_init)
-        k = int(np.asarray(k))
+        k = int(np.asarray(k))  # host sync: the execution is complete here
+        wall = _time.perf_counter() - t0
         if bool(np.asarray(aborted)):
             raise RuntimeError(
                 f"general-partition report step aborted after "
@@ -1090,10 +1084,14 @@ class GeneralDistributedSimulator:
         if k > cap:
             print(f"Warning: {k} ministeps exceeded cap={cap}; "
                   f"reports truncated.")
+        # one device execution covers all ministeps: spread the measured
+        # wall clock evenly (the single-device jit_timestep convention,
+        # simulator.py) so report_stats' time_per_newton stays real
         minis = [{"dt": float(bufs["dt"][i]),
                   "success": bool(bufs["success"][i]),
                   "iterations": int(bufs["iterations"][i]),
                   "linear_iterations": int(bufs["linear_iterations"][i]),
+                  "wall_time": wall / max(min(k, cap), 1),
                   "errors": [float(bufs["error"][i])]}
                  for i in range(min(k, cap))]
         self.last_report = {"ministeps": minis, "success": True}
@@ -1139,11 +1137,9 @@ class GeneralDistributedSimulator:
     def _ministep_program(self, mini_kwargs: dict):
         """Build-once cache of the jitted whole-ministep program keyed by
         the baked-in solver/tolerance configuration."""
-        relax = mini_kwargs.get("relaxation")
-        key = tuple(sorted(
-            (k, repr(v) if k != "relaxation"
-             else f"{type(v).__name__}:{vars(v) if v else None}")
-            for k, v in mini_kwargs.items()))
+        from ..simulator.newton_common import program_cache_key
+
+        key = program_cache_key(mini_kwargs)
         if getattr(self, "_mini_key", None) != key:
             self._mini_jit = self.ministep_fn(**mini_kwargs)
             self._mini_key = key

@@ -503,7 +503,12 @@ class DistributedSimulator:
         Newton iteration). Convergence is decided from the pmax/psum-
         reduced criteria riding the lax.while_loop carry, so all shards
         run in lockstep with no host round-trips."""
-        from ..simulator.simulator import tolerance_for
+        from ..simulator.newton_common import (
+            ew_eta,
+            newton_accept,
+            newton_continue,
+            scaled_error as scaled_error_common,
+        )
 
         comp = self.comp
         ax = self.axis
@@ -513,13 +518,8 @@ class DistributedSimulator:
         relax = relaxation
 
         def scaled_error(crit):
-            worst = jnp.asarray(0.0)
-            for eq_name, criteria in crit.items():
-                for crit_name, arr in criteria.items():
-                    tol = tolerance_for(eq_name, crit_name, tols,
-                                        comp.equations, self.local_model)
-                    worst = jnp.maximum(worst, jnp.max(arr) / tol)
-            return worst
+            return scaled_error_common(crit, tols, comp.equations,
+                                       self.local_model)
 
         def local_ministep(state_own, state0_own, cp, fp, alive, q, bc,
                            dt):
@@ -542,18 +542,12 @@ class DistributedSimulator:
 
             def cond(carry):
                 _s, _a, err, _ep, _w, it, bad, _lin = carry
-                done = ((err <= 1.0) & (it >= min_newton)) | bad
-                return (~done) & (it < max_newton)
+                return newton_continue(err, it, bad, min_newton,
+                                       max_newton)
 
             def body(carry):
                 s, (r_own, J), err, err_prev, omega, it, _bad, lin = carry
-                if forcing == "ew":
-                    ratio2 = jnp.where(
-                        jnp.isfinite(err_prev),
-                        (err / jnp.maximum(err_prev, 1e-30)) ** 2, 1.0)
-                    eta = jnp.clip(0.9 * ratio2, 1e-4, 0.1)
-                else:
-                    eta = rtol
+                eta = ew_eta(err, err_prev) if forcing == "ew" else rtol
                 du, stats = self._solve_local(r_own, J, al, eta,
                                               max_lin_it)
                 omega_new = (relax.select_relaxation_jit(omega, err,
@@ -571,9 +565,7 @@ class DistributedSimulator:
                       bad0, jnp.asarray(0, jnp.int32))
             s, _a, err, _ep, _w, its, bad, lin = jax.lax.while_loop(
                 cond, body, carry0)
-            converged = (~bad) & ((err <= 1.0)
-                                  | ((its >= max_newton)
-                                     & (err <= tol_final)))
+            converged = newton_accept(err, its, bad, max_newton, tol_final)
             return s, its, err, converged, lin
 
         state_spec = {k: P(ax) for k in self.global_model.primary_variables}
@@ -607,11 +599,9 @@ class DistributedSimulator:
         return step
 
     def _ministep_program(self, mini_kwargs: dict):
-        relax = mini_kwargs.get("relaxation")
-        key = tuple(sorted(
-            (k, repr(v) if k != "relaxation"
-             else f"{type(v).__name__}:{vars(v) if v else None}")
-            for k, v in mini_kwargs.items()))
+        from ..simulator.newton_common import program_cache_key
+
+        key = program_cache_key(mini_kwargs)
         if getattr(self, "_mini_key", None) != key:
             self._mini_jit = self.ministep_fn(**mini_kwargs)
             self._mini_key = key

@@ -1,0 +1,94 @@
+"""Shared in-jit Newton convergence machinery.
+
+The single-device jitted Newton loop (simulator._build_newton_fn) and
+both distributed engines (parallel/general.py, parallel/sharded.py)
+run the SAME convergence semantics — check-before-solve with scaled
+per-criterion tolerances, Eisenstat-Walker forcing, the min/max
+iteration done-rule, and relaxed acceptance at the iteration cap
+(reference: perform_step!/check_convergence, simulator.jl:392 +
+models.jl:818-884; EW forcing per Krylov practice). These pieces live
+here ONCE so a tuning change cannot silently leave an engine on an old
+formula and break the distributed-matches-single-device equivalence
+tests.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def tolerance_for(eq_name: str, crit_name: str, tols, equations=(),
+                  model=None) -> float:
+    """Tolerance lookup, matching the reference (models.jl:830-874):
+    per-equation entry (float, or dict by criterion) beats the
+    ``"default"`` entry, which beats the equation's own declared default.
+    A user-provided ``"default"`` applies to every criterion. Shared by
+    the single-device simulator and the distributed engines."""
+    if isinstance(tols, (int, float)):
+        return float(tols)
+    for key in (f"{eq_name}/{crit_name}", eq_name, crit_name):
+        if key in tols:
+            v = tols[key]
+            if isinstance(v, dict):
+                if crit_name in v:
+                    return float(v[crit_name])
+                continue
+            return float(v)
+    if "default" in tols:
+        return float(tols["default"])
+    for info in equations:
+        if info.name == eq_name:
+            return float(info.eq.default_tolerance(model))
+    return 1e-6
+
+
+def scaled_error(crit, tols, equations=(), model=None):
+    """Worst error/tolerance over all equations and criteria (traced;
+    <= 1 means converged). Reference: check_convergence's scaled
+    max-error accumulation, models.jl:818-884."""
+    worst = jnp.asarray(0.0)
+    for eq_name, criteria in crit.items():
+        for crit_name, arr in criteria.items():
+            tol = tolerance_for(eq_name, crit_name, tols, equations, model)
+            worst = jnp.maximum(worst, jnp.max(arr) / tol)
+    return worst
+
+
+# Eisenstat-Walker choice 2 constants: eta_k = gamma (e_k/e_{k-1})^2
+# clipped to [eta_min, eta_max]; the first iteration (err_prev = inf)
+# uses eta_max.
+EW_GAMMA = 0.9
+EW_ETA_MIN = 1e-4
+EW_ETA_MAX = 0.1
+
+
+def ew_eta(err, err_prev):
+    """The in-jit Eisenstat-Walker forcing tolerance for this Newton
+    iteration."""
+    ratio2 = jnp.where(jnp.isfinite(err_prev),
+                       (err / jnp.maximum(err_prev, 1e-30)) ** 2, 1.0)
+    return jnp.clip(EW_GAMMA * ratio2, EW_ETA_MIN, EW_ETA_MAX)
+
+
+def newton_continue(err, it, bad, min_it: int, max_it: int):
+    """while_loop cond: keep iterating until (converged AND the minimum
+    iteration count is met) OR divergence, bounded by the cap."""
+    done = ((err <= 1.0) & (it >= min_it)) | bad
+    return (~done) & (it < max_it)
+
+
+def newton_accept(err, its, bad, max_it: int, tol_final: float):
+    """Ministep acceptance: converged normally, or within the relaxed
+    tol_factor_final_iteration bound at the iteration cap (reference
+    config.jl tol_factor_final_iteration)."""
+    return (~bad) & ((err <= 1.0) | ((its >= max_it) & (err <= tol_final)))
+
+
+def program_cache_key(kwargs: dict) -> tuple:
+    """Stable key for build-once jitted-program caches keyed by baked-in
+    solver/tolerance configuration (relaxation objects compare by type +
+    attribute dict, everything else by repr)."""
+    return tuple(sorted(
+        (k, repr(v) if k != "relaxation"
+         else f"{type(v).__name__}:{vars(v) if v else None}")
+        for k, v in kwargs.items()))
