@@ -386,7 +386,10 @@ def run_product(nx, ny, nz, n_lin_it):
             # the 131k advantage (4 vs 5 its) does not carry to 1M in
             # the EW regime, so jacobi stays the default
             smoother=os.environ.get("BENCH_SMOOTHER", "jacobi"),
-            prolongation=os.environ.get("BENCH_PROLONG", "injection"))),
+            prolongation=os.environ.get("BENCH_PROLONG", "injection"),
+            # "bf16" streams GMG + stage-2 coefficients at half traffic
+            # (preconditioner only; Krylov operator stays f32)
+            coef_dtype=os.environ.get("BENCH_GMG_COEF_DTYPE") or None)),
         rtol=float(os.environ.get("BENCH_RTOL", "1e-3")),
         max_iterations=n_lin_it,
         use_fused_body=use_fused)  # rtol>0 + EW forcing = the in-jit

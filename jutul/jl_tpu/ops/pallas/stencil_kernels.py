@@ -130,9 +130,9 @@ def _stencil_matvec_call(coeffs, xpad, L, C, K, nxp, interpret):
         ],
         out_specs=pl.BlockSpec((C, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, R, nxp), coeffs.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, R, nxp), xpad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((K, Rt + 2 * ny, nxp), coeffs.dtype),
+            pltpu.VMEM((K, Rt + 2 * ny, nxp), xpad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -179,7 +179,8 @@ def stencil_matvec(coeffs, x, L, C, K, interpret: bool | None = None):
 
     ``x`` (n, K) column-of-dofs layout as StencilMatrix.matvec takes;
     returns (n, C). ``interpret=None`` auto-selects interpret mode
-    off-TPU.
+    off-TPU. bfloat16 ``coeffs`` stream at half the HBM traffic; the
+    arithmetic then runs in the VECTOR dtype (bf16*f32 promotes to f32).
     """
     nz, ny, nx = L
     nxp = coeffs.shape[-1]
@@ -187,7 +188,8 @@ def stencil_matvec(coeffs, x, L, C, K, interpret: bool | None = None):
         from ...dtypes import compute_platform
 
         interpret = compute_platform() != "tpu"
-    x_lat = x.T.reshape(K, nz * ny, nx).astype(coeffs.dtype)
+    cdt = x.dtype if coeffs.dtype == jnp.bfloat16 else coeffs.dtype
+    x_lat = x.T.reshape(K, nz * ny, nx).astype(cdt)
     xpad = jnp.pad(x_lat, ((0, 0), (ny, ny), (0, nxp - nx)))
     y = _stencil_matvec_call(coeffs, xpad, tuple(L), int(C), int(K),
                              int(nxp), bool(interpret))
@@ -207,7 +209,7 @@ class PallasStencilMatvec:
     then call with dof vectors.
     """
 
-    def __init__(self, A, interpret: bool | None = None):
+    def __init__(self, A, interpret: bool | None = None, coef_dtype=None):
         if hasattr(A, "diag") and A.diag.ndim == 3:  # StencilMatrix
             C, K = A.diag.shape[0], A.diag.shape[1]
             diag = A.diag.reshape(C, K, -1)
@@ -220,7 +222,13 @@ class PallasStencilMatvec:
             minus = {a: v[None, None] for a, v in A.minus.items()}
         self.L, self.C, self.K = tuple(A.L), C, K
         self.interpret = interpret
+        # the dtype the kernels COMPUTE in (coef_dtype only changes the
+        # coefficient STORAGE/stream — typically bf16 for half the HBM
+        # traffic of a preconditioner apply)
+        self.compute_dtype = diag.dtype
         self.coeffs = lattice_coefficients(self.L, diag, plus, minus)
+        if coef_dtype is not None:
+            self.coeffs = self.coeffs.astype(coef_dtype)
 
     def __call__(self, x):
         squeeze = x.ndim == 1
@@ -299,9 +307,9 @@ def _stencil_fused_call(coeffs, b, xpad, L, C, K, nxp, mode, omega,
         ],
         out_specs=pl.BlockSpec((C, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, R, nxp), coeffs.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, R, nxp), b.dtype),
         scratch_shapes=[
-            pltpu.VMEM((K, Rt + 2 * ny, nxp), coeffs.dtype),
+            pltpu.VMEM((K, Rt + 2 * ny, nxp), xpad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -312,8 +320,8 @@ class PallasScalarLevel:
     """Fused per-level ops for a ScalarStencil GMG level: matvec,
     residual (b - A u) and weighted-Jacobi smooth, each one kernel."""
 
-    def __init__(self, A, interpret: bool | None = None):
-        self.base = PallasStencilMatvec(A, interpret)
+    def __init__(self, A, interpret: bool | None = None, coef_dtype=None):
+        self.base = PallasStencilMatvec(A, interpret, coef_dtype)
         nz, ny, nx = self.base.L
         self.ny, self.nx = ny, nx
         self.nxp = self.base.coeffs.shape[-1]
@@ -329,7 +337,7 @@ class PallasScalarLevel:
     def _fused(self, u, b, mode, omega=0.0):
         L = self.base.L
         nz, ny, nx = L
-        u_lat = u.reshape(1, nz * ny, nx).astype(self.base.coeffs.dtype)
+        u_lat = u.reshape(1, nz * ny, nx).astype(self.base.compute_dtype)
         upad = jnp.pad(u_lat, ((0, 0), (ny, ny), (0, self.nxp - nx)))
         b_lat = jnp.pad(b.reshape(1, nz * ny, nx),
                         ((0, 0), (0, 0), (0, self.nxp - nx)))
@@ -348,7 +356,8 @@ class PallasScalarLevel:
         """smooth from the zero guess: elementwise, no stencil pass (XLA
         fuses this into the surrounding ops; no kernel needed)."""
         nz, ny, nx = self.base.L
-        d = self.base.coeffs[0, 0, :, :nx].reshape(-1)
+        d = self.base.coeffs[0, 0, :, :nx].reshape(-1).astype(
+            self.base.compute_dtype)
         return omega * b / d
 
 
@@ -379,7 +388,8 @@ def _apply_scalar(coef_ref, u, ny):
 
 def _kernel_sweeps(coef_ref, b_ref, u0_ref, y_ref, *, ny, n_sweep, omega,
                    emit_residual, init_zero):
-    d = coef_ref[0, 0]
+    # reciprocal in the compute dtype (coefs may stream as bf16)
+    d = coef_ref[0, 0].astype(b_ref.dtype)
     dinv = jnp.where(d != 0, 1.0 / d, 0.0)  # padded lanes: keep finite
     b = b_ref[0]
     if init_zero:
@@ -413,7 +423,7 @@ def _scalar_sweeps_call(coeffs, b, u0, ny, n_sweep, omega, emit_residual,
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coeffs.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), b.dtype),
         interpret=interpret,
     )(coeffs, b, u0)
 
@@ -424,7 +434,7 @@ def _kernel_sweeps_cheby(lmax_ref, coef_ref, b_ref, u0_ref, y_ref, *, ny,
     Jacobi kernel (coefficients read from HBM once per phase), with the
     3-term recurrence unrolled — per-sweep scalars derive from the SMEM
     lambda_max inside the kernel."""
-    d0 = coef_ref[0, 0]
+    d0 = coef_ref[0, 0].astype(b_ref.dtype)
     dinv = jnp.where(d0 != 0, 1.0 / d0, 0.0)
     b = b_ref[0]
     lmax = lmax_ref[0, 0]
@@ -465,13 +475,13 @@ def _scalar_sweeps_cheby_call(lmax, coeffs, b, u0, ny, n_sweep, lower,
     kern = functools.partial(_kernel_sweeps_cheby, ny=ny, n_sweep=n_sweep,
                              lower=lower, emit_residual=emit_residual,
                              init_zero=init_zero)
-    lmax2 = jnp.reshape(lmax.astype(coeffs.dtype), (1, 1))
+    lmax2 = jnp.reshape(lmax.astype(b.dtype), (1, 1))
     return pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coeffs.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), b.dtype),
         interpret=interpret,
     )(lmax2, coeffs, b, u0)
 
@@ -484,7 +494,7 @@ class PallasFusedScalarLevel(PallasScalarLevel):
     def _lat(self, v):
         nz, ny, nx = self.base.L
         return jnp.pad(v.reshape(1, nz * ny, nx).astype(
-            self.base.coeffs.dtype), ((0, 0), (0, 0), (0, self.nxp - nx)))
+            self.base.compute_dtype), ((0, 0), (0, 0), (0, self.nxp - nx)))
 
     def _call(self, b, u0, n_sweep, omega, emit_residual, init_zero):
         nz, ny, nx = self.base.L
@@ -565,7 +575,7 @@ def _kernel_slab_sweeps(coef_hbm, b_hbm, u_hbm, y_ref, cs, bs, us, sem_c,
     if dma3 is not None:
         dma3.wait()
 
-    d = cs[0, 0]
+    d = cs[0, 0].astype(bs.dtype)
     dinv = jnp.where(d != 0, 1.0 / d, 0.0)
     b = bs[0]
     if init_zero:
@@ -604,11 +614,11 @@ def _scalar_slab_sweeps_call(coef_pad, b_pad, u_pad, ny, H, n_sweep, omega,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((n_out, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coef_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), b_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((_TERMS, 1, Rt + 2 * H, nxp), coef_pad.dtype),
-            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
-            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), b_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), b_pad.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -643,7 +653,7 @@ def _kernel_slab_sweeps_cheby(lmax_ref, coef_hbm, b_hbm, u_hbm, y_ref, cs,
     if dma3 is not None:
         dma3.wait()
 
-    d0 = cs[0, 0]
+    d0 = cs[0, 0].astype(bs.dtype)
     dinv = jnp.where(d0 != 0, 1.0 / d0, 0.0)
     b = bs[0]
     lmax = lmax_ref[0, 0]
@@ -689,7 +699,7 @@ def _scalar_slab_sweeps_cheby_call(lmax, coef_pad, b_pad, u_pad, ny, H,
                              n_sweep=n_sweep, lower=lower,
                              emit_residual=emit_residual,
                              init_zero=init_zero)
-    lmax2 = jnp.reshape(lmax.astype(coef_pad.dtype), (1, 1))
+    lmax2 = jnp.reshape(lmax.astype(b_pad.dtype), (1, 1))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -697,11 +707,11 @@ def _scalar_slab_sweeps_cheby_call(lmax, coef_pad, b_pad, u_pad, ny, H,
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((n_out, Rt, nxp), _i32map(lambda i: (0, i, 0)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), coef_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), b_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((_TERMS, 1, Rt + 2 * H, nxp), coef_pad.dtype),
-            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
-            pltpu.VMEM((1, Rt + 2 * H, nxp), coef_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), b_pad.dtype),
+            pltpu.VMEM((1, Rt + 2 * H, nxp), b_pad.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -720,8 +730,8 @@ class PallasSlabFusedScalarLevel(PallasScalarLevel):
     practice — GMG falls back to the per-sweep chain there.)"""
 
     def __init__(self, A, n_smooth: int = 2, interpret: bool | None = None,
-                 vmem_budget: int = 10 * 1024 * 1024):
-        super().__init__(A, interpret)
+                 vmem_budget: int = 10 * 1024 * 1024, coef_dtype=None):
+        super().__init__(A, interpret, coef_dtype)
         nz, ny, nx = self.base.L
         # halo depth: worst phase is max(n_smooth, n_smooth-1+1 residual)
         self.H = max(n_smooth, 2) * ny
@@ -738,7 +748,7 @@ class PallasSlabFusedScalarLevel(PallasScalarLevel):
     def _pad_rows(self, v):
         nz, ny, nx = self.base.L
         lat = jnp.pad(v.reshape(1, nz * ny, nx).astype(
-            self.base.coeffs.dtype),
+            self.base.compute_dtype),
             ((0, 0), (self.H, self.H), (0, self.nxp - nx)))
         return lat
 
@@ -821,7 +831,7 @@ class XLAScalarLevel:
 
 def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
                      vmem_budget: int = 12 * 1024 * 1024,
-                     n_smooth: int = 2):
+                     n_smooth: int = 2, coef_dtype=None):
     """Level-op factory: whole-lattice fused multi-sweep Pallas level when
     the coefficient streams + vectors fit VMEM (small/mid levels — the
     coarse solve becomes ONE kernel); the deep-halo slab-tiled fused
@@ -838,7 +848,7 @@ def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
     nxp = _round_up(nx, 128)
     vmem = (_TERMS + 4) * nz * ny * nxp * 4  # coeffs + b/u0/out(2) streams
     if vmem <= vmem_budget:
-        return PallasFusedScalarLevel(A)
+        return PallasFusedScalarLevel(A, coef_dtype=coef_dtype)
     if A.n >= min_cells:
         # deep-halo slab needs at least one whole-slab halo's worth of
         # rows per program; fall back to per-sweep kernels when the halo
@@ -847,6 +857,7 @@ def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
         per_row = (_TERMS + 2) * nxp * 4
         rows_budget = (10 * 1024 * 1024) // per_row
         if rows_budget >= 2 * H + ny:
-            return PallasSlabFusedScalarLevel(A, n_smooth=n_smooth)
-        return PallasScalarLevel(A)
+            return PallasSlabFusedScalarLevel(A, n_smooth=n_smooth,
+                                              coef_dtype=coef_dtype)
+        return PallasScalarLevel(A, coef_dtype=coef_dtype)
     return XLAScalarLevel(A)

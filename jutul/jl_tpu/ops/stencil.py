@@ -565,12 +565,15 @@ def _prolong_linear(e_lat, fine_L):
     return e_lat
 
 
-def fused_matvec(A, use_pallas=None, min_cells: int = 65536):
+def fused_matvec(A, use_pallas=None, min_cells: int = 65536,
+                 coef_dtype=None):
     """Matvec callable for a StencilMatrix/ScalarStencil: the Pallas fused
     kernel (ops/pallas/stencil_kernels.py, measured 1.4x the XLA
     slice/pad chain at 64^3 on TPU) when on-TPU, the lattice respects the
     sublane tiling, and the level is big enough to amortize the kernel
-    launch; the XLA chain otherwise."""
+    launch; the XLA chain otherwise. ``coef_dtype`` (e.g. bf16) applies
+    only on the Pallas path — coefficients stream at half the traffic,
+    compute stays in the vector dtype."""
     if use_pallas is None:
         from ..dtypes import compute_platform
 
@@ -579,7 +582,7 @@ def fused_matvec(A, use_pallas=None, min_cells: int = 65536):
         from .pallas import PallasStencilMatvec, pallas_supported
 
         if pallas_supported(A.L):
-            return PallasStencilMatvec(A)
+            return PallasStencilMatvec(A, coef_dtype=coef_dtype)
     return A.matvec
 
 
@@ -624,7 +627,8 @@ class GMG:
                  n_coarse_sweeps: int = 40, min_cells: int = 32,
                  max_levels: int = 10, use_pallas=None,
                  smoother: str = "jacobi", cheby_lower: float = 0.25,
-                 prolongation: str = "injection"):
+                 prolongation: str = "injection",
+                 coef_dtype: str | None = None):
         self.omega = omega
         self.n_smooth = n_smooth
         self.n_coarse_sweeps = n_coarse_sweeps
@@ -638,6 +642,17 @@ class GMG:
         if prolongation not in ("injection", "linear"):
             raise ValueError(f"unknown prolongation {prolongation!r}")
         self.prolongation = prolongation
+        # "bf16" streams the level coefficient lattices at half the HBM
+        # traffic (compute stays in the vector dtype; the hierarchy's
+        # Galerkin coarsening stays full precision). GMG is a
+        # preconditioner, so this changes iteration counts marginally
+        # and the converged answer not at all.
+        if coef_dtype not in (None, "bf16", "f32"):
+            raise ValueError(f"unknown coef_dtype {coef_dtype!r}")
+        self.coef_dtype = coef_dtype
+
+    def _coef_jdtype(self):
+        return jnp.bfloat16 if self.coef_dtype == "bf16" else None
 
     def hierarchy(self, A: ScalarStencil) -> list:
         ops = [A]
@@ -654,7 +669,9 @@ class GMG:
         from .pallas.stencil_kernels import scalar_level_ops
 
         return [scalar_level_ops(A, self.use_pallas,
-                                 n_smooth=self.n_smooth) for A in ops]
+                                 n_smooth=self.n_smooth,
+                                 coef_dtype=self._coef_jdtype())
+                for A in ops]
 
     def cheby_data(self, ops: list) -> list | None:
         """Per-level (dinv, lmax) when the Chebyshev smoother is on."""
@@ -793,10 +810,15 @@ class StencilCPR:
             A.L, A.diag[:, self.p:self.p + 1, :],
             {a: v[:, self.p:self.p + 1] for a, v in A.plus.items()},
             {a: v[:, self.p:self.p + 1] for a, v in A.minus.items()})
+        # mv_A is the Krylov OPERATOR (stays full precision); mv_Ap only
+        # feeds the stage-2 preconditioner correction, so it may stream
+        # its coefficients in the GMG's reduced coef dtype
         return StencilCPRState(w, dinv, ops,
                                mvs=self.gmg.matvecs(ops),
                                mv_A=fused_matvec(A, self.gmg.use_pallas),
-                               mv_Ap=fused_matvec(col, self.gmg.use_pallas),
+                               mv_Ap=fused_matvec(
+                                   col, self.gmg.use_pallas,
+                                   coef_dtype=self.gmg._coef_jdtype()),
                                cheb=self.gmg.cheby_data(ops))
 
     def apply(self, state: StencilCPRState, A: StencilMatrix, x):

@@ -257,3 +257,140 @@ def test_slab_fused_multisweep_level():
     u_vref = gmg.vcycle(ops, b, mvs=[XLAScalarLevel(Ai) for Ai in ops])
     np.testing.assert_allclose(np.asarray(u_v), np.asarray(u_vref),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_bf16_coefficient_streaming():
+    """coef_dtype=bf16: coefficients stream at half traffic while compute
+    stays in the vector dtype — matvec agrees with the f32 reference to
+    bf16 coefficient rounding, the fused multi-sweep level agrees with an
+    XLA chain built from the SAME bf16-rounded coefficients exactly, and
+    CPR(GMG(coef_dtype="bf16")) still converges the solve (it is a
+    preconditioner: the fixed point is unchanged)."""
+    from jutul.jl_tpu.ops.pallas import PallasStencilMatvec
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasFusedScalarLevel,
+        XLAScalarLevel,
+    )
+    from jutul.jl_tpu.ops.stencil import ScalarStencil
+
+    L = (4, 8, 8)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(3)
+    # diagonally dominant SPD-ish scalar stencil
+    plus = {0: jnp.asarray(rng.uniform(-1, -0.1, size=(4, 8, 7))),
+            1: jnp.asarray(rng.uniform(-1, -0.1, size=(4, 7, 8))),
+            2: jnp.asarray(rng.uniform(-1, -0.1, size=(3, 8, 8)))}
+    minus = {a: jnp.asarray(rng.uniform(-1, -0.1, size=v.shape))
+             for a, v in plus.items()}
+    diag = 8.0 + jnp.asarray(rng.uniform(0, 1, size=n))
+    A = ScalarStencil(L, jnp.float32(diag),
+                      {a: v.astype(jnp.float32) for a, v in plus.items()},
+                      {a: v.astype(jnp.float32) for a, v in minus.items()})
+    x = jnp.asarray(rng.normal(size=n), jnp.float32)
+
+    mv16 = PallasStencilMatvec(A, interpret=True, coef_dtype=jnp.bfloat16)
+    assert mv16.coeffs.dtype == jnp.bfloat16
+    y16 = mv16(x)
+    assert y16.dtype == jnp.float32  # compute dtype follows the vector
+    y32 = A.matvec(x)
+    # error bounded by bf16 coefficient rounding (~0.4% relative)
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=2e-2, atol=2e-2)
+
+    # fused level vs XLA chain on the SAME rounded coefficients: exact-ish
+    lv16 = PallasFusedScalarLevel(A, interpret=True,
+                                  coef_dtype=jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=n), jnp.float32)
+    u16, r16 = lv16.presmooth_residual(b, 0.8, 2)
+    # reference: rebuild A from the bf16-rounded lattice coefficients
+    A16 = ScalarStencil(
+        L, jnp.asarray(diag, jnp.bfloat16).astype(jnp.float32),
+        {a: v.astype(jnp.bfloat16).astype(jnp.float32)
+         for a, v in plus.items()},
+        {a: v.astype(jnp.bfloat16).astype(jnp.float32)
+         for a, v in minus.items()})
+    ref = XLAScalarLevel(A16)
+    u_ref = ref.smooth0(b, 0.8)
+    u_ref = ref.smooth(u_ref, b, 0.8)
+    np.testing.assert_allclose(np.asarray(u16), np.asarray(u_ref),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(r16),
+                               np.asarray(ref.residual(u_ref, b)),
+                               rtol=5e-3, atol=2e-2)
+
+
+def test_cpr_bf16_preconditioner_converges():
+    """End-to-end: a StencilKrylovSolver with GMG(coef_dtype='bf16')
+    reaches the same solution as the f32 preconditioner (preconditioner
+    precision does not move the fixed point)."""
+    import jax
+
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR
+    from jutul.jl_tpu.ops.stencil import StencilKrylovSolver
+
+    A = _random_stencil_matrix((4, 8, 8), 2, 2, seed=5)
+    # make it strongly diagonally dominant so CPR converges fast
+    n = A.n
+    diag = np.array(A.diag)
+    for c in range(2):
+        diag[c, c] = np.abs(diag[c, c]) + 12.0
+    A = type(A)(A.L, jnp.asarray(diag, jnp.float32),
+                {a: v.astype(jnp.float32) for a, v in A.plus.items()},
+                {a: v.astype(jnp.float32) for a, v in A.minus.items()})
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+
+    def solve(coef_dtype):
+        s = StencilKrylovSolver(
+            preconditioner=StencilCPR(gmg=GMG(min_cells=64,
+                                              use_pallas=False,
+                                              coef_dtype=coef_dtype)),
+            rtol=1e-8, max_iterations=80, use_fused_body=False)
+        du, stats = s.solve(A, r)
+        return np.asarray(du), stats
+
+    du32, st32 = solve(None)
+    du16, st16 = solve("bf16")
+    resid = np.asarray(A.matvec(jnp.asarray(du16))) + np.asarray(r)
+    assert np.abs(resid).max() < 1e-4
+    np.testing.assert_allclose(du16, du32, rtol=1e-3, atol=1e-5)
+
+
+def test_slab_bf16_coefficient_streaming():
+    """Slab-tiled multi-sweep kernel with coef_dtype=bf16 matches the XLA
+    chain built from the SAME bf16-rounded coefficients (f32 vectors,
+    bf16 coefficient stream)."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasSlabFusedScalarLevel,
+        XLAScalarLevel,
+    )
+    from jutul.jl_tpu.ops.stencil import ScalarStencil
+
+    L = (8, 8, 16)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(13)
+    diag = jnp.asarray(np.full(n, 6.0) + rng.uniform(0, 1, n), jnp.float32)
+    fs = {0: (8, 8, 15), 1: (8, 7, 16), 2: (7, 8, 16)}
+    plus = {a: jnp.asarray(-np.abs(rng.normal(size=s)), jnp.float32)
+            for a, s in fs.items()}
+    minus = {a: jnp.asarray(-np.abs(rng.normal(size=s)), jnp.float32)
+             for a, s in fs.items()}
+    A = ScalarStencil(L, diag, plus, minus)
+    b = jnp.asarray(rng.normal(size=n), jnp.float32)
+    lv = PallasSlabFusedScalarLevel(A, n_smooth=2, interpret=True,
+                                    vmem_budget=64 * 1024,
+                                    coef_dtype=jnp.bfloat16)
+    assert lv.tz < L[0] and lv.coef_pad.dtype == jnp.bfloat16
+    # reference: same rounding applied to every coefficient
+    rd = lambda v: v.astype(jnp.bfloat16).astype(jnp.float32)  # noqa: E731
+    ref = XLAScalarLevel(ScalarStencil(
+        L, rd(diag), {a: rd(v) for a, v in plus.items()},
+        {a: rd(v) for a, v in minus.items()}))
+    u_p, r_p = lv.presmooth_residual(b, 0.8, 2)
+    u_ref = ref.smooth(ref.smooth0(b, 0.8), b, 0.8)
+    assert u_p.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_ref),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(r_p),
+                               np.asarray(ref.residual(u_ref, b)),
+                               rtol=5e-3, atol=2e-2)
