@@ -374,22 +374,25 @@ def run_product(nx, ny, nz, n_lin_it):
     use_pallas = None if pallas_env is None else pallas_env == "1"
     fused_env = os.environ.get("BENCH_FUSED_BODY")  # unset -> auto
     use_fused = None if fused_env is None else fused_env == "1"
+    gmg = GMG(
+        n_smooth=n_smooth,
+        n_coarse_sweeps=12,
+        min_cells=int(os.environ.get("BENCH_GMG_MIN_CELLS", "16384")),
+        use_pallas=use_pallas,
+        # TPU A/B at 1M (2026-08-18, same worker back-to-back):
+        # jacobi 0.104 s/Newton (82 N / 330 its, 4.02 its/N) vs
+        # chebyshev 0.107 s/Newton (70 N / 306 its, 4.37 its/N) —
+        # the 131k advantage (4 vs 5 its) does not carry to 1M in
+        # the EW regime, so jacobi stays the default
+        smoother=os.environ.get("BENCH_SMOOTHER", "jacobi"),
+        prolongation=os.environ.get("BENCH_PROLONG", "injection"),
+        # "bf16" streams GMG + stage-2 coefficients at half traffic
+        # (preconditioner only; Krylov operator stays f32)
+        coef_dtype=os.environ.get("BENCH_GMG_COEF_DTYPE") or None)
+    # double-buffered slab DMA pipelining (off by default; docs/tpu.md)
+    gmg.slab_double_buffer = os.environ.get("BENCH_GMG_DB") == "1"
     solver = StencilKrylovSolver(
-        preconditioner=StencilCPR(gmg=GMG(
-            n_smooth=n_smooth,
-            n_coarse_sweeps=12,
-            min_cells=int(os.environ.get("BENCH_GMG_MIN_CELLS", "16384")),
-            use_pallas=use_pallas,
-            # TPU A/B at 1M (2026-08-18, same worker back-to-back):
-            # jacobi 0.104 s/Newton (82 N / 330 its, 4.02 its/N) vs
-            # chebyshev 0.107 s/Newton (70 N / 306 its, 4.37 its/N) —
-            # the 131k advantage (4 vs 5 its) does not carry to 1M in
-            # the EW regime, so jacobi stays the default
-            smoother=os.environ.get("BENCH_SMOOTHER", "jacobi"),
-            prolongation=os.environ.get("BENCH_PROLONG", "injection"),
-            # "bf16" streams GMG + stage-2 coefficients at half traffic
-            # (preconditioner only; Krylov operator stays f32)
-            coef_dtype=os.environ.get("BENCH_GMG_COEF_DTYPE") or None)),
+        preconditioner=StencilCPR(gmg=gmg),
         rtol=float(os.environ.get("BENCH_RTOL", "1e-3")),
         max_iterations=n_lin_it,
         use_fused_body=use_fused)  # rtol>0 + EW forcing = the in-jit

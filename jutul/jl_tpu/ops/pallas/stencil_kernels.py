@@ -574,7 +574,15 @@ def _kernel_slab_sweeps(coef_hbm, b_hbm, u_hbm, y_ref, cs, bs, us, sem_c,
     dma2.wait()
     if dma3 is not None:
         dma3.wait()
+    _slab_jacobi_compute(cs, bs, us, y_ref, ny=ny, H=H, Rt=Rt,
+                         n_sweep=n_sweep, omega=omega,
+                         emit_residual=emit_residual, init_zero=init_zero)
 
+
+def _slab_jacobi_compute(cs, bs, us, y_ref, *, ny, H, Rt, n_sweep, omega,
+                         emit_residual, init_zero):
+    """The sweeps on one resident slab (shared by the single- and
+    double-buffered kernels)."""
     d = cs[0, 0].astype(bs.dtype)
     dinv = jnp.where(d != 0, 1.0 / d, 0.0)
     b = bs[0]
@@ -589,6 +597,84 @@ def _kernel_slab_sweeps(coef_hbm, b_hbm, u_hbm, y_ref, cs, bs, us, sem_c,
     y_ref[0] = u[H:H + Rt]
     if emit_residual:
         y_ref[1] = (b - _apply_scalar(cs, u, ny))[H:H + Rt]
+
+
+def _kernel_slab_sweeps_db(coef_hbm, b_hbm, u_hbm, y_ref, cs, bs, us, sems,
+                           *, ny, H, Rt, n_sweep, omega, emit_residual,
+                           init_zero):
+    """Double-buffered slab pipeline: slab i+1's three HBM streams start
+    BEFORE slab i's sweeps, hiding the copy latency behind the compute
+    (scratch persists across the sequential TPU grid, so buffer (i+1)%2
+    carries to the next program)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    W = Rt + 2 * H
+
+    def copies(slab, buf):
+        win = pl.ds(slab * Rt, W)
+        out = [pltpu.make_async_copy(coef_hbm.at[:, :, win], cs.at[buf],
+                                     sems.at[buf, 0]),
+               pltpu.make_async_copy(b_hbm.at[:, win], bs.at[buf],
+                                     sems.at[buf, 1])]
+        if not init_zero:
+            out.append(pltpu.make_async_copy(u_hbm.at[:, win], us.at[buf],
+                                             sems.at[buf, 2]))
+        return out
+
+    @pl.when(i == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in copies(i + 1, (i + 1) % 2):
+            c.start()
+
+    buf = i % 2
+    for c in copies(i, buf):
+        c.wait()
+    _slab_jacobi_compute(cs.at[buf], bs.at[buf], us.at[buf], y_ref, ny=ny,
+                         H=H, Rt=Rt, n_sweep=n_sweep, omega=omega,
+                         emit_residual=emit_residual, init_zero=init_zero)
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "H", "n_sweep", "omega",
+                                             "emit_residual", "init_zero",
+                                             "tz", "interpret"))
+def _scalar_slab_sweeps_db_call(coef_pad, b_pad, u_pad, ny, H, n_sweep,
+                                omega, emit_residual, init_zero, tz,
+                                interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = coef_pad.shape[2] - 2 * H
+    nxp = coef_pad.shape[3]
+    Rt = tz * ny
+    W = Rt + 2 * H
+    n_out = 2 if emit_residual else 1
+    kern = functools.partial(_kernel_slab_sweeps_db, ny=ny, H=H, Rt=Rt,
+                             n_sweep=n_sweep, omega=omega,
+                             emit_residual=emit_residual,
+                             init_zero=init_zero)
+    return pl.pallas_call(
+        kern,
+        grid=(R // Rt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((n_out, Rt, nxp), _i32map(lambda i: (0, i, 0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, R, nxp), b_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, _TERMS, 1, W, nxp), coef_pad.dtype),
+            pltpu.VMEM((2, 1, W, nxp), b_pad.dtype),
+            pltpu.VMEM((2, 1, W, nxp), b_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(coef_pad, b_pad, u_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("ny", "H", "n_sweep", "omega",
@@ -730,12 +816,14 @@ class PallasSlabFusedScalarLevel(PallasScalarLevel):
     practice — GMG falls back to the per-sweep chain there.)"""
 
     def __init__(self, A, n_smooth: int = 2, interpret: bool | None = None,
-                 vmem_budget: int = 10 * 1024 * 1024, coef_dtype=None):
+                 vmem_budget: int = 10 * 1024 * 1024, coef_dtype=None,
+                 double_buffer: bool = False):
         super().__init__(A, interpret, coef_dtype)
         nz, ny, nx = self.base.L
+        self.double_buffer = bool(double_buffer)
         # halo depth: worst phase is max(n_smooth, n_smooth-1+1 residual)
         self.H = max(n_smooth, 2) * ny
-        per_row = (_TERMS + 2) * self.nxp * 4
+        per_row = (_TERMS + 2) * self.nxp * 4 * (2 if double_buffer else 1)
         tz = max(1, min(nz, (vmem_budget // per_row - 2 * self.H)
                         // max(ny, 1)))
         while tz > 1 and nz % tz:
@@ -757,10 +845,12 @@ class PallasSlabFusedScalarLevel(PallasScalarLevel):
         b_pad = self._pad_rows(b)
         u_pad = self._pad_rows(u0) if u0 is not None else \
             jnp.zeros_like(b_pad)
-        y = _scalar_slab_sweeps_call(self.coef_pad, b_pad, u_pad, ny,
-                                     self.H, int(n_sweep), float(omega),
-                                     bool(emit_residual), bool(init_zero),
-                                     self.tz, self.interpret)
+        call = (_scalar_slab_sweeps_db_call if self.double_buffer
+                else _scalar_slab_sweeps_call)
+        y = call(self.coef_pad, b_pad, u_pad, ny,
+                 self.H, int(n_sweep), float(omega),
+                 bool(emit_residual), bool(init_zero),
+                 self.tz, self.interpret)
         return y[:, :, :nx].reshape(y.shape[0], -1)
 
     def presmooth_residual(self, b, omega, n_sweep):
@@ -831,7 +921,8 @@ class XLAScalarLevel:
 
 def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
                      vmem_budget: int = 12 * 1024 * 1024,
-                     n_smooth: int = 2, coef_dtype=None):
+                     n_smooth: int = 2, coef_dtype=None,
+                     double_buffer: bool = False):
     """Level-op factory: whole-lattice fused multi-sweep Pallas level when
     the coefficient streams + vectors fit VMEM (small/mid levels — the
     coarse solve becomes ONE kernel); the deep-halo slab-tiled fused
@@ -858,6 +949,7 @@ def scalar_level_ops(A, use_pallas=None, min_cells: int = 65536,
         rows_budget = (10 * 1024 * 1024) // per_row
         if rows_budget >= 2 * H + ny:
             return PallasSlabFusedScalarLevel(A, n_smooth=n_smooth,
-                                              coef_dtype=coef_dtype)
+                                              coef_dtype=coef_dtype,
+                                              double_buffer=double_buffer)
         return PallasScalarLevel(A, coef_dtype=coef_dtype)
     return XLAScalarLevel(A)

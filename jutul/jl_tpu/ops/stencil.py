@@ -650,6 +650,11 @@ class GMG:
         if coef_dtype not in (None, "bf16", "f32"):
             raise ValueError(f"unknown coef_dtype {coef_dtype!r}")
         self.coef_dtype = coef_dtype
+        # double-buffered slab pipelining (Jacobi slab kernels): slab
+        # i+1's HBM streams start before slab i's sweeps. Off by default
+        # — measured neutral on the shared tunnel worker (per-op floor,
+        # docs/tpu.md); it pays where DMA latency is visible.
+        self.slab_double_buffer = False
 
     def _coef_jdtype(self):
         return jnp.bfloat16 if self.coef_dtype == "bf16" else None
@@ -670,7 +675,8 @@ class GMG:
 
         return [scalar_level_ops(A, self.use_pallas,
                                  n_smooth=self.n_smooth,
-                                 coef_dtype=self._coef_jdtype())
+                                 coef_dtype=self._coef_jdtype(),
+                                 double_buffer=self.slab_double_buffer)
                 for A in ops]
 
     def cheby_data(self, ops: list) -> list | None:

@@ -394,3 +394,41 @@ def test_slab_bf16_coefficient_streaming():
     np.testing.assert_allclose(np.asarray(r_p),
                                np.asarray(ref.residual(u_ref, b)),
                                rtol=5e-3, atol=2e-2)
+
+
+def test_slab_double_buffered_pipeline():
+    """Double-buffered slab kernel (slab i+1's DMAs start before slab
+    i's sweeps) must be numerically identical to the single-buffered
+    kernel for every phase hook."""
+    from jutul.jl_tpu.ops.pallas.stencil_kernels import (
+        PallasSlabFusedScalarLevel,
+    )
+    from jutul.jl_tpu.ops.stencil import ScalarStencil
+
+    L = (8, 8, 16)
+    n = int(np.prod(L))
+    rng = np.random.default_rng(14)
+    diag = jnp.asarray(np.full(n, 6.0) + rng.uniform(0, 1, n), jnp.float32)
+    fs = {0: (8, 8, 15), 1: (8, 7, 16), 2: (7, 8, 16)}
+    plus = {a: jnp.asarray(-np.abs(rng.normal(size=s)), jnp.float32)
+            for a, s in fs.items()}
+    minus = {a: jnp.asarray(-np.abs(rng.normal(size=s)), jnp.float32)
+             for a, s in fs.items()}
+    A = ScalarStencil(L, diag, plus, minus)
+    b = jnp.asarray(rng.normal(size=n), jnp.float32)
+    u0 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    kw = dict(n_smooth=2, interpret=True, vmem_budget=128 * 1024)
+    lv1 = PallasSlabFusedScalarLevel(A, **kw)
+    lv2 = PallasSlabFusedScalarLevel(A, double_buffer=True, **kw)
+    assert lv2.tz < L[0], "budget should force multiple z-slabs"
+
+    u1, r1 = lv1.presmooth_residual(b, 0.8, 2)
+    u2, r2 = lv2.presmooth_residual(b, 0.8, 2)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(
+        np.asarray(lv1.postsmooth(u0, b, 0.8, 2)),
+        np.asarray(lv2.postsmooth(u0, b, 0.8, 2)))
+    np.testing.assert_array_equal(
+        np.asarray(lv1.sweep_n(b, 0.8, 5)),
+        np.asarray(lv2.sweep_n(b, 0.8, 5)))
