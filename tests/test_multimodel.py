@@ -203,3 +203,17 @@ def test_multimodel_jit_timestep_matches_eager():
         np.testing.assert_allclose(
             np.asarray(res_j.states[-1][m]["XVar"]),
             np.asarray(res_e.states[-1][m]["XVar"]), rtol=1e-10)
+
+
+def test_multimodel_output_variables_option():
+    """output_variables="primary" filters each submodel's stored state
+    (reference storage behavior, models.jl:249) without changing the
+    physics."""
+    mm, state0, forces = build_multi()
+    st_all, _ = Simulator(mm, state0=state0).simulate(
+        [1.0], forces=forces, info_level=-1)
+    st_pri, _ = Simulator(mm, state0=state0).simulate(
+        [1.0], forces=forces, info_level=-1, output_variables="primary")
+    for m in ("A", "B"):
+        assert set(st_pri[-1][m]) == {"XVar"}
+        assert np.allclose(st_all[-1][m]["XVar"], st_pri[-1][m]["XVar"])
