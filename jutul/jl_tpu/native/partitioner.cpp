@@ -114,7 +114,22 @@ extern "C" int jutul_partition(const int64_t* face_neighbors, int64_t n_faces,
     }
     std::queue<int64_t> q;
     q.push(seed);
-    while (!q.empty() && block_w[b] < target) {
+    while (block_w[b] < target) {
+      if (q.empty()) {
+        // the BFS died in an enclosed pocket before the block reached
+        // target (observed: a size-1 block on a 320-cell mesh) — keep
+        // FILLING THIS BLOCK from a fresh unassigned seed; a possibly
+        // disconnected block beats a starved one, and the KL pass
+        // tidies the boundary afterwards
+        int64_t cand = -1;
+        for (int64_t c2 = 0; c2 < n_cells; ++c2)
+          if (part[c2] < 0) {
+            cand = c2;
+            break;
+          }
+        if (cand < 0) break;
+        q.push(cand);
+      }
       int64_t c = q.front();
       q.pop();
       if (part[c] >= 0) continue;
@@ -150,8 +165,11 @@ extern "C" int jutul_partition(const int64_t* face_neighbors, int64_t n_faces,
     }
 
   // KL-style boundary refinement: move boundary cells to the neighboring
-  // block with the largest gain while keeping balance within 10%.
+  // block with the largest gain while keeping balance within 10%. The
+  // LOWER bound stops the drain that could empty a small block entirely
+  // (observed on a 320-cell mesh before the bound existed).
   const double max_w = 1.10 * target;
+  const double min_w = 0.50 * target;
   for (int pass = 0; pass < 8; ++pass) {
     int64_t moved = 0;
     for (int64_t c = 0; c < n_cells; ++c) {
@@ -179,7 +197,8 @@ extern "C" int jutul_partition(const int64_t* face_neighbors, int64_t n_faces,
       int64_t best_gain = 0;
       for (auto& pr : counts) {
         int64_t gain = pr.second - same;
-        if (gain > best_gain && block_w[pr.first] + w[c] <= max_w) {
+        if (gain > best_gain && block_w[pr.first] + w[c] <= max_w &&
+            block_w[pb] - w[c] >= min_w) {
           best_gain = gain;
           best_b = pr.first;
         }

@@ -377,6 +377,16 @@ def test_partitioner_never_returns_empty_blocks():
     sizes = np.bincount(p, minlength=8)
     assert sizes.min() > 0, sizes.tolist()
     assert sizes.max() <= 2 * nc / 8, sizes.tolist()
+    # and the NATIVE refinement itself is now balance-bounded (lower
+    # weight bound in the KL move test): direct native output must keep
+    # every block within [0.45, 1.2]x target, no gate needed
+    from jutul.jl_tpu.native import native_partition
+
+    pn = native_partition(mesh.neighborship(), nc, 8, None)
+    if pn is not None:  # no compiler -> numpy fallback covered above
+        sn = np.bincount(pn, minlength=8)
+        assert sn.min() >= 0.45 * nc / 8, sn.tolist()
+        assert sn.max() <= 1.2 * nc / 8, sn.tolist()
 
 
 def test_general_partition_exact_adjoint_after_cuts():
