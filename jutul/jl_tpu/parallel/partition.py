@@ -36,6 +36,18 @@ class GreedyGraphPartitioner:
 
     def partition(self, neighbors: np.ndarray, n_cells: int,
                   n_blocks: int, weights=None, groups=None) -> np.ndarray:
+        if groups:
+            # contract forced groups into supernodes BEFORE partitioning
+            # (the reference contracts well groups the same way,
+            # partitioning.jl:244) — a group then can never straddle
+            # blocks, and its weight participates in the balance instead
+            # of being fixed up by a post-hoc majority vote
+            cmap, n_super, wsup = _contract_groups(n_cells, groups, weights)
+            nb = np.asarray(neighbors, dtype=np.int64)
+            snb = cmap[nb]
+            snb = snb[snb[:, 0] != snb[:, 1]]
+            sp = self.partition(snb, n_super, n_blocks, wsup, None)
+            return sp[cmap]
         # try the native C++ partitioner first — but gate on quality: its
         # KL refinement can empty a block on small graphs (observed
         # [44,43,44,0,42,44,32,71] on a 320-cell mesh); degenerate output
@@ -103,6 +115,28 @@ class GreedyGraphPartitioner:
 class MetisPartitioner(GreedyGraphPartitioner):
     """API-compatible alias: the reference's Metis role is filled by the
     native/greedy partitioner."""
+
+
+def _contract_groups(n_cells: int, groups, weights):
+    """Map cells -> supernodes with each (disjoint) forced group becoming
+    one supernode carrying the group's total weight. Returns
+    (cell->super map, n_super, super weights)."""
+    w = (np.ones(n_cells) if weights is None
+         else np.asarray(weights, dtype=np.float64))
+    cmap = np.full(n_cells, -1, dtype=np.int64)
+    nxt = 0
+    for g in groups:
+        g = np.asarray(g, dtype=np.int64)
+        if np.any(cmap[g] >= 0):
+            raise ValueError("forced groups must be disjoint")
+        cmap[g] = nxt
+        nxt += 1
+    free = np.flatnonzero(cmap < 0)
+    cmap[free] = nxt + np.arange(free.size)
+    n_super = nxt + free.size
+    wsup = np.zeros(n_super)
+    np.add.at(wsup, cmap, w)
+    return cmap, n_super, wsup
 
 
 def _force_groups(part: np.ndarray, groups) -> np.ndarray:

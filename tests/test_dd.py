@@ -73,3 +73,34 @@ def test_subforces_remap():
     assert len(src.cells) == 1
     assert gmap.cells[src.cells[0]] == 7
     assert np.allclose(src.values, [[1.0, 0.0]])
+
+
+def test_forced_groups_contract_before_partitioning():
+    """Forced groups are contracted into supernodes BEFORE partitioning
+    (reference partitioning.jl:244) — each group lands in exactly one
+    block and its weight participates in the balance."""
+    import numpy as np
+
+    from jutul.jl_tpu import CartesianMesh, GreedyGraphPartitioner
+
+    mesh = CartesianMesh((10, 8, 4), (10.0, 8.0, 4.0))
+    nb = np.asarray(mesh.tpfv_geometry().neighbors)
+
+    def col(ix, iy):
+        return [(iz * 8 + iy) * 10 + ix for iz in range(4)]
+
+    groups = [col(2, 2), col(7, 5)]
+    w = np.ones(320)
+    w[:50] = 5.0
+    p = GreedyGraphPartitioner().partition(nb, 320, 4, weights=w,
+                                           groups=groups)
+    for g in groups:
+        assert len(set(p[np.asarray(g)])) == 1
+    ws = np.zeros(4)
+    np.add.at(ws, p, w)
+    assert ws.min() > 0.4 * w.sum() / 4 and ws.max() < 1.6 * w.sum() / 4
+    import pytest
+
+    with pytest.raises(ValueError, match="disjoint"):
+        GreedyGraphPartitioner().partition(nb, 320, 4,
+                                           groups=[[1, 2], [2, 3]])
