@@ -93,9 +93,10 @@ class CompiledModel:
                 row_entity = ent
             elif ent != row_entity:
                 raise NotImplementedError(
-                    f"all equations must share one entity; got {row_entity}"
-                    f" and {ent} (mixed-entity systems couple via MultiModel)"
-                )
+                    f"single-entity engine: all equations must share one "
+                    f"entity; got {row_entity} and {ent}. Mixed-entity "
+                    f"models compile via ops/mixed.py — use compile_model "
+                    f"(it dispatches automatically)")
             neq = eq.number_of_equations_per_entity(model)
             self.equations.append(EquationInfo(name, eq, neq, slice(ofs, ofs + neq)))
             ofs += neq
