@@ -5,7 +5,7 @@
 // thread/block-partitioned preconditioners.
 //
 // Algorithm (Metis-style multilevel):
-//   1. coarsen by heavy-edge matching until ~8 nodes/block remain,
+//   1. coarsen by heavy-edge matching until ~16 nodes/block remain,
 //   2. partition the coarsest graph by BFS region growing from
 //      farthest-point seeds (weighted balance),
 //   3. project back level by level, running weighted boundary
@@ -321,7 +321,7 @@ extern "C" int jutul_partition(const int64_t* face_neighbors, int64_t n_faces,
     std::memset(out_part, 0, sizeof(int64_t) * n_cells);
     return 0;
   }
-  // 1. coarsen: heavy-edge matching until ~8 nodes/block (or stall)
+  // 1. coarsen: heavy-edge matching until ~16 nodes/block (or stall)
   std::vector<WG> levels;
   levels.push_back(from_faces(face_neighbors, n_faces, n_cells,
                               cell_weights));

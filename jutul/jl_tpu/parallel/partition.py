@@ -63,8 +63,7 @@ class GreedyGraphPartitioner:
                     sizes = np.bincount(p, weights=w, minlength=n_blocks)
                 target = sizes.sum() / n_blocks
                 if sizes.min() > 0 and sizes.max() <= 2.0 * target:
-                    if groups:
-                        p = _force_groups(p, groups)
+                    # groups are handled by contraction above, never here
                     return p
         except Exception:
             pass
@@ -118,19 +117,36 @@ class MetisPartitioner(GreedyGraphPartitioner):
 
 
 def _contract_groups(n_cells: int, groups, weights):
-    """Map cells -> supernodes with each (disjoint) forced group becoming
-    one supernode carrying the group's total weight. Returns
-    (cell->super map, n_super, super weights)."""
+    """Map cells -> supernodes with each forced group becoming one
+    supernode carrying the group's total weight. OVERLAPPING groups
+    (e.g. two wells perforating the same cell) merge transitively into
+    one supernode. Returns (cell->super map, n_super, super weights)."""
     w = (np.ones(n_cells) if weights is None
          else np.asarray(weights, dtype=np.float64))
     cmap = np.full(n_cells, -1, dtype=np.int64)
-    nxt = 0
+    alias: list[int] = []  # union-find over group ids
+
+    def find(a: int) -> int:
+        while alias[a] != a:
+            alias[a] = alias[alias[a]]
+            a = alias[a]
+        return a
+
     for g in groups:
         g = np.asarray(g, dtype=np.int64)
-        if np.any(cmap[g] >= 0):
-            raise ValueError("forced groups must be disjoint")
-        cmap[g] = nxt
-        nxt += 1
+        gid = len(alias)
+        alias.append(gid)
+        for other in {find(int(i)) for i in cmap[g] if i >= 0}:
+            alias[other] = gid  # merge overlapping groups
+        cmap[g] = gid
+    for c in np.flatnonzero(cmap >= 0):
+        cmap[c] = find(int(cmap[c]))
+    # compact group ids, then number the free cells
+    used = np.unique(cmap[cmap >= 0])
+    remap = {int(u): k for k, u in enumerate(used)}
+    for c in np.flatnonzero(cmap >= 0):
+        cmap[c] = remap[int(cmap[c])]
+    nxt = len(used)
     free = np.flatnonzero(cmap < 0)
     cmap[free] = nxt + np.arange(free.size)
     n_super = nxt + free.size

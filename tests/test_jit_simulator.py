@@ -349,6 +349,10 @@ def test_output_variables_option():
     st_lst, _ = Simulator(model, state0=state0, parameters=params).simulate(
         dts, output_variables=["PhaseMobilities"], **kw)
     assert set(st_lst[-1]) == {"Pressure", "Saturations", "PhaseMobilities"}
+    # a BARE STRING is one variable name, not an iterable of characters
+    st_str, _ = Simulator(model, state0=state0, parameters=params).simulate(
+        dts, output_variables="PhaseMobilities", **kw)
+    assert set(st_str[-1]) == {"Pressure", "Saturations", "PhaseMobilities"}
     res_j = Simulator(model, state0=state0, parameters=params).simulate_jit(
         dts, output_variables="primary", **kw)
     assert set(res_j.states[-1]) == {"Pressure", "Saturations"}

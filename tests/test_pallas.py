@@ -341,16 +341,22 @@ def test_cpr_bf16_preconditioner_converges():
     r = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
 
     def solve(coef_dtype):
+        # use_pallas=True + interpret auto-on off-TPU: the bf16 kernel
+        # paths (level multi-sweep, stage-2 p-column matvec) actually run
+        # — with use_pallas=False coef_dtype would be a no-op and the two
+        # solves would be bit-identical by construction
+        gmg = GMG(min_cells=64, use_pallas=True, coef_dtype=coef_dtype)
         s = StencilKrylovSolver(
-            preconditioner=StencilCPR(gmg=GMG(min_cells=64,
-                                              use_pallas=False,
-                                              coef_dtype=coef_dtype)),
-            rtol=1e-8, max_iterations=80, use_fused_body=False)
+            preconditioner=StencilCPR(gmg=gmg),
+            rtol=1e-8, max_iterations=60, use_fused_body=False)
         du, stats = s.solve(A, r)
         return np.asarray(du), stats
 
     du32, st32 = solve(None)
     du16, st16 = solve("bf16")
+    assert not np.array_equal(du16, du32), \
+        "bf16 path identical to f32 — the reduced-precision kernels " \
+        "did not run"
     resid = np.asarray(A.matvec(jnp.asarray(du16))) + np.asarray(r)
     assert np.abs(resid).max() < 1e-4
     np.testing.assert_allclose(du16, du32, rtol=1e-3, atol=1e-5)
