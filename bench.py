@@ -149,6 +149,8 @@ def main():
     mode = os.environ.get("BENCH_MODE", "product")
     if mode == "product":
         return run_product(nx, ny, nz, n_lin_it)
+    if mode == "adjoint":
+        return run_adjoint(nx, ny, nz)
 
     model, comp, state0, params, forces = build(nx, ny, nz)
     sc = StencilCompiledModel(comp)
@@ -553,6 +555,109 @@ def run_product(nx, ny, nz, n_lin_it):
     }))
 
 
+def run_adjoint(nx, ny, nz):
+    """Adjoint-overhead rung (BASELINE.json metric names 'adjoint
+    overhead'; BASELINE.md: adjoint-to-forward wall ratio). Forward = the
+    product simulate_jit path (ONE device execution); adjoint =
+    ``solve_adjoint_sensitivities`` over the accepted step sequence with
+    ILU(0)-preconditioned BiCGStab lambda-solves (the transposed-BlockELL
+    path; reference runs the adjoint-layout system through the same
+    Krylov+preconditioner stack, gradients.jl:168-224). Two sweeps: the
+    first pays the jit compiles, the second is the reported warm figure."""
+    from jutul.jl_tpu import Simulator, report_stats
+    from jutul.jl_tpu.adjoint.gradients import solve_adjoint_sensitivities
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
+
+    nc = nx * ny * nz
+    model, comp, state0, params, forces = build(nx, ny, nz, gravity=True,
+                                                wells=True)
+    st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
+    pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
+                                          min_cells=16384)),
+        rtol=1e-3, max_iterations=50)
+    n_step = int(os.environ.get("BENCH_NSTEP", "2"))
+    dt = 3 * 3600.0  # small enough that report steps accept in 1 ministep
+    # (the jit path cuts in-jit otherwise; exactness is recorded below)
+    sim = Simulator(model, state0=st, parameters=pr, use_stencil=True)
+    cfg = dict(
+        linear_solver=solver,
+        tolerances={"mass_conservation/CNV": 1e-3,
+                    "mass_conservation/MB": 1e-6},
+        max_nonlinear_iterations=15,
+        tol_factor_final_iteration=10.0,
+        jit_report_capacity=16,
+        linear_forcing="ew",
+        output_variables="primary",
+        jit_output_states=True,  # the adjoint differentiates ALL steps
+        info_level=-1,
+    )
+    t0 = time.perf_counter()
+    compiled, args, post = sim.lower_schedule([dt] * n_step, forces=forces,
+                                              **cfg)
+    t_compile_fwd = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = compiled(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]  # host-scalar sync
+    result = post(*out)
+    t_forward = time.perf_counter() - t0
+    stats = report_stats(result.reports)
+    ministeps = int(stats["ministeps"])
+    newtons = int(stats["newtons"])
+    # exact discrete adjoint needs the accepted MINISTEP sequence
+    # (gradients.py docstring); with 1 ministep per report step the report
+    # states ARE that sequence — recorded honestly either way
+    exact = ministeps == n_step
+
+    def G(model_, state, dt_, n_, forces_):
+        return dt_ * jnp.sum(state["Saturations"][:, 0] ** 2) / nc
+
+    lam_solver = GenericKrylov(
+        os.environ.get("BENCH_ADJ_SOLVER", "bicgstab"),
+        preconditioner=ILU0Preconditioner(),
+        rtol=float(os.environ.get("BENCH_ADJ_RTOL", "1e-6")),
+        max_iterations=int(os.environ.get("BENCH_ADJ_MAXIT", "200")))
+    dts = [dt] * n_step
+
+    def sweep():
+        t0 = time.perf_counter()
+        g = solve_adjoint_sensitivities(
+            model, result.states, dts, G, parameters=pr, state0=st,
+            forces=forces, linear_solver=lam_solver)
+        gt = np.asarray(g["Transmissibilities"], dtype=np.float64)
+        assert np.all(np.isfinite(gt)), "non-finite adjoint gradient"
+        return time.perf_counter() - t0, float(np.abs(gt).max())
+
+    t_cold, _ = sweep()  # pays the jac/vjp/tsolve compiles
+    t_adjoint, g_fp = sweep()
+    overhead = t_adjoint / t_forward
+    print(f"# adjoint: fwd {t_forward:.2f}s ({newtons} N, "
+          f"{ministeps} ministeps) | sweep cold {t_cold:.1f}s warm "
+          f"{t_adjoint:.2f}s -> overhead {overhead:.2f}x", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"{nc}-cell adjoint permeability-gradient sweep vs "
+                  f"forward simulate_jit ({n_step} steps, ILU0-BiCGStab "
+                  f"lambda-solves, f32, {jax.default_backend()})",
+        "value": round(overhead, 3),
+        "unit": "adjoint/forward wall ratio",
+        "vs_baseline": 0.0,
+        "device": _device_kind(),
+        "cells": nc,
+        "adjoint_seconds": round(t_adjoint, 2),
+        "adjoint_compile_sweep_seconds": round(t_cold, 2),
+        "forward_seconds": round(t_forward, 2),
+        "forward_compile_seconds": round(t_compile_fwd, 1),
+        "newton_iterations": newtons,
+        "ministeps": ministeps,
+        "adjoint_states_exact": exact,
+        "grad_trans_max_abs": g_fp,
+    }))
+
+
 def _run_worker(grid, n_step, timeout_s, extra_env=None):
     """One bench attempt in a fresh process (exactly one device execution
     per process — repeated executions can crash the TPU worker)."""
@@ -626,7 +731,11 @@ def _orchestrate():
     3. CPU fallback only if both TPU rungs fail.
 
     Worst case ~23 min; no inter-rung sleeps — the banked result means
-    a crashed 1M attempt costs nothing extra."""
+    a crashed 1M attempt costs nothing extra. When the healthy path lands
+    with budget to spare, a 4th rung measures the BASELINE metric's
+    'adjoint overhead' (adjoint-to-forward wall ratio) at 65k cells and
+    rides along in the emitted record."""
+    t_start = time.perf_counter()
     errors = []
 
     health, canary_line = "SKIPPED", ""
@@ -715,6 +824,7 @@ def _orchestrate():
             print(f"# bench flagship rung failed: {err[-300:]}",
                   file=sys.stderr)
 
+    chosen = None
     if flag is not None:
         flag["tpu_worker_health"] = health
         flag["canary"] = canary_line
@@ -726,12 +836,33 @@ def _orchestrate():
                 if k in banked}
         if errors:
             flag["rung_errors"] = [e[-300:] for e in errors]
-        print(json.dumps(flag))
-        return 0
-    if banked is not None:
+        chosen = flag
+    elif banked is not None:
         banked["degraded"] = "small_grid_flagship_attempt_failed"
         banked["rung_errors"] = [e[-300:] for e in errors]
-        print(json.dumps(banked))
+        chosen = banked
+    if chosen is not None:
+        # adjoint-overhead rung (BASELINE metric): only with ~7 min of the
+        # ~25-min driver budget left and a TPU rung already banked — the
+        # headline number is never risked on it
+        elapsed = time.perf_counter() - t_start
+        if elapsed < 16 * 60 and os.environ.get("BENCH_ADJOINT", "1") == "1":
+            adj, aerr = _run_worker(
+                os.environ.get("BENCH_ADJ_GRID", "64,64,16"), 2, 420,
+                {"BENCH_MODE": "adjoint"})
+            if adj is not None:
+                chosen["adjoint_overhead"] = adj["value"]
+                chosen["adjoint_rung"] = {
+                    k: adj[k] for k in
+                    ("value", "cells", "adjoint_seconds", "forward_seconds",
+                     "adjoint_compile_sweep_seconds", "newton_iterations",
+                     "adjoint_states_exact", "grad_trans_max_abs")
+                    if k in adj}
+            else:
+                chosen["adjoint_rung"] = {"failed": aerr[-300:]}
+        else:
+            chosen["adjoint_rung"] = {"skipped": f"elapsed {elapsed:.0f}s"}
+        print(json.dumps(chosen))
         return 0
 
     # Last resort: CPU backend (honestly labeled), so the driver still

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..models.setup import merge_state
 from ..ops.assembly import CompiledModel, compile_model
-from ..ops.blockell import BlockELL, ell_rmatvec, ell_to_dense
+from ..ops.blockell import BlockELL, ell_rmatvec, ell_to_dense, ell_transpose
 from ..linsolve.krylov import gmres
 
 
@@ -41,9 +41,31 @@ class AdjointStorage:
     (reference setup_adjoint_storage, gradients.jl:108)."""
 
     def __init__(self, model, parameters: dict, forces=None,
-                 direct_limit: int = 20_000):
+                 direct_limit: int = 20_000, linear_solver=None):
         self.model = model
         self.comp = compile_model(model)
+        # optional preconditioned Krylov for the transposed lambda-solves
+        # (reference behavior: the adjoint-layout system goes through the
+        # SAME GenericKrylov+preconditioner stack as the forward solve,
+        # gradients.jl:168-224) — required in practice for f32/TPU sweeps
+        # where unpreconditioned GMRES at rtol 1e-10 stagnates. Jitted ONCE
+        # here: an eager per-step call would retrace the Krylov while_loop
+        # every backward step (fresh matvec closure = cache miss).
+        self.linear_solver = linear_solver
+        if linear_solver is not None:
+            comp_ = self.comp
+            comp_.ell.transpose_idx()  # host-build (and symmetry-check)
+            # the plan eagerly, before tracing
+
+            @jax.jit
+            def tsolve(blocks, rhs):
+                Jt = BlockELL(
+                    comp_.ell,
+                    ell_transpose(blocks, comp_.ell.transpose_idx()))
+                lam, _ = linear_solver.solve(Jt, -rhs)
+                return lam
+
+            self._tsolve = tsolve
         self.parameters = {k: jnp.asarray(v) for k, v in parameters.items()}
         # integer parameters (e.g. WENO membership index tables) are not
         # differentiable: close over them, differentiate the float ones
@@ -91,6 +113,10 @@ class AdjointStorage:
         comp = self.comp
         n = comp.n_cells
         ndof = comp.ndof
+        if self.linear_solver is not None:
+            # _tsolve flips the sign (GenericKrylov solves J du = -r)
+            lam = self._tsolve(blocks, rhs.reshape(n, ndof))
+            return lam.reshape(n, comp.neq_total)
         if n * ndof <= self.direct_limit:
             dense = ell_to_dense(blocks, comp.ell.cols)
             lam = jnp.linalg.solve(dense.T, rhs.reshape(-1))
@@ -110,11 +136,13 @@ class AdjointStorage:
 
 
 def setup_adjoint_storage(model, parameters: dict, forces=None,
-                          direct_limit: int = 20_000) -> AdjointStorage:
+                          direct_limit: int = 20_000,
+                          linear_solver=None) -> AdjointStorage:
     """Reference-named constructor (gradients.jl:108): precompile the
     adjoint sweep kernels once and reuse across solves."""
     return AdjointStorage(model, parameters, forces=forces,
-                          direct_limit=direct_limit)
+                          direct_limit=direct_limit,
+                          linear_solver=linear_solver)
 
 
 def solve_adjoint_sensitivities(
@@ -126,6 +154,7 @@ def solve_adjoint_sensitivities(
     state0: dict | None = None,
     forces=None,
     include_state0: bool = False,
+    linear_solver=None,
 ):
     """∇_p G for G = Σ_n g(model, state_n, dt_n, n, forces)
     (reference gradients.jl:17).
@@ -159,7 +188,8 @@ def solve_adjoint_sensitivities(
         return solve_adjoint_sensitivities_multimodel(
             model, states, dts, G, parameters, state0, forces)
 
-    storage = AdjointStorage(model, parameters, forces)
+    storage = AdjointStorage(model, parameters, forces,
+                             linear_solver=linear_solver)
     comp = storage.comp
     params = storage.params_f
 

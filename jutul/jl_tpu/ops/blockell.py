@@ -54,6 +54,37 @@ class ELLStructure:
             return _tbl.table(self.cols_key)
         return self.cols
 
+    def transpose_idx(self):
+        """Flat (n*S) gather table mapping each slot of A^T to its source
+        slot in A: T_blocks[i, s] = blocks[j, s*]^T with j = cols[i, s] and
+        cols[j, s*] == i. Requires a structurally symmetric pattern (mesh
+        face stencils are, by construction: every (i->j) edge has (j->i)).
+        Padded slots map to themselves (their blocks are zero). Host-built
+        once, registered in the table registry like ``matvec_idx``."""
+        from . import tables as _tbl
+
+        key = f"{self.cols_key or id(self)}/tidx"
+        if not _tbl.has(key):
+            n, S = self.cols.shape
+            cols = np.asarray(self.cols, dtype=np.int64)
+            rows = np.arange(n, dtype=np.int64)[:, None]
+            own = np.broadcast_to(np.arange(S, dtype=np.int64), (n, S))
+            pad = cols == rows  # slot 0 (diagonal) + padding slots
+            j = cols[~pad]
+            i = np.broadcast_to(rows, (n, S))[~pad]
+            try:
+                src_slot_off = self.slots_for(j, i)
+            except KeyError as e:
+                raise ValueError(
+                    "transpose_idx: sparsity pattern is not structurally "
+                    "symmetric") from e
+            src_slot = own.copy()
+            src_slot[~pad] = src_slot_off
+            src_row = np.where(pad, rows, cols)
+            _tbl.register(key, (src_row * S + src_slot).astype(np.int32)
+                          .reshape(-1))
+        return _tbl.table(key)
+
     def matvec_idx(self, ndof: int):
         """Flat gather index for SpMV, precomputed on host: idx[(i,s,j)] =
         cols[i,s]*ndof + j. Computing this in-graph materializes a
@@ -143,6 +174,16 @@ class BlockELL:
     def to_dense(self):
         return ell_to_dense(self.blocks, self.structure.cols)
 
+    def transpose(self) -> "BlockELL":
+        """A^T as a BlockELL over the SAME structure (structurally
+        symmetric patterns only — mesh stencils are). Gives the adjoint
+        lambda-solves (reference gradients.jl: adjoint-layout systems fed
+        to the ordinary Krylov+preconditioner stack) an explicit matrix the
+        whole preconditioner zoo can factor."""
+        return BlockELL(
+            self.structure,
+            ell_transpose(self.blocks, self.structure.transpose_idx()))
+
 
 # Pytree: the static structure rides as aux data so a BlockELL can live in
 # lax.while_loop carries (fully-jitted Newton) and jit arguments.
@@ -178,6 +219,17 @@ def ell_rmatvec(blocks, cols, y):
     flat = contrib.reshape(n * S, -1)
     idx = jnp.asarray(cols).reshape(n * S)
     return jax.ops.segment_sum(flat, idx, num_segments=n)
+
+
+def ell_transpose(blocks, tidx):
+    """Transposed blocks via the precomputed ``transpose_idx`` gather:
+    pure gather + per-block swapaxes, jit-compatible (no scatters)."""
+    n, S, neq, ndof = blocks.shape
+    if neq != ndof:
+        raise ValueError("ell_transpose: square cell blocks required")
+    flat = blocks.reshape(n * S, neq, ndof)
+    g = flat[jnp.asarray(tidx)].reshape(n, S, neq, ndof)
+    return jnp.swapaxes(g, 2, 3)
 
 
 def ell_to_dense(blocks, cols):

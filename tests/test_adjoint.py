@@ -103,6 +103,53 @@ def test_darcy_adjoint_vs_fd():
         assert rel.max() < 2e-3, (k, adj[k], fd[k])
 
 
+def test_adjoint_with_preconditioned_krylov():
+    """Preconditioned transposed lambda-solves (reference: the adjoint
+    system goes through the ordinary GenericKrylov+preconditioner stack,
+    gradients.jl:168-224) match the default adjoint path."""
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        setup_darcy_model,
+    )
+
+    mesh = CartesianMesh((6, 4), (60.0, 40.0))
+    nc = 24
+    rng = np.random.default_rng(1)
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(mesh, fluid,
+                              permeability=rng.uniform(0.3, 3.0, nc) * DARCY,
+                              porosity=0.25)
+    state0 = setup_state(model, Pressure=100 * BAR,
+                         Saturations=[0.3, 0.7])
+    params = setup_parameters(model)
+    forces = {"src": PhaseSourceTerm([0, nc - 1],
+                                     np.array([[0.01, 0.0], [-0.005, -0.005]]))}
+    dts = [0.2 * DAY, 0.3 * DAY]
+    states, reports = simulate(state0, model, dts, forces=forces,
+                               parameters=params, info_level=-1,
+                               max_nonlinear_iterations=30,
+                               tolerances={"mass_conservation": 1e-10})
+    assert all(r["success"] for r in reports)
+
+    def G(model_, state, dt, n_, forces_):
+        return dt * jnp.sum(state["Saturations"][:, 0] ** 2)
+
+    ref = solve_adjoint_sensitivities(model, states, dts, G,
+                                      parameters=params, state0=state0,
+                                      forces=forces)
+    solver = GenericKrylov("bicgstab", preconditioner=ILU0Preconditioner(),
+                           rtol=0.0, atol=1e-14, max_iterations=300)
+    adj = solve_adjoint_sensitivities(model, states, dts, G,
+                                      parameters=params, state0=state0,
+                                      forces=forces, linear_solver=solver)
+    for k in ("Transmissibilities", "FluidVolume"):
+        scale = np.abs(ref[k]).max() + 1e-30
+        assert np.abs(adj[k] - ref[k]).max() / scale < 1e-6, k
+
+
 def test_force_gradient_vs_fd():
     """d(objective)/d(source value) via adjoint matches FD
     (reference src/ad/force_gradients.jl behavior)."""

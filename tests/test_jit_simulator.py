@@ -171,6 +171,39 @@ def test_simulate_jit_schedule_matches_eager():
     assert stats["linear_iterations"] >= stats["newtons"]
 
 
+def test_simulate_jit_output_states_per_step():
+    """jit_output_states stacks an output state per report step inside the
+    scan (reference behavior: simulate stores every report state); states
+    match the eager simulator step by step."""
+    from jutul.jl_tpu.models.darcy import PhaseSourceTerm
+
+    model, state0, params = darcy_case(seed=7)
+    nc = len(np.asarray(state0["Pressure"]))
+    forces = {"sources": PhaseSourceTerm(
+        [0, nc - 1], np.array([[1e-4, 0.0], [-5e-5, -5e-5]]))}
+    dts = [0.5 * DAY, 1.0 * DAY, 2.0 * DAY]
+    kw = dict(info_level=-1, tolerances={"default": 1e-7})
+    sim_e = Simulator(model, state0=state0, parameters=params)
+    st_e, _ = sim_e.simulate(dts, forces=forces, **kw)
+    sim_j = Simulator(model, state0=state0, parameters=params)
+    st_j, rep_j = sim_j.simulate_jit(dts, forces=forces,
+                                     jit_output_states=True, **kw)
+    assert len(st_j) == len(dts)
+    for se, sj in zip(st_e, st_j):
+        assert np.allclose(np.asarray(se["Pressure"]),
+                           np.asarray(sj["Pressure"]), rtol=1e-8)
+        assert np.allclose(np.asarray(se["Saturations"]),
+                           np.asarray(sj["Saturations"]), atol=1e-10)
+    # "primary" selection applies per step too
+    sim_p = Simulator(model, state0=state0, parameters=params)
+    st_p, _ = sim_p.simulate_jit(dts, forces=forces,
+                                 jit_output_states=True,
+                                 output_variables="primary", **kw)
+    assert len(st_p) == len(dts)
+    assert set(st_p[0]) <= set(model.primary_variables) | set(
+        model.output_variables)
+
+
 def test_relaxation_jit_matches_python():
     import jax.numpy as jnp
 

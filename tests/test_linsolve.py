@@ -52,6 +52,32 @@ def test_ell_matvec_vs_dense():
     assert np.allclose(y3, dense.T @ x)
 
 
+def test_ell_transpose_vs_dense():
+    """Explicit structural transpose (adjoint lambda-solve path): dense of
+    A.transpose() equals dense(A).T, including multi-dof blocks."""
+    from jutul.jl_tpu.models.darcy import ImmiscibleFluid, setup_darcy_model
+    from jutul.jl_tpu.models.setup import merge_state
+
+    mesh = CartesianMesh((4, 3), (4.0, 3.0))
+    nc = 12
+    rng = np.random.default_rng(3)
+    model = setup_darcy_model(mesh, ImmiscibleFluid(viscosities=(1e-3, 2e-3)),
+                              permeability=rng.uniform(0.5, 2.0, nc) * 1e-13,
+                              porosity=0.2)
+    comp = compile_model(model)
+    sw = rng.uniform(0.2, 0.8, nc)
+    state = merge_state(
+        setup_state(model, Pressure=1e7 + 1e5 * rng.normal(size=nc),
+                    Saturations=np.stack([sw, 1 - sw], axis=1)),
+        setup_parameters(model))
+    state = comp.evaluate_secondaries(state)
+    blocks = comp.jacobian_blocks(state, state, 1e4)
+    J = BlockELL(comp.ell, blocks)
+    dense_t = np.asarray(ell_to_dense(J.transpose().blocks,
+                                      J.structure.cols))
+    assert np.allclose(dense_t, np.asarray(J.to_dense()).T)
+
+
 @pytest.mark.parametrize("method", ["gmres", "bicgstab"])
 @pytest.mark.parametrize("precond", [
     TrivialPreconditioner(), JacobiPreconditioner(),
