@@ -558,14 +558,18 @@ def run_product(nx, ny, nz, n_lin_it):
 def run_adjoint(nx, ny, nz):
     """Adjoint-overhead rung (BASELINE.json metric names 'adjoint
     overhead'; BASELINE.md: adjoint-to-forward wall ratio). Forward = the
-    product simulate_jit path (ONE device execution); adjoint =
-    ``solve_adjoint_sensitivities`` over the accepted step sequence with
-    ILU(0)-preconditioned BiCGStab lambda-solves (the transposed-BlockELL
-    path; reference runs the adjoint-layout system through the same
-    Krylov+preconditioner stack, gradients.jl:168-224). Two sweeps: the
-    first pays the jit compiles, the second is the reported warm figure."""
+    product simulate_jit path (ONE device execution); adjoint = the JITTED
+    whole-sweep ``solve_adjoint_sensitivities_jit`` (ONE device execution:
+    reversed lax.scan with ILU(0)-preconditioned BiCGStab lambda-solves
+    inside — the transposed-BlockELL path; reference runs the
+    adjoint-layout system through the same Krylov+preconditioner stack,
+    gradients.jl:168-224). Two sweeps: the first pays the jit compile,
+    the second is the reported warm figure."""
     from jutul.jl_tpu import Simulator, report_stats
-    from jutul.jl_tpu.adjoint.gradients import solve_adjoint_sensitivities
+    from jutul.jl_tpu.adjoint.gradients import (
+        AdjointStorage,
+        solve_adjoint_sensitivities_jit,
+    )
     from jutul.jl_tpu.linsolve.krylov import GenericKrylov
     from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
     from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
@@ -622,12 +626,13 @@ def run_adjoint(nx, ny, nz):
         rtol=float(os.environ.get("BENCH_ADJ_RTOL", "1e-6")),
         max_iterations=int(os.environ.get("BENCH_ADJ_MAXIT", "200")))
     dts = [dt] * n_step
+    adj_storage = AdjointStorage(model, pr, linear_solver=lam_solver)
 
     def sweep():
         t0 = time.perf_counter()
-        g = solve_adjoint_sensitivities(
+        g = solve_adjoint_sensitivities_jit(
             model, result.states, dts, G, parameters=pr, state0=st,
-            forces=forces, linear_solver=lam_solver)
+            forces=forces, storage=adj_storage)
         gt = np.asarray(g["Transmissibilities"], dtype=np.float64)
         assert np.all(np.isfinite(gt)), "non-finite adjoint gradient"
         return time.perf_counter() - t0, float(np.abs(gt).max())
@@ -639,9 +644,10 @@ def run_adjoint(nx, ny, nz):
           f"{ministeps} ministeps) | sweep cold {t_cold:.1f}s warm "
           f"{t_adjoint:.2f}s -> overhead {overhead:.2f}x", file=sys.stderr)
     print(json.dumps({
-        "metric": f"{nc}-cell adjoint permeability-gradient sweep vs "
-                  f"forward simulate_jit ({n_step} steps, ILU0-BiCGStab "
-                  f"lambda-solves, f32, {jax.default_backend()})",
+        "metric": f"{nc}-cell adjoint permeability-gradient sweep "
+                  f"(one-execution jitted lax.scan, ILU0-BiCGStab "
+                  f"lambda-solves) vs forward simulate_jit ({n_step} "
+                  f"steps, f32, {jax.default_backend()})",
         "value": round(overhead, 3),
         "unit": "adjoint/forward wall ratio",
         "vs_baseline": 0.0,

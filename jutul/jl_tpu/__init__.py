@@ -113,6 +113,7 @@ from .adjoint.gradients import (
     setup_adjoint_storage,
     solve_adjoint_forces,
     solve_adjoint_sensitivities,
+    solve_adjoint_sensitivities_jit,
     solve_numerical_sensitivities,
     state_gradient,
 )

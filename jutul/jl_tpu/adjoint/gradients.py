@@ -251,6 +251,138 @@ def solve_adjoint_sensitivities(
     return out
 
 
+def solve_adjoint_sensitivities_jit(
+    model,
+    states: list,
+    timesteps,
+    G: Callable,
+    parameters: dict | None = None,
+    state0: dict | None = None,
+    forces=None,
+    include_state0: bool = False,
+    linear_solver=None,
+    storage: AdjointStorage | None = None,
+):
+    """Whole adjoint sweep as ONE device execution: a reversed
+    ``lax.scan`` over steps with the transposed lambda-solves (optionally
+    preconditioned Krylov) inside the program.
+
+    TPU-native counterpart of the reference's backward-in-time host loop
+    (gradients.jl:230-284): where the reference re-assembles and solves
+    per step from the host, here the stacked dof states ride a scan and
+    the entire sweep — residual transposes, Krylov while_loops, vjp
+    pulls, gradient accumulation — compiles to one XLA program. Pairs
+    with ``simulate_jit(jit_output_states=True)`` for a
+    two-device-execution forward+gradient pipeline.
+
+    Same contract as :func:`solve_adjoint_sensitivities`, except ``G``
+    receives a TRACED step index ``n`` (index per-step observations with
+    jnp gathers, not Python lists). Pass ``storage`` to reuse the
+    compiled sweep across calls (it is cached per (storage, G) anyway).
+    """
+    if parameters is None or state0 is None:
+        raise ValueError("parameters and state0 are required")
+    if storage is None:
+        storage = AdjointStorage(model, parameters,
+                                 linear_solver=linear_solver)
+    comp = storage.comp
+    params = storage.params_f
+    dts_np = np.atleast_1d(np.asarray(timesteps, dtype=np.float64))
+    N = len(states)
+    assert N == len(dts_np), (N, len(dts_np))
+
+    def dofs_of(state):
+        return comp.get_dofs({k: jnp.asarray(v) for k, v in state.items()
+                              if k in model.primary_variables})
+
+    u0 = dofs_of(state0)
+    U = jnp.stack([dofs_of(s) for s in states])  # (N, n, ndof)
+    per_step = isinstance(forces, (list, tuple))
+    if per_step:
+        if len(forces) != N:
+            raise ValueError(f"per-step forces: {len(forces)} for {N} steps")
+        defs = [jax.tree_util.tree_structure(f) for f in forces]
+        if any(d != defs[0] for d in defs[1:]):
+            raise NotImplementedError(
+                "jit adjoint sweep: per-step forces must share one "
+                "structure (same force names/types/cells)")
+        forces_t = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *forces)
+    else:
+        forces_t = None
+
+    key = (id(G), per_step, bool(include_state0))
+    cache = getattr(storage, "_sweep_cache", None)
+    if cache is None:
+        cache = storage._sweep_cache = {}
+    if key not in cache:
+        const_forces = forces if not per_step else None
+
+        def g_of(u, params_, dt, n, f):
+            state = merge_state(comp.unpack_dofs(u),
+                                {**storage.params_i, **params_})
+            state = comp.evaluate_secondaries(state)
+            return G(model, state, dt, n, f)
+
+        def sweep(U_, u0_, params_, dts_, forces_s):
+            dts_ = dts_.astype(U_.dtype)
+            U_prev = jnp.concatenate([u0_[None], U_[:-1]])
+            # step n's cross term needs (dt, forces) of step n+1; the
+            # last step has lam_next = 0, so any valid pad works
+            dt_next = jnp.concatenate([dts_[1:], dts_[-1:]])
+            if per_step:
+                f_next_s = jax.tree_util.tree_map(
+                    lambda a: jnp.concatenate([a[1:], a[-1:]]), forces_s)
+            ns = jnp.arange(N)
+
+            def body(carry, xs):
+                grad_p, lam_next, u_next = carry
+                if per_step:
+                    u_n, u_prev, dt_n, dt_np1, n, f_n, f_np1 = xs
+                else:
+                    u_n, u_prev, dt_n, dt_np1, n = xs
+                    f_n = f_np1 = const_forces
+                rhs = -jax.grad(g_of, argnums=0)(u_n, params_, dt_n, n, f_n)
+                gp = jax.grad(g_of, argnums=1)(u_n, params_, dt_n, n, f_n)
+                # lam_next is exactly zero on the first (last-step) trip:
+                # the pull-back is linear in it, so the pad contributes 0
+                du0_bar, _ = storage._vjp_u0_p(u_next, u_n, params_, dt_np1,
+                                               f_np1, lam_next)
+                rhs = rhs - du0_bar
+                blocks = storage._jac_blocks(u_n, u_prev, params_, dt_n, f_n)
+                lam = storage.solve_transposed(blocks, rhs)
+                _, dp_bar = storage._vjp_u0_p(u_n, u_prev, params_, dt_n,
+                                              f_n, lam)
+                grad_p = _tree_add(grad_p, _tree_add(gp, dp_bar))
+                return (grad_p, lam, u_n), None
+
+            xs = ((U_, U_prev, dts_, dt_next, ns, forces_s, f_next_s)
+                  if per_step else (U_, U_prev, dts_, dt_next, ns))
+            init = (jax.tree_util.tree_map(jnp.zeros_like, params_),
+                    jnp.zeros((comp.n_cells, comp.neq_total), U_.dtype),
+                    U_[-1])
+            (grad_p, lam0, _), _ = jax.lax.scan(body, init, xs,
+                                                reverse=True)
+            out = (grad_p,)
+            if include_state0:
+                f0 = (jax.tree_util.tree_map(lambda a: a[0], forces_s)
+                      if per_step else const_forces)
+                du0_bar, _ = storage._vjp_u0_p(U_[0], u0_, params_,
+                                               dts_[0], f0, lam0)
+                out = out + (du0_bar,)
+            return out
+
+        cache[key] = jax.jit(sweep)
+
+    res = cache[key](U, u0, params, jnp.asarray(dts_np), forces_t)
+    out = {k: np.asarray(v) for k, v in res[0].items()}
+    for k, v in storage.params_i.items():
+        out[k] = np.zeros(np.asarray(v).shape)
+    if include_state0:
+        out["state0"] = np.asarray(res[1])
+    return out
+
+
 def solve_numerical_sensitivities(model, states, dts, G, parameters,
                                   state0, forces=None, eps_scale: float = 1e-6,
                                   targets=None, **sim_kwargs):

@@ -150,6 +150,65 @@ def test_adjoint_with_preconditioned_krylov():
         assert np.abs(adj[k] - ref[k]).max() / scale < 1e-6, k
 
 
+def test_adjoint_jit_sweep_matches_host_loop():
+    """solve_adjoint_sensitivities_jit (whole backward sweep = one lax.scan
+    program) matches the host-loop adjoint, with constant AND per-step
+    forces, plus the state0 gradient."""
+    from jutul.jl_tpu.adjoint.gradients import solve_adjoint_sensitivities_jit
+    from jutul.jl_tpu.linsolve.krylov import GenericKrylov
+    from jutul.jl_tpu.linsolve.precond import ILU0Preconditioner
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        setup_darcy_model,
+    )
+
+    mesh = CartesianMesh((5, 4), (50.0, 40.0))
+    nc = 20
+    rng = np.random.default_rng(2)
+    model = setup_darcy_model(
+        mesh, ImmiscibleFluid(viscosities=(1e-3, 2e-3)),
+        permeability=rng.uniform(0.3, 3.0, nc) * DARCY, porosity=0.25)
+    state0 = setup_state(model, Pressure=100 * BAR, Saturations=[0.35, 0.65])
+    params = setup_parameters(model)
+    dts = [0.2 * DAY, 0.3 * DAY, 0.25 * DAY]
+    forces = [{"src": PhaseSourceTerm(
+        [0, nc - 1], np.array([[0.01 * (1 + 0.2 * i), 0.0],
+                               [-0.004, -0.004]]))} for i in range(3)]
+    states, reports = simulate(state0, model, dts, forces=forces,
+                               parameters=params, info_level=-1,
+                               max_nonlinear_iterations=30,
+                               tolerances={"mass_conservation": 1e-10})
+    assert all(r["success"] for r in reports)
+
+    def G(model_, state, dt, n_, forces_):
+        return dt * jnp.sum(state["Saturations"][:, 0] ** 2)
+
+    for f in (forces, forces[0]):  # per-step and constant schedules
+        ref = solve_adjoint_sensitivities(
+            model, states, dts, G, parameters=params, state0=state0,
+            forces=f, include_state0=True)
+        jitg = solve_adjoint_sensitivities_jit(
+            model, states, dts, G, parameters=params, state0=state0,
+            forces=f, include_state0=True)
+        for k in ("Transmissibilities", "FluidVolume", "state0"):
+            scale = np.abs(ref[k]).max() + 1e-30
+            assert np.abs(jitg[k] - ref[k]).max() / scale < 1e-8, k
+
+    # with a preconditioned Krylov lambda-solve inside the scan
+    solver = GenericKrylov("bicgstab", preconditioner=ILU0Preconditioner(),
+                           rtol=0.0, atol=1e-14, max_iterations=300)
+    ref = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces)
+    jitg = solve_adjoint_sensitivities_jit(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces, linear_solver=solver)
+    for k in ("Transmissibilities", "FluidVolume"):
+        scale = np.abs(ref[k]).max() + 1e-30
+        assert np.abs(jitg[k] - ref[k]).max() / scale < 1e-6, k
+
+
 def test_force_gradient_vs_fd():
     """d(objective)/d(source value) via adjoint matches FD
     (reference src/ad/force_gradients.jl behavior)."""
