@@ -107,6 +107,20 @@ class AdjointStorage:
         self._jac_blocks = jac_blocks
         self._vjp_u0_p = vjp_u0_p
 
+    def float_params(self, parameters: dict | None = None) -> dict:
+        """Float parameters for a solve call: the storage's own when
+        ``parameters`` is None, else the call's values (must carry the
+        same float/int key split — the integer tables are closed over)."""
+        if parameters is None:
+            return self.params_f
+        out = {k: jnp.asarray(v) for k, v in parameters.items()
+               if k in self.params_f}
+        missing = set(self.params_f) - set(out)
+        if missing:
+            raise KeyError(f"reused AdjointStorage: missing float "
+                           f"parameters {sorted(missing)}")
+        return out
+
     # -- transpose solve ---------------------------------------------------
     def solve_transposed(self, blocks, rhs):
         """Solve J^T lam = rhs; rhs (n, ndof) -> lam (n, neq)."""
@@ -155,6 +169,7 @@ def solve_adjoint_sensitivities(
     forces=None,
     include_state0: bool = False,
     linear_solver=None,
+    storage: "AdjointStorage | None" = None,
 ):
     """∇_p G for G = Σ_n g(model, state_n, dt_n, n, forces)
     (reference gradients.jl:17).
@@ -188,10 +203,14 @@ def solve_adjoint_sensitivities(
         return solve_adjoint_sensitivities_multimodel(
             model, states, dts, G, parameters, state0, forces)
 
-    storage = AdjointStorage(model, parameters, forces,
-                             linear_solver=linear_solver)
+    if storage is None:
+        storage = AdjointStorage(model, parameters, forces,
+                                 linear_solver=linear_solver)
     comp = storage.comp
-    params = storage.params_f
+    # params from THIS call (a reused storage keeps only the structure and
+    # jitted kernels — reference optimization.jl caches adjoint storage
+    # between optimizer iterations while the parameters change)
+    params = storage.float_params(parameters)
 
     def dofs_of(state) -> jnp.ndarray:
         return comp.get_dofs({k: jnp.asarray(v) for k, v in state.items()
@@ -286,7 +305,7 @@ def solve_adjoint_sensitivities_jit(
         storage = AdjointStorage(model, parameters,
                                  linear_solver=linear_solver)
     comp = storage.comp
-    params = storage.params_f
+    params = storage.float_params(parameters)
     dts_np = np.atleast_1d(np.asarray(timesteps, dtype=np.float64))
     N = len(states)
     assert N == len(dts_np), (N, len(dts_np))

@@ -89,6 +89,12 @@ class ParameterOptimization:
         self.n = sum(self._sizes.values())
         self._cache_x = None
         self._cache = None  # (value, grad, states)
+        # reference optimization.jl:40 caches forward sim AND adjoint
+        # storage between optimizer calls: rebuilding AdjointStorage per
+        # gradient evaluation would re-trace its jitted kernels every
+        # optimizer iteration
+        self._adj_storage = None
+        self._adj_solver = self.sim_kwargs.pop("adjoint_linear_solver", None)
 
     # -- vector <-> parameter dict ------------------------------------
     def devectorize(self, x: np.ndarray) -> dict:
@@ -133,9 +139,17 @@ class ParameterOptimization:
                                   dt, n_step, f))
         grad = None
         if need_grad:
+            from ..multimodel.core import MultiModel
+            from .gradients import AdjointStorage
+
+            if (self._adj_storage is None
+                    and not isinstance(case.model, MultiModel)):
+                self._adj_storage = AdjointStorage(
+                    case.model, params, linear_solver=self._adj_solver)
             adj = solve_adjoint_sensitivities(
                 case.model, states, case.dt, self.G, parameters=params,
-                state0=case.state0, forces=case.forces)
+                state0=case.state0, forces=case.forces,
+                storage=self._adj_storage)
             pieces = []
             ofs = 0
             for n in self.names:
