@@ -852,9 +852,13 @@ def _orchestrate():
         # ~25-min driver budget left and a TPU rung already banked — the
         # headline number is never risked on it
         elapsed = time.perf_counter() - t_start
-        if elapsed < 16 * 60 and os.environ.get("BENCH_ADJOINT", "1") == "1":
+        # rehearsed on TPU 2026-08-18: rung wall ~300 s, dominated by the
+        # sweep's REMOTE compile (219 s for the scan body with the
+        # BiCGStab while_loop inside); 540 s cap + 14-min guard keeps the
+        # worst-case ladder at ~23 min
+        if elapsed < 14 * 60 and os.environ.get("BENCH_ADJOINT", "1") == "1":
             adj, aerr = _run_worker(
-                os.environ.get("BENCH_ADJ_GRID", "64,64,16"), 2, 420,
+                os.environ.get("BENCH_ADJ_GRID", "64,64,16"), 2, 540,
                 {"BENCH_MODE": "adjoint"})
             if adj is not None:
                 chosen["adjoint_overhead"] = adj["value"]
