@@ -49,6 +49,28 @@ def test_multimodel_scalar_equilibrium_direct():
     assert np.isclose(XB, -1.0 / 3.0, atol=1e-10)
 
 
+def test_multimodel_refine_solution():
+    """Mixed-precision iterative refinement for MultiModel (was
+    single-model-only): f64 coupled residual, f32 coupled-system
+    correction solves."""
+    mm, state0, forces = build_multi()
+    sim = Simulator(mm, state0=state0)
+    res = sim.simulate([1.0], forces=forces, info_level=-1)
+    assert res.reports[-1]["success"]
+    # perturb the converged state so refinement has work to do (the
+    # scalar system is linear — Newton already lands at roundoff)
+    final = {m: {k: np.asarray(v, dtype=np.float64) + 1e-3
+                 for k, v in s.items() if k in mm.models[m].primary_variables}
+             for m, s in res.states[-1].items()}
+    st64, info = sim.refine_solution(final, state0, 1.0, forces=forces,
+                                     tol=1e-12, max_refine=10)
+    assert info["converged"], info
+    assert info["f64_residual_history"][0] > 1e-4  # perturbation visible
+    assert info["f64_max_abs_residual"] <= 1e-12
+    assert np.isclose(float(st64["A"]["XVar"][0]),
+                      float(res.states[-1]["A"]["XVar"][0]), atol=1e-9)
+
+
 def test_multimodel_scalar_equilibrium_krylov():
     mm, state0, forces = build_multi()
     sim = Simulator(mm, state0=state0)
