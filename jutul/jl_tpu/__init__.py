@@ -55,6 +55,7 @@ from .models.setup import (
 from .models.system import JutulSystem, SimulationModel
 from .models.test_systems import (
     PoissonSource,
+    ScalarTestCrossTerm,
     ScalarTestDomain,
     ScalarTestForce,
     ScalarTestSystem,

@@ -239,3 +239,57 @@ def test_multimodel_output_variables_option():
     for m in ("A", "B"):
         assert set(st_pri[-1][m]) == {"XVar"}
         assert np.allclose(st_all[-1][m]["XVar"], st_pri[-1][m]["XVar"])
+
+
+def test_multimodel_simulate_jit_schedule_matches_eager():
+    """Whole-schedule simulate_jit (lax.scan over fully-jitted report
+    steps) for MultiModel: one device execution for the entire coupled
+    schedule (round 3; the scan carry holds the per-submodel state dicts
+    and the coupled Jacobian pytree)."""
+    mm, state0, forces = build_multi()
+    dts = [0.2, 0.4, 0.8]
+    kw = dict(forces=forces, info_level=-1, tolerances={"default": 1e-11},
+              max_nonlinear_iterations=25)
+    sim_e = Simulator(mm, state0=state0)
+    res_e = sim_e.simulate(dts, **kw)
+    sim_j = Simulator(mm, state0=state0)
+    res_j = sim_j.simulate_jit(dts, **kw)
+    assert all(r["success"] for r in res_j.reports)
+    for m in ("A", "B"):
+        np.testing.assert_allclose(
+            np.asarray(res_j.states[-1][m]["XVar"]),
+            np.asarray(res_e.states[-1][m]["XVar"]), rtol=1e-10)
+    its_e = sum(mi["iterations"] for r in res_e.reports
+                for mi in r["ministeps"])
+    its_j = sum(mi["iterations"] for r in res_j.reports
+                for mi in r["ministeps"])
+    assert its_e == its_j
+
+
+def test_multimodel_simulate_jit_output_states_per_step():
+    """jit_output_states for MultiModel (was single-model-only): a
+    per-report-step output state dict {submodel: {var: value}} stacked
+    inside the scan, matching the eager per-step states."""
+    mm, state0, forces = build_multi()
+    dts = [0.25, 0.5, 1.0]
+    kw = dict(forces=forces, info_level=-1, tolerances={"default": 1e-11},
+              max_nonlinear_iterations=25)
+    sim_e = Simulator(mm, state0=state0)
+    res_e = sim_e.simulate(dts, **kw)
+    sim_j = Simulator(mm, state0=state0)
+    res_j = sim_j.simulate_jit(dts, jit_output_states=True, **kw)
+    assert len(res_j.states) == len(dts) == len(res_e.states)
+    for s in range(len(dts)):
+        for m in ("A", "B"):
+            np.testing.assert_allclose(
+                np.asarray(res_j.states[s][m]["XVar"]),
+                np.asarray(res_e.states[s][m]["XVar"]), rtol=1e-10)
+    # "primary" keeps the fast path (no extra secondary-eval execution)
+    sim_p = Simulator(mm, state0=state0)
+    res_p = sim_p.simulate_jit(dts, jit_output_states=True,
+                               output_variables="primary", **kw)
+    for m in ("A", "B"):
+        assert set(res_p.states[-1][m]) == {"XVar"}
+        np.testing.assert_allclose(
+            np.asarray(res_p.states[-1][m]["XVar"]),
+            np.asarray(res_e.states[-1][m]["XVar"]), rtol=1e-10)
