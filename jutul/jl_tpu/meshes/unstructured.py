@@ -69,6 +69,43 @@ class IndirectionMap:
         return out, mask
 
 
+class IndexRenumerator:
+    """First-seen index renumbering (reference core_types.jl:1248-1295):
+    looking up a key assigns it the next 1-based number on first access;
+    repeated lookups return the same number. Used to compact sparse index
+    sets (e.g. global cell ids touched by a well trajectory) into dense
+    local numbering."""
+
+    def __init__(self, keys=None):
+        self._indices: dict = {}
+        if keys is not None:
+            for k in keys:
+                self[k]
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+    def __contains__(self, key) -> bool:
+        return key in self._indices
+
+    def __getitem__(self, key) -> int:
+        n = self._indices.get(key)
+        if n is None:
+            n = len(self._indices) + 1
+            self._indices[key] = n
+        return n
+
+    def __call__(self, key) -> int:
+        return self[key]
+
+    def indices(self) -> list:
+        """Keys ordered by their assigned number (reference ``indices``)."""
+        out = [None] * len(self._indices)
+        for k, v in self._indices.items():
+            out[v - 1] = k
+        return out
+
+
 def _polygon_geometry(points, face_nodes: IndirectionMap, dim: int):
     """areas, unit normals, centroids for each (planar) face."""
     if len(face_nodes) == 0:
