@@ -38,7 +38,11 @@ from .interpolation import (
     get_2d_interpolator,
 )
 from .meshes.cartesian import CartesianMesh, JutulMesh, tpfv_geometry
-from .meshes.unstructured import IndirectionMap, UnstructuredMesh
+from .meshes.unstructured import (
+    IndexRenumerator,
+    IndirectionMap,
+    UnstructuredMesh,
+)
 from .models.equations import (
     AccumulationContribution,
     CellTermContribution,

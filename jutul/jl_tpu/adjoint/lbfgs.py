@@ -44,18 +44,6 @@ def _two_loop(g, S, Y):
     return q
 
 
-def _project_direction(x, d, g, eps=1e-12):
-    """Zero direction components that push against an active bound."""
-    d = d.copy()
-    d[(x <= eps) & (d < 0)] = 0.0
-    d[(x >= 1 - eps) & (d > 0)] = 0.0
-    if np.dot(d, g) >= 0:  # not a descent direction: steepest descent
-        d = -g.copy()
-        d[(x <= eps) & (d < 0)] = 0.0
-        d[(x >= 1 - eps) & (d > 0)] = 0.0
-    return d
-
-
 def _projected_grad_norm(x, g, eps=1e-12):
     pg = g.copy()
     pg[(x <= eps) & (g > 0)] = 0.0
@@ -63,15 +51,130 @@ def _projected_grad_norm(x, g, eps=1e-12):
     return np.max(np.abs(pg)) if pg.size else 0.0
 
 
+class LinearConstraints:
+    """Linear constraints ``A_eq x = b_eq`` and ``A_in x <= b_in`` on top of
+    the unit box (reference constrained_optimizer.jl keywords ``lin_eq`` /
+    ``lin_ineq`` with ``check_feasible`` repair)."""
+
+    def __init__(self, n: int, lin_eq=None, lin_ineq=None):
+        def unpack(c):
+            if c is None:
+                return np.zeros((0, n)), np.zeros(0)
+            A, b = (c["A"], c["b"]) if isinstance(c, dict) else (c[0], c[1])
+            A = np.atleast_2d(np.asarray(A, dtype=np.float64))
+            b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+            if A.shape != (b.size, n):
+                raise ValueError(f"constraint shape {A.shape} != ({b.size},{n})")
+            return A, b
+
+        self.A_eq, self.b_eq = unpack(lin_eq)
+        self.A_in, self.b_in = unpack(lin_ineq)
+
+    @property
+    def empty(self) -> bool:
+        return self.A_eq.shape[0] == 0 and self.A_in.shape[0] == 0
+
+    def violation(self, x) -> float:
+        v = 0.0
+        if self.A_eq.shape[0]:
+            v = max(v, float(np.max(np.abs(self.A_eq @ x - self.b_eq))))
+        if self.A_in.shape[0]:
+            v = max(v, float(np.max(self.A_in @ x - self.b_in, initial=0.0)))
+        return v
+
+    def project(self, x, tol: float = 1e-10, max_rounds: int = 200):
+        """Repair to the feasible set by cyclic projection onto the equality
+        affine subspace, each violated halfspace, and the box (the
+        reference's ``check_feasible`` feasibility repair)."""
+        x = np.clip(np.asarray(x, dtype=np.float64), 0.0, 1.0)
+        if self.empty:
+            return x
+        AeT = self.A_eq.T if self.A_eq.shape[0] else None
+        for _ in range(max_rounds):
+            if AeT is not None:
+                # x <- x - A^T (A A^T)^+ (A x - b)
+                corr, *_ = np.linalg.lstsq(self.A_eq @ AeT,
+                                           self.A_eq @ x - self.b_eq,
+                                           rcond=None)
+                x = x - AeT @ corr
+            for a, b in zip(self.A_in, self.b_in):
+                r = float(a @ x - b)
+                if r > 0:
+                    x = x - (r / max(float(a @ a), 1e-300)) * a
+            x = np.clip(x, 0.0, 1.0)
+            if self.violation(x) <= tol:
+                break
+        return x
+
+    def active_rows(self, x, d=None, eps: float = 1e-9):
+        """Equality rows plus inequality rows at their bound (that ``d``
+        pushes outward of, when given)."""
+        rows = [self.A_eq] if self.A_eq.shape[0] else []
+        if self.A_in.shape[0]:
+            scale = np.maximum(np.linalg.norm(self.A_in, axis=1), 1e-300)
+            at = (self.A_in @ x - self.b_in) >= -eps * scale
+            if d is not None:
+                at &= (self.A_in @ d) > 0
+            if np.any(at):
+                rows.append(self.A_in[at])
+        return np.concatenate(rows, axis=0) if rows else np.zeros((0, x.size))
+
+    def null_project(self, x, d, eps: float = 1e-9):
+        """Project ``d`` onto the null space of the active constraint rows."""
+        A = self.active_rows(x, d, eps=eps)
+        if A.shape[0] == 0:
+            return d
+        corr, *_ = np.linalg.lstsq(A @ A.T, A @ d, rcond=None)
+        return d - A.T @ corr
+
+    def max_step(self, x, d):
+        """Largest alpha with A_in (x + alpha d) <= b_in."""
+        if self.A_in.shape[0] == 0:
+            return np.inf
+        Ad = self.A_in @ d
+        slack = self.b_in - self.A_in @ x
+        pos = Ad > 1e-300
+        if not np.any(pos):
+            return np.inf
+        return float(max(np.min(slack[pos] / Ad[pos]), 0.0))
+
+
 def unit_box_bfgs(x0, f_and_g, maximize: bool = False,
                   max_iterations: int = 100, memory: int = 10,
                   grad_tol: float = 1e-8, obj_change_tol: float = 1e-12,
                   step_tol: float = 1e-12, c1: float = 1e-4,
-                  max_line_search: int = 25, verbose: bool = False):
+                  max_line_search: int = 25, verbose: bool = False,
+                  lin_eq=None, lin_ineq=None,
+                  enforce_feasible: bool = True):
     """Box-constrained L-BFGS on [0,1]^n (reference
-    constrained_optimizer.jl:62). Returns (value, x, history)."""
+    constrained_optimizer.jl:62). Returns (value, x, history).
+
+    ``lin_eq`` / ``lin_ineq`` add linear constraints ``A x = b`` /
+    ``A x <= b`` as ``(A, b)`` tuples or ``{"A":, "b":}`` dicts (reference
+    keywords of the same names). Directions are projected onto the active
+    constraints' null space; infeasible iterates are repaired by projection
+    when ``enforce_feasible`` (reference ``check_feasible``)."""
     sign = -1.0 if maximize else 1.0
     x = np.clip(np.asarray(x0, dtype=np.float64), 0.0, 1.0)
+    con = LinearConstraints(x.size, lin_eq, lin_ineq)
+    if not con.empty:
+        if con.violation(x) > 1e-8:
+            if not enforce_feasible:
+                raise ValueError("infeasible initial guess "
+                                 f"(violation {con.violation(x):.3e})")
+            x = con.project(x)
+
+    def constrain_direction(xq, d, gq):
+        """Box-active zeroing interleaved with active-set null projection
+        (each can reintroduce what the other removed; a few rounds settle)."""
+        for _ in range(3 if not con.empty else 1):
+            d = d.copy()
+            d[(xq <= 1e-12) & (d < 0)] = 0.0
+            d[(xq >= 1 - 1e-12) & (d > 0)] = 0.0
+            if con.empty:
+                break
+            d = con.null_project(xq, d)
+        return d
 
     def eval_fg(xq):
         v, g = f_and_g(xq)
@@ -83,10 +186,16 @@ def unit_box_bfgs(x0, f_and_g, maximize: bool = False,
     Y: list[np.ndarray] = []
 
     for it in range(max_iterations):
-        pgn = _projected_grad_norm(x, g)
+        if con.empty:
+            pgn = _projected_grad_norm(x, g)
+        else:  # stationarity = projected steepest-descent magnitude
+            pgn = float(np.max(np.abs(constrain_direction(x, -g, g)),
+                               initial=0.0))
         if pgn <= grad_tol:
             break
-        d = _project_direction(x, -_two_loop(g, S, Y), g)
+        d = constrain_direction(x, -_two_loop(g, S, Y), g)
+        if np.dot(d, g) >= 0:  # not a descent direction: steepest descent
+            d = constrain_direction(x, -g, g)
         dn = np.max(np.abs(d))
         if dn <= step_tol:
             break
@@ -94,7 +203,7 @@ def unit_box_bfgs(x0, f_and_g, maximize: bool = False,
         with np.errstate(divide="ignore", invalid="ignore"):
             hi = np.where(d > 0, (1.0 - x) / np.where(d > 0, d, 1.0), np.inf)
             lo = np.where(d < 0, (0.0 - x) / np.where(d < 0, d, 1.0), np.inf)
-        alpha_max = float(min(np.min(hi), np.min(lo)))
+        alpha_max = float(min(np.min(hi), np.min(lo), con.max_step(x, d)))
         alpha = min(1.0, alpha_max)
         if alpha <= 0:
             break
@@ -102,6 +211,8 @@ def unit_box_bfgs(x0, f_and_g, maximize: bool = False,
         ok = False
         for _ in range(max_line_search):
             x_new = np.clip(x + alpha * d, 0.0, 1.0)
+            if not con.empty:
+                x_new = con.project(x_new)
             v_new, g_new = eval_fg(x_new)
             if v_new <= v + c1 * alpha * gtd or abs(v_new - v) <= (
                     obj_change_tol * max(abs(v), 1e-300)):

@@ -52,8 +52,16 @@ class GeneralDistributedAdjoint:
         self._step_cache = {}
 
     # ------------------------------------------------------------------
-    def _local_g(self, u_own, cp, G, dt, n, am):
-        """Shard-local objective over owned alive cells."""
+    def _local_g(self, u_own, cp, G, dt, n, am, g_forces):
+        """Shard-local objective over owned alive cells.
+
+        ``g_forces`` is the step's force object, threaded through so a G
+        that reads forces (e.g. rate-misfit history matching) gets the
+        same ``G(model, state, dt, n, forces)`` signature as the
+        single-device adjoint (adjoint/gradients.py `_forces_for`;
+        VERDICT r3 missing 6). Forces are replicated — a G reading
+        CELL-indexed force arrays against the shard-local state is the
+        caller's responsibility to keep consistent."""
         comp = self.dsim.comp
         nom = self.dsim.dec.n_own_max
         state = {**comp.unpack_dofs(u_own),
@@ -64,7 +72,7 @@ class GeneralDistributedAdjoint:
                      else (v * am[:, 0] if hasattr(v, "ndim")
                            and v.ndim == 1 else v))
                  for k, v in state.items()}
-        return G(self.dsim.global_model, state, dt, n, None)
+        return G(self.dsim.global_model, state, dt, n, g_forces)
 
     # ------------------------------------------------------------------
     def _build_step(self, G: Callable, n, has_next: bool,
@@ -86,8 +94,26 @@ class GeneralDistributedAdjoint:
         ax = dsim.axis
         nom, ndof, neq = dec.n_own_max, comp.ndof, comp.neq_total
 
+        # forces for G (VERDICT r3 missing 6): static mode bakes step n's
+        # forces into the program; dynamic mode (traced step index) threads
+        # the stacked per-step force pytree as a replicated traced input
+        # and selects with the traced index, mirroring the single-device
+        # jitted sweep (adjoint/gradients.py).
+        forces_G = self._G_forces
+        per_step = isinstance(forces_G, (list, tuple))
+        if static_step:
+            gf_const = forces_G[n] if per_step else forces_G
+            gfs_in = jnp.zeros(1)  # dummy traced slot
+        elif per_step:
+            gf_const = None
+            gfs_in = self._g_forces_stacked
+        else:
+            gf_const = forces_G
+            gfs_in = jnp.zeros(1)
+        self._gfs_in = gfs_in
+
         def local_step(u_n, u_prev, u_next, lam_next, cp, fp, tb, q, bc,
-                       q_nx, bc_nx, dts):
+                       q_nx, bc_nx, gfs, dts):
             cp = {k: v[0] for k, v in cp.items()}
             fp = {k: v[0] for k, v in fp.items()}
             tabs = tuple(t[0] for t in tb)
@@ -105,6 +131,10 @@ class GeneralDistributedAdjoint:
             bc2 = tuple(b[0] for b in bc_nx)
             dt_n, dt_next = dts[0], dts[1]
             n_step = n if static_step else dts[2].astype(jnp.int32)
+            if gf_const is not None or not per_step or static_step:
+                g_forces = gf_const
+            else:  # dynamic per-step: traced selection from the stack
+                g_forces = jax.tree_util.tree_map(lambda a: a[n_step], gfs)
             nh = dsim._n_halo_tabs
             own_alive = tabs[nh + 5]
             am = own_alive[:, None]
@@ -119,7 +149,8 @@ class GeneralDistributedAdjoint:
 
             # rhs = -dG/du_n - (dF_{n+1}/du_n)^T λ_{n+1}
             g_u, g_cp = jax.grad(
-                lambda u, c: self._local_g(u, c, G, dt_n, n_step, am),
+                lambda u, c: self._local_g(u, c, G, dt_n, n_step, am,
+                                           g_forces),
                 argnums=(0, 1))(u_n, cp)
             rhs = -g_u
             if has_next:
@@ -186,12 +217,13 @@ class GeneralDistributedAdjoint:
         self._tables = dsim.engine_tables()
         tab_spec = tuple(P(ax) for _ in self._tables)
         u_spec = P(ax)
+        gfs_spec = jax.tree_util.tree_map(lambda _: P(), gfs_in)
         return jax.jit(jax.shard_map(
             local_step,
             mesh=dsim.device_mesh,
             in_specs=(u_spec, u_spec, u_spec, u_spec, cp_spec, fp_spec,
                       tab_spec, P(ax), (P(ax),) * 4,
-                      P(ax), (P(ax),) * 4, P()),
+                      P(ax), (P(ax),) * 4, gfs_spec, P()),
             out_specs=(u_spec, cp_spec, fp_spec, P()),
             check_vma=False,
         ))
@@ -209,8 +241,11 @@ class GeneralDistributedAdjoint:
         schedule OR a per-step list (len == len(states), matching the
         forward per-step schedule support): each backward step then
         transposes F_n with step-n stacks and the F_{n+1} cross term
-        with step-(n+1) stacks. G receives ``forces=None`` — a G that
-        reads its forces argument is unsupported here (ADVICE r2).
+        with step-(n+1) stacks. G receives the step's forces, same
+        signature as the single-device adjoint (``_forces_for``
+        convention); with ``static_step=False`` and per-step forces, G
+        sees a traced-index selection from the stacked force pytree, so
+        its force reads must be jnp-traceable.
 
         EXACTNESS REQUIREMENT (same as the reference and the single-device
         adjoint, adjoint/gradients.py:21): ``states[n]`` must satisfy the
@@ -278,6 +313,18 @@ class GeneralDistributedAdjoint:
         else:
             stacks = [_stacks_for(forces)] * N
 
+        # forces as seen by G (VERDICT r3 missing 6)
+        self._G_forces = forces
+        if not static_step and isinstance(forces, (list, tuple)):
+            defs = [jax.tree_util.tree_structure(f) for f in forces]
+            if any(d != defs[0] for d in defs):
+                raise ValueError(
+                    "dynamic-step adjoint sweep: per-step forces must share "
+                    "one pytree structure to be stacked")
+            self._g_forces_stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *forces)
+
         cp_grad = {k: np.zeros((dsim.n_devices, dec.n_own_max)
                                + np.asarray(v).shape[2:])
                    for k, v in self.cp.items()}
@@ -302,7 +349,8 @@ class GeneralDistributedAdjoint:
             q_nx, bc_nx = stacks[n + 1] if has_next else stacks[n]
             lam, cp_bar, fp_bar, _lin = step(
                 us[n], u_prev, u_next, lam, self.cp, self.fp,
-                self._tables, q_n, bc_n, q_nx, bc_nx, dt_pair)
+                self._tables, q_n, bc_n, q_nx, bc_nx, self._gfs_in,
+                dt_pair)
             for k in cp_grad:
                 cp_grad[k] += np.asarray(cp_bar[k], dtype=np.float64) \
                     .reshape(cp_grad[k].shape)

@@ -391,3 +391,25 @@ def test_output_variables_option():
     assert set(res_j.states[-1]) == {"Pressure", "Saturations"}
     assert np.allclose(final_pressure(res_j.states),
                        final_pressure(st_pri), rtol=1e-6)
+
+
+def test_prepare_step_hook_eager_and_jit_guard():
+    """prepare_step runs on the eager path and raises on both jit paths
+    (ADVICE r3: the hook must not be silently ignored under jit)."""
+    model, state0, params = darcy_case()
+    dts = [0.5 * DAY]
+    calls = []
+
+    def prepare(state, dt, it):
+        calls.append(it)
+        return None  # observe-only hook
+
+    sim = Simulator(model, state0=state0, parameters=params)
+    sim.simulate(dts, info_level=-1, prepare_step=prepare)
+    assert calls and calls[0] == 0
+
+    for jit_kw in ({"jit_ministep": True}, {"jit_timestep": True}):
+        sim2 = Simulator(model, state0=state0, parameters=params)
+        with pytest.raises(ValueError, match="prepare_step|hooks"):
+            sim2.simulate(dts, info_level=-1, prepare_step=prepare,
+                          **jit_kw)

@@ -145,3 +145,55 @@ def test_dict_parameters_lbfgsb_optimizer():
     dopt.free_optimization_parameter("K", abs_min=0.5, abs_max=20.0)
     best = dopt.optimize(G, max_iterations=30, optimizer="lbfgsb")
     assert np.allclose(best["K"], truth, rtol=0.05)
+
+
+def test_unit_box_bfgs_linear_equality():
+    """Sum-to-one equality constraint (reference lin_eq,
+    constrained_optimizer.jl:62-96): minimize ||x - t||^2 s.t. sum x = 1.
+    Optimum is the projection of t onto the simplex-slice plane."""
+    t = np.array([0.7, 0.1, 0.4])
+    A = np.ones((1, 3))
+    b = np.array([1.0])
+
+    def f_and_g(x):
+        return np.sum((x - t) ** 2), 2.0 * (x - t)
+
+    v, x, hist = unit_box_bfgs(np.full(3, 1.0 / 3), f_and_g,
+                               lin_eq=(A, b), grad_tol=1e-10)
+    # analytic: x* = t - (sum(t)-1)/3 (interior of the box)
+    x_star = t - (t.sum() - 1.0) / 3.0
+    assert abs(x.sum() - 1.0) < 1e-8
+    assert np.allclose(x, x_star, atol=1e-6)
+
+
+def test_unit_box_bfgs_linear_inequality():
+    """x1 + x2 <= 0.5 active at the optimum (reference lin_ineq)."""
+    t = np.array([0.6, 0.6])
+
+    def f_and_g(x):
+        return np.sum((x - t) ** 2), 2.0 * (x - t)
+
+    v, x, hist = unit_box_bfgs(np.array([0.1, 0.1]), f_and_g,
+                               lin_ineq=(np.ones((1, 2)), np.array([0.5])),
+                               grad_tol=1e-10)
+    assert x.sum() <= 0.5 + 1e-8
+    assert np.allclose(x, [0.25, 0.25], atol=1e-6)
+
+
+def test_unit_box_bfgs_infeasible_start_repair():
+    """enforce_feasible projects an infeasible initial guess (reference
+    check_feasible); enforce_feasible=False raises instead."""
+    import pytest
+
+    A, b = np.ones((1, 2)), np.array([1.0])
+
+    def f_and_g(x):
+        return np.sum(x ** 2), 2.0 * x
+
+    v, x, hist = unit_box_bfgs(np.array([0.9, 0.9]), f_and_g,
+                               lin_eq=(A, b), grad_tol=1e-10)
+    assert abs(x.sum() - 1.0) < 1e-8
+    assert np.allclose(x, [0.5, 0.5], atol=1e-6)
+    with pytest.raises(ValueError, match="infeasible"):
+        unit_box_bfgs(np.array([0.9, 0.9]), f_and_g, lin_eq=(A, b),
+                      enforce_feasible=False)

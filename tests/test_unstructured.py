@@ -80,3 +80,20 @@ def test_skewed_quad_mesh_volumes():
     x, y = pts[:, 0], pts[:, 1]
     area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
     assert np.isclose(g.volumes[0], area, rtol=1e-12)
+
+
+def test_index_renumerator():
+    """First-seen numbering (reference core_types.jl:1248-1295)."""
+    from jutul.jl_tpu import IndexRenumerator
+
+    r = IndexRenumerator()
+    assert len(r) == 0
+    assert r[7] == 1
+    assert r[3] == 2
+    assert r[7] == 1  # repeated lookup keeps the first-seen number
+    assert r(11) == 3  # callable form
+    assert 3 in r and 5 not in r
+    assert len(r) == 3
+    assert r.indices() == [7, 3, 11]  # ordered by assigned number
+    r2 = IndexRenumerator([4, 4, 9])
+    assert (r2[4], r2[9]) == (1, 2)
