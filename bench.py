@@ -151,6 +151,8 @@ def main():
         return run_product(nx, ny, nz, n_lin_it)
     if mode == "adjoint":
         return run_adjoint(nx, ny, nz)
+    if mode == "stages":
+        return run_stages(nx, ny, nz)
 
     model, comp, state0, params, forces = build(nx, ny, nz)
     sc = StencilCompiledModel(comp)
@@ -664,6 +666,222 @@ def run_adjoint(nx, ny, nz):
     }))
 
 
+def run_stages(nx, ny, nz):
+    """Per-stage device-time split of a Newton iteration (VERDICT r3
+    item 1: instrument where the 94 ms/Newton go before attacking it).
+
+    One worker process; every stage is its own small jitted program with
+    the SAME prologue (assemble + CPR update from the bench state), a
+    traced rep count, and a scalar output. The matvec program is also
+    executed with nrep=0 to measure the shared fixed cost (prologue +
+    launch + sync), which is subtracted from every stage:
+
+        per_call_ms = (t(stage, N) - t0) / N
+
+    CAVEAT (measured r1, bench.py header): isolated programs get
+    different XLA layout/fusion decisions than the full product program
+    — use these numbers to RANK stages and size the headroom, not as
+    exact in-situ attributions. Several sub-second executions per
+    process: small worker-crash risk, so the orchestrator runs this rung
+    LAST, after the record is banked."""
+    from jutul.jl_tpu.linsolve.krylov import resolve_bicgstab
+    from jutul.jl_tpu.models.setup import merge_state
+    from jutul.jl_tpu.ops.stencil import (
+        GMG,
+        StencilCompiledModel,
+        StencilCPR,
+        StencilMatrix,
+    )
+
+    nc = nx * ny * nz
+    n_rep = int(os.environ.get("BENCH_STAGE_REPS", "64"))
+    lin_its = int(os.environ.get("BENCH_STAGE_LINITS", "25"))
+    model, comp, state0, params, forces = build(nx, ny, nz)
+    sc = StencilCompiledModel(comp)
+    gmg = GMG(n_smooth=2, n_coarse_sweeps=12, min_cells=16384)
+    cpr = StencilCPR(gmg=gmg)
+    st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
+    pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
+    dt = 3600.0
+    n = sc.n_cells
+    neq, ndof = sc.neq, sc.ndof
+
+    def norm_feed(v):
+        # keeps the carried vector iteration-dependent AND bounded; one
+        # reduce + one multiply of overhead per call, identical across
+        # stages so rankings are unaffected
+        return v * jax.lax.rsqrt(jnp.mean(v * v) + 1e-30)
+
+    def prologue(state, parameters):
+        full = merge_state(state, parameters)
+        r, A, _ = sc.assemble(full, full, dt, forces)
+        return full, r, A
+
+    def pstate_probe(ps):
+        """Scalar touching every array the preconditioner setup builds,
+        so DCE cannot drop hierarchy/kernel-coefficient construction."""
+        out = ps.w.ravel()[0] + ps.dinv.ravel()[0]
+        for op in ps.ops:
+            out = out + op.diag.ravel()[0]
+        for mv in (ps.mvs or []):
+            base = getattr(mv, "base", None)
+            if base is not None:
+                out = out + base.coeffs.ravel()[0]
+            cp = getattr(mv, "coef_pad", None)
+            if cp is not None:
+                out = out + cp.ravel()[0]
+        if ps.cheb is not None:
+            for dinv, lmax in ps.cheb:
+                out = out + dinv.ravel()[0] + lmax
+        return out
+
+    def prog_fixture(stage):
+        def prog(state, parameters, nrep):
+            full, r, A = prologue(state, parameters)
+            if stage == "assembly":
+                def body(i, carry):
+                    s, acc = carry
+                    fl = merge_state(s, parameters)
+                    r2, A2, _ = sc.assemble(fl, full, dt, forces)
+                    s2 = dict(s)
+                    s2["Pressure"] = s["Pressure"] + 1e-12 * r2[:, 0]
+                    return s2, acc + A2.diag.ravel()[0]
+                _, out = jax.lax.fori_loop(
+                    0, nrep, body, (state, jnp.float32(0.0)))
+                return out
+            ps = cpr.update(A)
+            if stage == "cpr_update":
+                def body(i, acc):
+                    sc_ = 1.0 + 1e-6 * jnp.asarray(i, jnp.float32)
+                    A2 = StencilMatrix(A.L, A.diag * sc_, A.plus, A.minus)
+                    return acc + pstate_probe(cpr.update(A2))
+                return jax.lax.fori_loop(0, nrep, body, jnp.float32(0.0))
+            if stage == "matvec":
+                mv = ps.mv_A if ps.mv_A is not None else A.matvec
+                def body(i, x):
+                    return norm_feed(mv(x.reshape(n, ndof)).reshape(-1))
+                out = jax.lax.fori_loop(0, nrep, body, (-r).reshape(-1))
+                return out.ravel()[0]
+            if stage == "vcycle":
+                r_p = jnp.einsum("en,ne->n", ps.w, -r)
+                def body(i, v):
+                    return norm_feed(gmg.vcycle(ps.ops, v, mvs=ps.mvs,
+                                                cheb=ps.cheb))
+                out = jax.lax.fori_loop(0, nrep, body, r_p)
+                return out.ravel()[0]
+            if stage == "cpr_apply":
+                def body(i, x):
+                    return norm_feed(cpr.apply(ps, A, x))
+                out = jax.lax.fori_loop(0, nrep, body, -r)
+                return out.ravel()[0]
+            if stage in ("lin_iter", "lin_iter_xla", "lin_iter_fori"):
+                mv = ps.mv_A if ps.mv_A is not None else A.matvec
+                def matvec(x):
+                    return mv(x.reshape(n, ndof)).reshape(-1)
+                def M(x):
+                    return cpr.apply(ps, A, x.reshape(n, neq)).reshape(-1)
+                b = (-r).reshape(-1)
+                if stage == "lin_iter_fori":
+                    # pinned-count BiCGStab as a fori_loop (XLA-chain
+                    # formulas, no early exit): isolates the while_loop's
+                    # per-trip cost from the body's compute/traffic
+                    rhat = b
+                    def body(i, carry):
+                        x, r_, p, v, rho, alpha, omega = carry
+                        rho_new = jnp.dot(rhat, r_)
+                        beta = (rho_new / jnp.where(rho != 0, rho, 1e-30)
+                                ) * (alpha / jnp.where(omega != 0, omega,
+                                                       1e-30))
+                        p = r_ + beta * (p - omega * v)
+                        phat = M(p)
+                        v = matvec(phat)
+                        denom = jnp.dot(rhat, v)
+                        alpha = rho_new / jnp.where(denom != 0, denom,
+                                                    1e-30)
+                        s = r_ - alpha * v
+                        shat = M(s)
+                        t = matvec(shat)
+                        tt = jnp.dot(t, t)
+                        omega = jnp.dot(t, s) / jnp.where(tt != 0, tt,
+                                                          1e-30)
+                        x = x + alpha * phat + omega * shat
+                        r_ = s - omega * t
+                        return (x, r_, p, v, rho_new, alpha, omega)
+                    z = jnp.zeros_like(b)
+                    one = jnp.float32(1.0)
+                    out = jax.lax.fori_loop(
+                        0, nrep, body, (z, b, z, z, one, one, one))
+                    return out[0].ravel()[0] + jnp.dot(out[1], out[1])
+                use_fused = None if stage == "lin_iter" else False
+                fn = resolve_bicgstab(A.diag.dtype, use_fused)
+                du, stats = fn(matvec, b, maxiter=lin_its,
+                               rtol=0.0, precond=M)
+                return du.ravel()[0] + stats["residual"]
+            raise ValueError(stage)
+        return prog
+
+    stages = ["matvec", "vcycle", "cpr_apply", "assembly", "cpr_update",
+              "lin_iter", "lin_iter_xla", "lin_iter_fori"]
+    sel = os.environ.get("BENCH_STAGE_ONLY")
+    if sel:
+        stages = [s.strip() for s in sel.split(",")]
+    compiled = {}
+    t_comp = {}
+    for s in stages:
+        t0 = time.perf_counter()
+        compiled[s] = jax.jit(prog_fixture(s)).lower(
+            st, pr, jnp.asarray(1)).compile()
+        t_comp[s] = round(time.perf_counter() - t0, 1)
+        print(f"# stages compile[{s}]: {t_comp[s]}s", file=sys.stderr)
+
+    # upload args once; later executions reuse the device buffers
+    dev = jax.devices()[0]
+    st_d = {k: jax.device_put(v, dev) for k, v in st.items()}
+    pr_d = {k: jax.device_put(v, dev) for k, v in pr.items()}
+
+    def timed(s, nrep):
+        t0 = time.perf_counter()
+        out = compiled[s](st_d, pr_d, jnp.asarray(nrep))
+        v = float(np.asarray(out))  # host-scalar sync (tunnel rule)
+        assert np.isfinite(v), f"stage {s}: non-finite output"
+        return time.perf_counter() - t0
+
+    # fixed cost: the first program with ZERO reps (prologue + launch +
+    # sync only); run twice and keep the warmer figure
+    t_fix = min(timed(stages[0], 0), timed(stages[0], 0))
+    split = {}
+    for s in stages:
+        if s in ("lin_iter", "lin_iter_xla"):
+            # reps live INSIDE the bicgstab call (static maxiter)
+            t, eff = timed(s, 1), lin_its
+        elif s == "lin_iter_fori":
+            t, eff = timed(s, lin_its), lin_its
+        else:
+            t, eff = timed(s, n_rep), n_rep
+        split[s] = round(max(t - t_fix, 0.0) / eff * 1000.0, 3)
+        print(f"# stage {s}: {t:.3f}s -> {split[s]} ms/call",
+              file=sys.stderr)
+    # derived: the BiCGStab body cost outside matvec/precond
+    if all(k in split for k in ("lin_iter", "matvec", "cpr_apply")):
+        split["lin_iter_derived_body"] = round(
+            split["lin_iter"] - 2 * split["matvec"]
+            - 2 * split["cpr_apply"], 3)
+    print(json.dumps({
+        "metric": f"{nc}-cell Newton-stage device-time split "
+                  f"(isolated fori_loop programs, f32, "
+                  f"{jax.default_backend()})",
+        "value": split.get("lin_iter", 0.0),
+        "unit": "ms/linear-iteration",
+        "vs_baseline": 0.0,
+        "device": _device_kind(),
+        "cells": nc,
+        "fixed_seconds": round(t_fix, 2),
+        "stage_reps": n_rep,
+        "stages_ms_per_call": split,
+        "compile_seconds": t_comp,
+    }))
+
+
 def _run_worker(grid, n_step, timeout_s, extra_env=None):
     """One bench attempt in a fresh process (exactly one device execution
     per process — repeated executions can crash the TPU worker)."""
@@ -764,6 +982,11 @@ def _orchestrate():
              "BENCH_REFINE": "0"})
         if sick is not None:
             sick["degraded"] = f"tpu_worker_{health.lower()}"
+            # a degraded record is not apples-to-apples with the healthy
+            # configuration — say exactly which features were off
+            sick["disabled_features"] = ["fused_bicgstab_body",
+                                         "fused_assembly",
+                                         "f64_refinement"]
             sick["tpu_worker_health"] = health
             sick["canary"] = canary_line
             sick["tpu_errors"] = [e[-300:] for e in errors]
@@ -777,6 +1000,7 @@ def _orchestrate():
                                    "BENCH_REFINE": "0"})
         if result is not None:
             result["degraded"] = f"cpu_fallback_tpu_worker_{health.lower()}"
+            result["disabled_features"] = ["tpu_backend", "f64_refinement"]
             result["tpu_worker_health"] = health
             result["tpu_errors"] = [e[-300:] for e in errors]
             print(json.dumps(result))
@@ -845,6 +1069,8 @@ def _orchestrate():
         chosen = flag
     elif banked is not None:
         banked["degraded"] = "small_grid_flagship_attempt_failed"
+        banked["disabled_features"] = ["fused_bicgstab_body",
+                                       "fused_assembly"]
         banked["rung_errors"] = [e[-300:] for e in errors]
         chosen = banked
     if chosen is not None:
@@ -872,6 +1098,24 @@ def _orchestrate():
                 chosen["adjoint_rung"] = {"failed": aerr[-300:]}
         else:
             chosen["adjoint_rung"] = {"skipped": f"elapsed {elapsed:.0f}s"}
+        # stage-split rung (VERDICT r3 item 1): where the per-Newton
+        # device time goes — runs LAST (several sub-second executions in
+        # one process carry a small crash risk; the record is banked)
+        elapsed = time.perf_counter() - t_start
+        if (elapsed < 15 * 60
+                and os.environ.get("BENCH_STAGES", "1") == "1"
+                and flag is not None):
+            stg, serr = _run_worker(
+                os.environ.get("BENCH_STAGE_GRID") or
+                os.environ.get("BENCH_GRID"), None, 540,
+                {"BENCH_MODE": "stages"})
+            if stg is not None:
+                chosen["stage_split"] = {
+                    k: stg[k] for k in
+                    ("cells", "fixed_seconds", "stages_ms_per_call")
+                    if k in stg}
+            else:
+                chosen["stage_split"] = {"failed": serr[-300:]}
         print(json.dumps(chosen))
         return 0
 
@@ -881,6 +1125,7 @@ def _orchestrate():
                               {"BENCH_FORCE_CPU": "1", "BENCH_REFINE": "0"})
     if result is not None:
         result["degraded"] = "cpu_fallback_tpu_unavailable"
+        result["disabled_features"] = ["tpu_backend", "f64_refinement"]
         result["tpu_errors"] = [e[-300:] for e in errors]
         print(json.dumps(result))
         return 0

@@ -100,6 +100,37 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _warn_compile_pathology_shape(nx, ny, nz):
+    """Guardrail for a MEASURED remote-XLA-compiler pathology (r3, commit
+    7ca2417; docs/tpu.md): the (nz,ny,nx)=(64,128,128) 1M-cell lattice
+    hangs the TPU compile service >7 min across fused/non-fused/pallas-off
+    variants, while the same program at (64,64,256) compiles in ~55 s.
+    Signature: a megacell-scale lattice whose x (innermost/lane) extent is
+    not the largest dimension. Warn loudly at compile-model time — a hung
+    remote compile gives the user NO feedback at all — and suggest the
+    transposed dim order."""
+    n = nx * ny * nz
+    try:
+        from ..dtypes import compute_platform
+
+        on_tpu = compute_platform() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and n >= 2 ** 20 and nx < max(ny, nz, 256):
+        import warnings
+
+        dims = tuple(sorted((nx, ny, nz), reverse=True))
+        warnings.warn(
+            f"CartesianMesh dims (nx,ny,nz)=({nx},{ny},{nz}) at {n} cells "
+            f"match a known TPU remote-compiler hang signature (x extent "
+            f"not the largest dimension at >=1M cells; measured: "
+            f"(128,128,64) hangs >7 min, (256,64,64) compiles in ~55 s). "
+            f"If compilation stalls, reorder the dims so the largest "
+            f"extent is on x, e.g. (nx,ny,nz)=({dims[0]},{dims[1]},"
+            f"{dims[2]}). See docs/tpu.md.",
+            stacklevel=3)
+
+
 def _inv2x2(d00, d01, d10, d11):
     det = d00 * d11 - d01 * d10
     inv = 1.0 / det
@@ -119,6 +150,7 @@ class StencilCompiledModel:
             raise TypeError("StencilCompiledModel requires a CartesianMesh")
         nx, ny, nz = mesh._dims3()
         self.L = (nz, ny, nx)
+        _warn_compile_pathology_shape(nx, ny, nz)
         self.ndof = comp.ndof
         self.neq = comp.neq_total
         # face blocks per axis in the global face ordering (x, then y, z)
@@ -460,74 +492,90 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _fold(v, axis):
-    """Sum adjacent pairs along ``axis`` (dim must be even)."""
+def _fold(v, axis, f: int = 2):
+    """Sum adjacent groups of ``f`` along ``axis`` (dim must be a
+    multiple of f)."""
     sh = list(v.shape)
     n = sh[axis]
-    sh[axis:axis + 1] = [n // 2, 2]
+    sh[axis:axis + 1] = [n // f, f]
     return v.reshape(sh).sum(axis=axis + 1)
 
 
-def _pad_even(A: ScalarStencil) -> ScalarStencil:
-    """Pad odd lattice dims with identity rows (diag=1, no coupling)."""
+def _pad_even(A: ScalarStencil, f: int = 2) -> ScalarStencil:
+    """Pad lattice dims to multiples of ``f`` with identity rows (diag=1,
+    no coupling); dims of extent 1 stay uncoarsened and unpadded."""
     nz, ny, nx = A.L
-    pz, py, px = nz % 2, ny % 2, nx % 2
-    if not (pz or py or px):
+    pads3 = tuple(0 if n == 1 else (-n) % f for n in (nz, ny, nx))
+    if not any(pads3):
         return A
-    pad_c = ((0, pz), (0, py), (0, px))
+    pad_c = tuple((0, p) for p in pads3)
     diag = jnp.pad(A.diag.reshape(A.L), pad_c, constant_values=1.0)
     plus, minus = {}, {}
     for a in A.plus:
-        ax_lat = 2 - a
-        pads = [(0, pz), (0, py), (0, px)]
-        plus[a] = jnp.pad(A.plus[a], pads)
-        minus[a] = jnp.pad(A.minus[a], pads)
+        plus[a] = jnp.pad(A.plus[a], pad_c)
+        minus[a] = jnp.pad(A.minus[a], pad_c)
     return ScalarStencil(diag.shape, diag.reshape(-1), plus, minus)
 
 
-def _coarsen_scalar(A: ScalarStencil) -> ScalarStencil:
-    """Exact piecewise-constant Galerkin 2x coarsening of a 7-point
+def _coarsen_scalar(A: ScalarStencil, f: int = 2) -> ScalarStencil:
+    """Exact piecewise-constant Galerkin ``f``x coarsening of a 7-point
     stencil (stays 7-point: only face-adjacent coarse blocks couple).
 
-    A_c[I, J] = sum_{i in I, j in J} A[i, j]:
-    - even-index fine faces (both cells in one block) fold into the coarse
-      diagonal; odd-index faces form the coarse interface couplings.
+    A_c[I, J] = sum_{i in I, j in J} A[i, j]: fine faces interior to a
+    block (index % f != f-1 along the axis) fold into the coarse
+    diagonal; the block-boundary face layer (index % f == f-1) forms the
+    coarse interface couplings. f=2 is classical cell-centered MG; f=4
+    collapses two 2x levels into one — half the V-cycle's levels (and
+    kernel launches) for a weaker but much cheaper cycle (the TPU
+    per-launch floor makes this trade measurable; docs/tpu.md r4).
     """
-    A = _pad_even(A)
+    A = _pad_even(A, f)
     nz, ny, nx = A.L
-    cL = (max(nz // 2, 1), max(ny // 2, 1), max(nx // 2, 1))
+    cL = tuple(max(n // f, 1) if n > 1 else 1 for n in (nz, ny, nx))
 
     def blocksum_cells(v_lat):
         out = v_lat
         for axis, n in enumerate(A.L):
             if n > 1:
-                out = _fold(out, axis)
+                out = _fold(out, axis, f)
         return out
 
     def blocksum_transverse(v, ax_lat):
         out = v
         for axis in range(3):
             if axis != ax_lat and A.L[axis] > 1:
-                out = _fold(out, axis)
+                out = _fold(out, axis, f)
         return out
 
     diag_c = blocksum_cells(A.diag.reshape(A.L))
     plus_c, minus_c = {}, {}
     for a in A.plus:
         ax_lat = 2 - a
-        sel_even = [slice(None)] * 3
-        sel_odd = [slice(None)] * 3
-        sel_even[ax_lat] = slice(0, None, 2)
-        sel_odd[ax_lat] = slice(1, None, 2)
+        nf = A.plus[a].shape[ax_lat]  # = n-1 along the axis
+        sel_int = [slice(None)] * 3
+        sel_ifc = [slice(None)] * 3
+        if f == 1:
+            raise ValueError("coarsening factor must be >= 2")
+        # boundary layer between blocks: one fine-face layer per coarse
+        # face, at index f-1, 2f-1, ...
+        sel_ifc[ax_lat] = slice(f - 1, None, f)
         p, m = A.plus[a], A.minus[a]
-        # internal couplings -> coarse diagonal (per coarse slab along ax)
-        internal = p[tuple(sel_even)] + m[tuple(sel_even)]
-        diag_c = diag_c + blocksum_transverse(internal, ax_lat)
-        pi = p[tuple(sel_odd)]
+        pi = p[tuple(sel_ifc)]
+        # interior faces: everything NOT on the block boundary. Zero out
+        # the boundary layer and fold the whole face lattice (padded by
+        # one zero layer to n faces) into the diagonal.
+        mask_sh = [1, 1, 1]
+        mask_sh[ax_lat] = nf
+        idx = jnp.arange(nf).reshape(mask_sh)
+        interior = jnp.where(idx % f != f - 1, p + m, 0.0)
+        pad1 = [(0, 0)] * 3
+        pad1[ax_lat] = (0, 1)  # n-1 faces -> n cells (face sits at left)
+        interior = jnp.pad(interior, pad1)
+        diag_c = diag_c + blocksum_cells(interior)
         if pi.shape[ax_lat] == 0:
             continue
         plus_c[a] = blocksum_transverse(pi, ax_lat)
-        minus_c[a] = blocksum_transverse(m[tuple(sel_odd)], ax_lat)
+        minus_c[a] = blocksum_transverse(m[tuple(sel_ifc)], ax_lat)
     return ScalarStencil(cL, diag_c.reshape(-1), plus_c, minus_c)
 
 
@@ -628,13 +676,24 @@ class GMG:
                  max_levels: int = 10, use_pallas=None,
                  smoother: str = "jacobi", cheby_lower: float = 0.25,
                  prolongation: str = "injection",
-                 coef_dtype: str | None = None):
+                 coef_dtype: str | None = None,
+                 coarsen_factor: int = 2):
         self.omega = omega
         self.n_smooth = n_smooth
         self.n_coarse_sweeps = n_coarse_sweeps
         self.min_cells = min_cells
         self.max_levels = max_levels
         self.use_pallas = use_pallas
+        # per-axis fold factor between levels: 2 = classical cell-centered
+        # MG; 4 halves the level count (64x fewer cells per hop) — a
+        # weaker cycle, but with half the kernel launches + glue ops,
+        # which wins where per-op overheads dominate (docs/tpu.md r4)
+        if int(coarsen_factor) < 2:
+            raise ValueError("coarsen_factor must be >= 2")
+        self.coarsen_factor = int(coarsen_factor)
+        if prolongation == "linear" and self.coarsen_factor != 2:
+            raise ValueError("prolongation='linear' requires "
+                             "coarsen_factor=2")
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
@@ -664,7 +723,7 @@ class GMG:
         for _ in range(self.max_levels):
             if ops[-1].n <= self.min_cells:
                 break
-            ops.append(_coarsen_scalar(ops[-1]))
+            ops.append(_coarsen_scalar(ops[-1], self.coarsen_factor))
         return ops
 
     def matvecs(self, ops: list) -> list:
@@ -726,25 +785,26 @@ class GMG:
             for _ in range(self.n_smooth - 1):
                 u = lv.smooth(u, b, self.omega)
             r = lv.residual(u, b)
-        # restrict (pw-constant sum) onto the padded-even lattice
-        Ap = _pad_even(A)
+        # restrict (pw-constant sum) onto the padded lattice
+        f = self.coarsen_factor
+        Ap = _pad_even(A, f)
         r_lat = jnp.pad(r.reshape(A.L),
                         ((0, Ap.L[0] - A.L[0]), (0, Ap.L[1] - A.L[1]),
                          (0, Ap.L[2] - A.L[2])))
         rc = r_lat
         for axis, n in enumerate(Ap.L):
             if n > 1:
-                rc = _fold(rc, axis)
+                rc = _fold(rc, axis, f)
         ec = self.vcycle(ops, rc.reshape(-1), level + 1, mvs, cheb)
         # prolong: inject the coarse value into each child cell, or
-        # interpolate it trilinearly (prolongation="linear")
+        # interpolate it trilinearly (prolongation="linear", f=2 only)
         e_lat = ec.reshape(ops[level + 1].L)
         if self.prolongation == "linear":
             e_lat = _prolong_linear(e_lat, Ap.L)
         else:
             for axis, n in enumerate(Ap.L):
                 if n > 1:
-                    e_lat = jnp.repeat(e_lat, 2, axis=axis)
+                    e_lat = jnp.repeat(e_lat, f, axis=axis)
         e_lat = e_lat[: A.L[0], : A.L[1], : A.L[2]]
         u = u + e_lat.reshape(-1)
         if cheb is not None:

@@ -115,6 +115,76 @@ def test_galerkin_coarsening_exact():
     assert np.allclose(got, np.asarray(rc).reshape(-1), rtol=1e-12)
 
 
+def test_galerkin_coarsening_exact_factor4():
+    """f=4 aggressive coarsening: A_c x_c == restrict(A prolong(x_c))
+    for pw-constant transfer with 4x4x4 blocks (one hop replaces two 2x
+    levels — the launch-count lever of docs/tpu.md r4)."""
+    A = poisson_stencil(8, 4, 8)
+    Ac = _coarsen_scalar(A, 4)
+    assert Ac.L == (2, 1, 2)
+    rng = np.random.default_rng(1)
+    xc = rng.normal(size=Ac.n)
+    e = jnp.asarray(xc).reshape(Ac.L)
+    for axis, n in enumerate(A.L):
+        if n > 1:
+            e = jnp.repeat(e, 4, axis=axis)
+    y_fine = A.matvec(e.reshape(-1)).reshape(A.L)
+    rc = y_fine
+    from jutul.jl_tpu.ops.stencil import _fold
+
+    for axis, n in enumerate(A.L):
+        if n > 1:
+            rc = _fold(rc, axis, 4)
+    got = np.asarray(Ac.matvec(jnp.asarray(xc)))
+    assert np.allclose(got, np.asarray(rc).reshape(-1), rtol=1e-12)
+
+
+def test_galerkin_coarsening_factor4_padded():
+    """Odd/non-multiple dims pad with identity rows and stay exact on the
+    real part: compare the f=4 coarse operator's action restricted to
+    real cells via the padded fine operator."""
+    A = poisson_stencil(6, 3, 5)  # none a multiple of 4
+    from jutul.jl_tpu.ops.stencil import _fold, _pad_even
+
+    Apad = _pad_even(A, 4)
+    Ac = _coarsen_scalar(A, 4)
+    assert Ac.L == (2, 1, 2)
+    rng = np.random.default_rng(2)
+    xc = rng.normal(size=Ac.n)
+    e = jnp.asarray(xc).reshape(Ac.L)
+    for axis, n in enumerate(Apad.L):
+        if n > 1:
+            e = jnp.repeat(e, 4, axis=axis)
+    y_fine = Apad.matvec(e.reshape(-1)).reshape(Apad.L)
+    rc = y_fine
+    for axis, n in enumerate(Apad.L):
+        if n > 1:
+            rc = _fold(rc, axis, 4)
+    got = np.asarray(Ac.matvec(jnp.asarray(xc)))
+    assert np.allclose(got, np.asarray(rc).reshape(-1), rtol=1e-12)
+
+
+def test_gmg_factor4_solves_poisson():
+    """The 2-level f=4 V-cycle still converges on Poisson (weaker than
+    f=2 per cycle, but convergent — it backs the flagship's cheap
+    cycle)."""
+    A = poisson_stencil(16, 16, 16)
+    gmg = GMG(n_smooth=2, n_coarse_sweeps=50, coarsen_factor=4,
+              min_cells=64)
+    ops = gmg.hierarchy(A)
+    assert [o.L for o in ops] == [(16, 16, 16), (4, 4, 4)]
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=A.n))
+    b = b - jnp.mean(b)
+    u = jnp.zeros(A.n)
+    r0 = float(jnp.linalg.norm(b))
+    for _ in range(20):
+        r = b - A.matvec(u)
+        u = u + gmg.vcycle(ops, r)
+    rN = float(jnp.linalg.norm(b - A.matvec(u)))
+    assert rN < 0.05 * r0
+
+
 def test_gmg_solves_poisson():
     A = poisson_stencil(8, 8, 8)
     gmg = GMG(n_smooth=2, n_coarse_sweeps=50)
