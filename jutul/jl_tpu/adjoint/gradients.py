@@ -41,9 +41,39 @@ class AdjointStorage:
     (reference setup_adjoint_storage, gradients.jl:108)."""
 
     def __init__(self, model, parameters: dict, forces=None,
-                 direct_limit: int = 20_000, linear_solver=None):
+                 direct_limit: int = 20_000, linear_solver=None,
+                 use_stencil: bool = False):
         self.model = model
         self.comp = compile_model(model)
+        # STENCIL adjoint mode (r4, VERDICT r3 item 4 — the 1M adjoint):
+        # residual/Jacobian through the structured fast path and the
+        # transposed lambda-solves as StencilKrylovSolver(CPR-GMG) on the
+        # TRANSPOSED StencilMatrix (ops/stencil.py stencil_transpose) —
+        # the same preconditioner stack as the forward flagship, so the
+        # sweep compiles and runs at sizes where the generic BlockELL +
+        # ILU0 path is compile- and memory-prohibitive.
+        self._stencil = None
+        self._stencil_solver = None
+        if use_stencil:
+            from ..ops.stencil import (
+                GMG,
+                StencilCompiledModel,
+                StencilCPR,
+                StencilKrylovSolver,
+            )
+
+            self._stencil = StencilCompiledModel(self.comp)
+            if linear_solver is None:
+                linear_solver = StencilKrylovSolver(
+                    preconditioner=StencilCPR(gmg=GMG(
+                        n_smooth=2, n_coarse_sweeps=12, min_cells=16384)),
+                    rtol=1e-8, max_iterations=100)
+            if not isinstance(linear_solver, StencilKrylovSolver):
+                raise TypeError("use_stencil=True needs a "
+                                "StencilKrylovSolver (or None for the "
+                                "CPR-GMG default)")
+            self._stencil_solver = linear_solver
+            linear_solver = None  # the BlockELL tsolve path stays off
         # optional preconditioned Krylov for the transposed lambda-solves
         # (reference behavior: the adjoint-layout system goes through the
         # SAME GenericKrylov+preconditioner stack as the forward solve,
@@ -77,6 +107,7 @@ class AdjointStorage:
         self.direct_limit = direct_limit
         comp = self.comp
         params_i = self.params_i
+        engine = self._stencil if self._stencil is not None else comp
 
         def residual_from_dofs(u, u0, params, dt, forces_):
             params = {**params_i, **params}
@@ -84,7 +115,7 @@ class AdjointStorage:
             state0 = merge_state(comp.unpack_dofs(u0), params)
             state = comp.evaluate_secondaries(state)
             state0 = comp.evaluate_secondaries(state0)
-            return comp.residual(state, state0, dt, forces_)
+            return engine.residual(state, state0, dt, forces_)
 
         self._residual_from_dofs = residual_from_dofs
 
@@ -95,6 +126,8 @@ class AdjointStorage:
             state0 = merge_state(comp.unpack_dofs(u0), params)
             state = comp.evaluate_secondaries(state)
             state0 = comp.evaluate_secondaries(state0)
+            if self._stencil is not None:
+                return self._stencil.jacobian(state, state0, dt, forces_)
             return comp.jacobian_blocks(state, state0, dt, forces_)
 
         @jax.jit
@@ -127,6 +160,15 @@ class AdjointStorage:
         comp = self.comp
         n = comp.n_cells
         ndof = comp.ndof
+        if self._stencil is not None:
+            from ..ops.stencil import stencil_transpose
+
+            # blocks IS a StencilMatrix here; its transpose is another
+            # stencil, solved by the forward CPR-GMG stack (solver.solve
+            # solves A du = -r, so pass -rhs)
+            lam, _ = self._stencil_solver.solve(
+                stencil_transpose(blocks), -rhs.reshape(n, ndof))
+            return lam.reshape(n, comp.neq_total)
         if self.linear_solver is not None:
             # _tsolve flips the sign (GenericKrylov solves J du = -r)
             lam = self._tsolve(blocks, rhs.reshape(n, ndof))
@@ -151,12 +193,14 @@ class AdjointStorage:
 
 def setup_adjoint_storage(model, parameters: dict, forces=None,
                           direct_limit: int = 20_000,
-                          linear_solver=None) -> AdjointStorage:
+                          linear_solver=None,
+                          use_stencil: bool = False) -> AdjointStorage:
     """Reference-named constructor (gradients.jl:108): precompile the
     adjoint sweep kernels once and reuse across solves."""
     return AdjointStorage(model, parameters, forces=forces,
                           direct_limit=direct_limit,
-                          linear_solver=linear_solver)
+                          linear_solver=linear_solver,
+                          use_stencil=use_stencil)
 
 
 def solve_adjoint_sensitivities(
@@ -170,6 +214,7 @@ def solve_adjoint_sensitivities(
     include_state0: bool = False,
     linear_solver=None,
     storage: "AdjointStorage | None" = None,
+    use_stencil: bool = False,
 ):
     """∇_p G for G = Σ_n g(model, state_n, dt_n, n, forces)
     (reference gradients.jl:17).
@@ -205,7 +250,8 @@ def solve_adjoint_sensitivities(
 
     if storage is None:
         storage = AdjointStorage(model, parameters, forces,
-                                 linear_solver=linear_solver)
+                                 linear_solver=linear_solver,
+                                 use_stencil=use_stencil)
     comp = storage.comp
     # params from THIS call (a reused storage keeps only the structure and
     # jitted kernels — reference optimization.jl caches adjoint storage
@@ -281,6 +327,7 @@ def solve_adjoint_sensitivities_jit(
     include_state0: bool = False,
     linear_solver=None,
     storage: AdjointStorage | None = None,
+    use_stencil: bool = False,
 ):
     """Whole adjoint sweep as ONE device execution: a reversed
     ``lax.scan`` over steps with the transposed lambda-solves (optionally
@@ -303,7 +350,8 @@ def solve_adjoint_sensitivities_jit(
         raise ValueError("parameters and state0 are required")
     if storage is None:
         storage = AdjointStorage(model, parameters,
-                                 linear_solver=linear_solver)
+                                 linear_solver=linear_solver,
+                                 use_stencil=use_stencil)
     comp = storage.comp
     params = storage.float_params(parameters)
     dts_np = np.atleast_1d(np.asarray(timesteps, dtype=np.float64))

@@ -60,7 +60,11 @@ from .stencil_kernels import _i32map
 _ZERO = np.float32(0.0)
 _TINY = np.float32(1e-30)
 
-_TILE_ROWS = 512  # (512, 128) f32 tile = 256 KiB per stream
+import os
+
+_TILE_ROWS = int(os.environ.get("JUTUL_KRYLOV_TILE_ROWS", "512"))
+# (512, 128) f32 tile = 256 KiB per stream; kernel B holds ~13 windows
+# (x2 pipeline buffers), so tr=1024 is the VMEM ceiling at f32
 
 
 def _pad_to_tiles(n: int):
@@ -80,6 +84,13 @@ def _as_tiles(v, R):
 
 def _kernel_alpha_s(rho_ref, rhat_ref, r_ref, v_ref, s_ref, alpha_ref,
                     acc, *, T):
+    # Phase-masked streaming (r4): each input's BlockSpec index map only
+    # ADVANCES in the phases that consume it and holds block 0 otherwise
+    # — consecutive equal indices skip the fetch, so rhat streams once
+    # (ph0) and r once (ph1) instead of twice each. s's output map holds
+    # block 0 through ph0 (junk writes there are overwritten by ph1's
+    # real block-0 flush). HBM traffic 64 MB -> ~40 MB per call at 2M
+    # dofs (the measured tunnel bandwidth is the body's cost; docs/tpu.md).
     ph = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -90,7 +101,7 @@ def _kernel_alpha_s(rho_ref, rhat_ref, r_ref, v_ref, s_ref, alpha_ref,
     @pl.when(ph == 0)
     def _():
         acc[0] += jnp.sum(rhat_ref[...] * v_ref[...])
-        s_ref[...] = r_ref[...]  # placeholder: every visit writes
+        s_ref[...] = r_ref[...]  # junk into the held block-0 window
 
     @pl.when(ph == 1)
     def _():
@@ -106,7 +117,17 @@ def _kernel_alpha_s(rho_ref, rhat_ref, r_ref, v_ref, s_ref, alpha_ref,
 def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
                          phat_ref, shat_ref, x_ref, p_ref, v_ref,
                          x_out, r_out, p_out, omega_ref, rho_out,
-                         res2_ref, acc, *, T):
+                         res2_ref, acc, x0_save, r0_save, *, T):
+    # Phase-masked streaming (r4): only t and s advance through every
+    # phase; rhat/x/phat/shat advance in ph1 only, p/v in ph2 only (held
+    # at block 0 elsewhere — consecutive equal indices skip the fetch).
+    # x/r outputs advance in ph1 and hold block 0 in ph0/ph2: ph0's junk
+    # writes stay in the VMEM window (no flush: the index does not
+    # change entering ph1, whose i=0 real write overwrites them); ph2
+    # re-opens block 0 and replays the ph1-saved block-0 tiles from VMEM
+    # scratch so the final flush is correct. p's output advances in ph2
+    # only. HBM traffic ~264 MB -> ~124 MB per call at 2M dofs (the
+    # measured ~40 GB/s tunnel bandwidth makes this the body's cost).
     ph = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -122,11 +143,11 @@ def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
         t = t_ref[...]
         acc[0] += jnp.sum(t * t)
         acc[1] += jnp.sum(t * s_ref[...])
-        # placeholders: every output block is written on every visit so
-        # the pipeline never flushes an undefined window
-        x_out[...] = x_ref[...]
-        r_out[...] = s_ref[...]
-        p_out[...] = p_ref[...]
+        # junk writes into HELD block-0 windows (never flushed: the
+        # window index is unchanged into ph1/ph2, whose writes overwrite)
+        x_out[...] = t
+        r_out[...] = t
+        p_out[...] = t
 
     def _omega():
         tt = acc[0]
@@ -137,12 +158,20 @@ def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
         omega = _omega()
         alpha = alpha_ref[0, 0]
         r_new = s_ref[...] - omega * t_ref[...]
-        x_out[...] = (x_ref[...] + alpha * phat_ref[...]
-                      + omega * shat_ref[...])
+        x_new = (x_ref[...] + alpha * phat_ref[...]
+                 + omega * shat_ref[...])
+        x_out[...] = x_new
         r_out[...] = r_new
-        p_out[...] = p_ref[...]
+        p_out[...] = r_new  # junk into the held block-0 window
         acc[2] += jnp.sum(rhat_ref[...] * r_new)
         acc[3] += jnp.sum(r_new * r_new)
+
+        @pl.when(i == 0)
+        def _():
+            # save block 0: ph2 must re-fill the re-opened block-0
+            # windows of x/r with their true values
+            x0_save[...] = x_new
+            r0_save[...] = r_new
 
     @pl.when(ph == 2)
     def _():
@@ -152,13 +181,11 @@ def _kernel_omega_update(rho_ref, alpha_ref, rhat_ref, t_ref, s_ref,
         rho_old = rho_ref[0, 0]
         beta = (rho_new / jnp.where(rho_old != 0, rho_old, _TINY)) * (
             alpha / jnp.where(omega != 0, omega, _TINY))
-        # r' recomputed in-register: output windows are not revisitable
-        # across an intervening block sweep
+        # r' recomputed in-register (s/t advance through ph2)
         r_new = s_ref[...] - omega * t_ref[...]
         p_out[...] = r_new + beta * (p_ref[...] - omega * v_ref[...])
-        x_out[...] = (x_ref[...] + alpha * phat_ref[...]
-                      + omega * shat_ref[...])
-        r_out[...] = r_new
+        x_out[...] = x0_save[...]
+        r_out[...] = r0_save[...]
 
         @pl.when(i == T - 1)
         def _():
@@ -174,8 +201,21 @@ def _scalar_spec():
                         memory_space=pltpu.SMEM)
 
 
-def _tile_spec(tr):
-    return pl.BlockSpec((tr, 128), _i32map(lambda ph, i: (i, 0)))
+def _tile_spec(tr, phases=None):
+    """Tile BlockSpec; ``phases`` restricts streaming to those phases —
+    the index map holds block 0 elsewhere, and the pipeline skips
+    fetches/flushes while the block index is unchanged (the traffic
+    lever of the phase-masked body kernels)."""
+    if phases is None:
+        return pl.BlockSpec((tr, 128), _i32map(lambda ph, i: (i, 0)))
+
+    def index(ph, i):
+        on = jnp.zeros((), jnp.bool_)
+        for p in phases:
+            on = jnp.logical_or(on, ph == p)
+        return (jnp.where(on, i, 0), 0)
+
+    return pl.BlockSpec((tr, 128), _i32map(index))
 
 
 def fused_alpha_s(rhat, r, v, rho, interpret: bool | None = None):
@@ -191,8 +231,11 @@ def fused_alpha_s(rhat, r, v, rho, interpret: bool | None = None):
     s, alpha = pl.pallas_call(
         partial(_kernel_alpha_s, T=T),
         grid=(2, T),
-        in_specs=[_scalar_spec()] + [_tile_spec(tr)] * 3,
-        out_specs=[_tile_spec(tr), _scalar_spec()],
+        in_specs=[_scalar_spec(),
+                  _tile_spec(tr, (0,)),    # rhat: dot phase only
+                  _tile_spec(tr, (1,)),    # r: update phase only
+                  _tile_spec(tr)],         # v: both phases
+        out_specs=[_tile_spec(tr, (1,)), _scalar_spec()],
         out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
@@ -220,11 +263,25 @@ def fused_omega_update(rhat, t, s, phat, shat, x, p, v, rho, alpha,
     x2, r2, p2, omega, rho_new, res2 = pl.pallas_call(
         partial(_kernel_omega_update, T=T),
         grid=(3, T),
-        in_specs=[_scalar_spec()] * 2 + [_tile_spec(tr)] * 8,
-        out_specs=[_tile_spec(tr)] * 3 + [_scalar_spec()] * 3,
+        in_specs=[_scalar_spec()] * 2 + [
+            _tile_spec(tr, (1,)),     # rhat: rho' accumulation
+            _tile_spec(tr),           # t: all phases
+            _tile_spec(tr),           # s: all phases
+            _tile_spec(tr, (1,)),     # phat: x-update
+            _tile_spec(tr, (1,)),     # shat: x-update
+            _tile_spec(tr, (1,)),     # x: x-update
+            _tile_spec(tr, (2,)),     # p: p-update
+            _tile_spec(tr, (2,)),     # v: p-update
+        ],
+        out_specs=[_tile_spec(tr, (1,)),   # x'
+                   _tile_spec(tr, (1,)),   # r'
+                   _tile_spec(tr, (2,))]   # p_next
+        + [_scalar_spec()] * 3,
         out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3,
-        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32),
+                        pltpu.VMEM((tr, 128), jnp.float32),
+                        pltpu.VMEM((tr, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,

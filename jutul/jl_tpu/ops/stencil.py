@@ -100,6 +100,21 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def stencil_transpose(A: StencilMatrix) -> StencilMatrix:
+    """A^T of a 7-point block stencil IS a 7-point block stencil: entry
+    (row=L(f), col=R(f), block B) becomes (row=R(f), col=L(f), B^T), so
+    plus/minus swap with their blocks transposed. This is what makes the
+    adjoint's transposed lambda-solves ride the SAME stencil fast path
+    (CPR-GMG preconditioned) as the forward Newton — the reference runs
+    the adjoint-layout system through its forward solver stack the same
+    way (ad/gradients.jl:168-224)."""
+    swap = lambda v: jnp.swapaxes(v, 0, 1)
+    return StencilMatrix(
+        A.L, swap(A.diag),
+        {a: swap(A.minus[a]) for a in A.minus},
+        {a: swap(A.plus[a]) for a in A.plus})
+
+
 def _warn_compile_pathology_shape(nx, ny, nz):
     """Guardrail for a MEASURED remote-XLA-compiler pathology (r3, commit
     7ca2417; docs/tpu.md): the (nz,ny,nx)=(64,128,128) 1M-cell lattice
@@ -250,6 +265,27 @@ class StencilCompiledModel:
     def n_cells(self):
         return self.comp.n_cells
 
+    def _apply_force_diag(self, diag, state, dt, forces):
+        """Add state-dependent force Jacobians (e.g. a pressure-BC's
+        dq/dp) onto the (neq, ndof, n) diagonal — the stencil counterpart
+        of the generic engine's _apply_force_jacobians
+        (ops/assembly.py:499); constant sources contribute None."""
+        from .assembly import _as_force_list
+
+        comp = self.comp
+        for info in comp.equations:
+            sl = info.row_slice
+            for fv in forces.values():
+                for force in _as_force_list(fv):
+                    contrib = force.diagonal_jacobian(
+                        comp.model, info.eq, info.name, comp, state, dt)
+                    if contrib is None:
+                        continue
+                    cells, jac = contrib  # (ns,), (ns, neq_e, ndof)
+                    diag = diag.at[sl, :, jnp.asarray(cells)].add(
+                        jnp.moveaxis(jnp.asarray(jac, diag.dtype), 0, -1))
+        return diag
+
     # -- jacobian -------------------------------------------------------
     def jacobian(self, state, state0, dt, forces=None) -> StencilMatrix:
         comp = self.comp
@@ -335,6 +371,8 @@ class StencilCompiledModel:
                 plus[a] = jrT
                 minus[a] = -jlT
             diag = diag_lat.reshape(neq, ndof, n)
+        if forces:
+            diag = self._apply_force_diag(diag, state, dt, forces)
         return StencilMatrix(self.L, diag, plus, minus)
 
     def _fused_assembly_on(self, dtype) -> bool:
@@ -452,10 +490,11 @@ class StencilCompiledModel:
             minus[a] = -JL_full[sl]
 
         r2 = r_lat.reshape(neq, -1).T  # (n, neq)
+        diag2 = diag_lat.reshape(neq, ndof, n)
         if forces:
             r2 = comp._apply_forces(r2, state, dt, forces)
-        A = StencilMatrix(self.L, diag_lat.reshape(neq, ndof, n), plus,
-                          minus)
+            diag2 = self._apply_force_diag(diag2, state, dt, forces)
+        A = StencilMatrix(self.L, diag2, plus, minus)
         return r2, A
 
 

@@ -333,3 +333,135 @@ def test_state_gradient():
 
     g = state_gradient(case.model, states[-1], G, case.parameters)
     assert np.allclose(g["U"], 2 * states[-1]["U"])
+
+
+def test_stencil_transpose_is_adjoint():
+    """<x, A y> == <A^T x, y> for the 7-point block stencil transpose
+    (ops/stencil.py stencil_transpose — the r4 stencil lambda-solve)."""
+    from jutul.jl_tpu.ops.stencil import StencilMatrix, stencil_transpose
+
+    rng = np.random.default_rng(0)
+    L = (3, 4, 5)
+    n = 60
+    neq = ndof = 2
+    diag = jnp.asarray(rng.normal(size=(neq, ndof, n)))
+    plus, minus = {}, {}
+    face_lat = {0: (3, 4, 4), 1: (3, 3, 5), 2: (2, 4, 5)}
+    for a in range(3):
+        plus[a] = jnp.asarray(rng.normal(size=(neq, ndof) + face_lat[a]))
+        minus[a] = jnp.asarray(rng.normal(size=(neq, ndof) + face_lat[a]))
+    A = StencilMatrix(L, diag, plus, minus)
+    At = stencil_transpose(A)
+    x = rng.normal(size=(n, neq))
+    y = rng.normal(size=(n, ndof))
+    lhs = float(jnp.sum(jnp.asarray(x) * A.matvec(jnp.asarray(y))))
+    rhs = float(jnp.sum(At.matvec(jnp.asarray(x)) * jnp.asarray(y)))
+    assert np.isclose(lhs, rhs, rtol=1e-12)
+
+
+def test_stencil_adjoint_matches_generic():
+    """AdjointStorage(use_stencil=True): stencil residual vjps + CPR-GMG
+    transposed lambda-solves reproduce the generic adjoint (incl. a
+    state-dependent pressure-BC force — exercises the r4 force diagonal
+    Jacobian on the stencil path, ops/stencil.py _apply_force_diag)."""
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        PressureBoundaryCondition,
+        setup_darcy_model,
+    )
+    from jutul.jl_tpu.ops.stencil import (
+        GMG,
+        StencilCPR,
+        StencilKrylovSolver,
+    )
+
+    nx, ny, nz = 5, 4, 3
+    nc = nx * ny * nz
+    rng = np.random.default_rng(0)
+    mesh = CartesianMesh((nx, ny, nz), (10.0, 8.0, 6.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(mesh, fluid,
+                              permeability=rng.lognormal(0, 0.5, nc) * DARCY,
+                              porosity=0.25, gravity=True)
+    sw = rng.uniform(0.2, 0.8, nc)
+    state0 = setup_state(model, Pressure=100 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], 1))
+    params = setup_parameters(model)
+    forces = {
+        "sources": PhaseSourceTerm([0], np.array([[0.01, 0.0]])),
+        "bc": PressureBoundaryCondition(
+            [nc - 1], 100 * BAR, 2 * float(params["Transmissibilities"][0])),
+    }
+    dts = [0.2 * DAY, 0.3 * DAY]
+    tight = {"tolerances": {"mass_conservation": 1e-10}}
+    states, reports = simulate(state0, model, dts, forces=forces,
+                               parameters=params, info_level=-1,
+                               max_nonlinear_iterations=30, **tight)
+    assert all(r["success"] for r in reports)
+
+    def G(model_, state, dt, n_, forces_):
+        return dt * jnp.sum(state["Saturations"][:, 0] ** 2)
+
+    ref = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces)
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=30,
+                                          min_cells=32)),
+        rtol=1e-12, max_iterations=400)
+    st = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces, use_stencil=True, linear_solver=solver)
+    for k in ("Transmissibilities", "FluidVolume"):
+        scale = max(np.abs(ref[k]).max(), 1e-30)
+        assert np.abs(st[k] - ref[k]).max() / scale < 1e-6, k
+
+
+def test_stencil_adjoint_jit_sweep():
+    """The whole-sweep jitted adjoint with use_stencil=True (the 1M
+    adjoint rung's program shape, bench.py run_adjoint) matches the host
+    loop."""
+    from jutul.jl_tpu.adjoint.gradients import (
+        solve_adjoint_sensitivities_jit,
+    )
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        setup_darcy_model,
+    )
+
+    nx, ny, nz = 4, 4, 2
+    nc = nx * ny * nz
+    rng = np.random.default_rng(1)
+    mesh = CartesianMesh((nx, ny, nz), (10.0, 8.0, 6.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(mesh, fluid,
+                              permeability=rng.lognormal(0, 0.5, nc) * DARCY,
+                              porosity=0.25)
+    sw = rng.uniform(0.3, 0.7, nc)
+    state0 = setup_state(model, Pressure=100 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], 1))
+    params = setup_parameters(model)
+    forces = {"sources": PhaseSourceTerm([0, nc - 1],
+                                         np.array([[0.01, 0.0],
+                                                   [-0.004, -0.004]]))}
+    dts = [0.1 * DAY, 0.2 * DAY]
+    states, reports = simulate(state0, model, dts, forces=forces,
+                               parameters=params, info_level=-1,
+                               tolerances={"mass_conservation": 1e-10},
+                               max_nonlinear_iterations=30)
+    assert all(r["success"] for r in reports)
+
+    def G(model_, state, dt, n_, forces_):
+        return dt * jnp.sum(state["Pressure"] ** 2) / (100 * BAR) ** 2
+
+    ref = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces)
+    st = solve_adjoint_sensitivities_jit(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces, use_stencil=True)
+    for k in ("Transmissibilities", "FluidVolume"):
+        scale = max(np.abs(ref[k]).max(), 1e-30)
+        assert np.abs(st[k] - ref[k]).max() / scale < 1e-6, k
