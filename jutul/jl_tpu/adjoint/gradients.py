@@ -62,7 +62,15 @@ class AdjointStorage:
                 StencilKrylovSolver,
             )
 
-            self._stencil = StencilCompiledModel(self.comp)
+            from ..models.wells import WellGraphMesh
+
+            mesh = getattr(getattr(model, "domain", None), "mesh", None)
+            if isinstance(mesh, WellGraphMesh):
+                from ..ops.stencil_wells import BorderedStencilModel
+
+                self._stencil = BorderedStencilModel(self.comp)
+            else:
+                self._stencil = StencilCompiledModel(self.comp)
             if linear_solver is None:
                 linear_solver = StencilKrylovSolver(
                     preconditioner=StencilCPR(gmg=GMG(
@@ -162,12 +170,19 @@ class AdjointStorage:
         ndof = comp.ndof
         if self._stencil is not None:
             from ..ops.stencil import stencil_transpose
+            from ..ops.stencil_wells import (
+                BorderedStencilMatrix,
+                bordered_transpose,
+            )
 
-            # blocks IS a StencilMatrix here; its transpose is another
-            # stencil, solved by the forward CPR-GMG stack (solver.solve
-            # solves A du = -r, so pass -rhs)
+            # blocks IS a StencilMatrix (or its bordered well variant);
+            # the transpose has the same structure, solved by the forward
+            # CPR-GMG stack (solver.solve solves A du = -r, so pass -rhs)
+            tr = (bordered_transpose
+                  if isinstance(blocks, BorderedStencilMatrix)
+                  else stencil_transpose)
             lam, _ = self._stencil_solver.solve(
-                stencil_transpose(blocks), -rhs.reshape(n, ndof))
+                tr(blocks), -rhs.reshape(n, ndof))
             return lam.reshape(n, comp.neq_total)
         if self.linear_solver is not None:
             # _tsolve flips the sign (GenericKrylov solves J du = -r)

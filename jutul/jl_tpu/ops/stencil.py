@@ -969,6 +969,10 @@ class StencilKrylovSolver:
     def solve(self, A: StencilMatrix, r, rtol=None):
         from ..linsolve.krylov import bicgstab
 
+        from .stencil_wells import BorderedStencilMatrix
+
+        if isinstance(A, BorderedStencilMatrix):
+            return self._solve_bordered(A, r, rtol)
         pstate = self.preconditioner.update(A)
         n = A.n
         neq, ndof, _ = A.diag.shape
@@ -989,3 +993,41 @@ class StencilKrylovSolver:
                        rtol=self.rtol if rtol is None else rtol,
                        atol=self.atol, precond=M)
         return du.reshape(n, ndof), stats
+
+    def _solve_bordered(self, B, r, rtol=None):
+        """Bordered (well-model) system: Schur-eliminate the wellbore
+        block, run the SAME CPR(GMG)-preconditioned BiCGStab on the
+        reservoir Schur complement (lattice operator + rank-(nw·ndof)
+        perforation correction), back-substitute du_w exactly. The
+        preconditioner sees only the lattice StencilMatrix (the
+        correction is low rank; Krylov absorbs it). Counterpart of the
+        reference's Schur-reduced well solves
+        (src/linsolve/multimodel.jl:17)."""
+        from ..linsolve.krylov import resolve_bicgstab
+        from .stencil_wells import schur_eliminate
+
+        A = B.A
+        nc = A.n
+        nw = B.D_ww.shape[0]
+        neq, ndof, _ = A.diag.shape
+        pstate = self.preconditioner.update(A)
+        base_mv = pstate.mv_A if pstate.mv_A is not None else None
+        s_matvec, r_schur, back_substitute = schur_eliminate(
+            B, r, base_mv=base_mv)
+
+        def matvec(x):
+            return s_matvec(x.reshape(nc, ndof)).reshape(-1)
+
+        def M(x):
+            return self.preconditioner.apply(pstate, A,
+                                             x.reshape(nc, neq)).reshape(-1)
+
+        fn = resolve_bicgstab(A.diag.dtype, self.use_fused_body)
+        du_r, stats = fn(matvec,
+                         (-r_schur).reshape(-1).astype(A.diag.dtype),
+                         maxiter=self.max_iterations,
+                         rtol=self.rtol if rtol is None else rtol,
+                         atol=self.atol, precond=M)
+        du_r = du_r.reshape(nc, ndof)
+        du_w = back_substitute(du_r)
+        return jnp.concatenate([du_r, du_w], axis=0), stats

@@ -1,0 +1,210 @@
+"""Bordered stencil well path (r4; VERDICT r3 item 2): wells as real
+MODELS on the structured fast path. The WellGraphMesh model (wellbore
+storage cells + Peaceman perforation faces, models/wells.py) assembles
+as lattice StencilMatrix + dense well border and solves by Schur
+elimination of the wellbore block (ops/stencil_wells.py) — and must
+match the generic BlockELL engine on the SAME model exactly.
+
+Reference counterparts: wells as coupled models through cross-terms
+(src/multimodel/crossterm.jl:3-660) with Schur-reduced linear systems
+(src/linsolve/multimodel.jl:17)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jutul.jl_tpu import CartesianMesh, Simulator, setup_state, si_unit
+from jutul.jl_tpu.models.darcy import (
+    PhaseSourceTerm,
+    PressureBoundaryCondition,
+)
+from jutul.jl_tpu.models.wells import WellSpec, setup_well_graph_model
+from jutul.jl_tpu.ops.blockell import BlockELL
+from jutul.jl_tpu.ops.stencil_wells import (
+    BorderedStencilModel,
+    bordered_transpose,
+)
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def _case(nx=6, ny=5, nz=4, seed=0, gravity=True):
+    from jutul.jl_tpu.models.darcy import ImmiscibleFluid
+
+    mesh = CartesianMesh((nx, ny, nz), (60.0, 50.0, 20.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    nc = nx * ny * nz
+    rng = np.random.default_rng(seed)
+    perm = rng.lognormal(0.0, 1.0, nc) * 0.2 * DARCY
+
+    def cell(ix, iy, iz):
+        return (iz * ny + iy) * nx + ix
+
+    wells = [WellSpec("inj", [cell(0, 0, 0), cell(0, 0, 1)],
+                      WI=[2e-12, 3e-12], volume=0.5),
+             WellSpec("prod", [cell(nx - 1, ny - 1, nz - 1)], WI=4e-12,
+                      volume=0.5)]
+    model, wmesh, params = setup_well_graph_model(
+        mesh, fluid, wells, permeability=perm, porosity=0.25,
+        gravity=gravity)
+    sw = rng.uniform(0.25, 0.75, mesh.number_of_cells() + len(wells))
+    state0 = setup_state(model, Pressure=150.0 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], 1))
+    forces = {
+        "rate": PhaseSourceTerm([wmesh.well_cells["inj"]],
+                                np.array([[0.05, 0.0]])),
+        "bhp": PressureBoundaryCondition([wmesh.well_cells["prod"]],
+                                         120.0 * BAR, 1e-11,
+                                         saturations=[0.5, 0.5]),
+    }
+    return model, wmesh, params, state0, forces
+
+
+def test_bordered_assembly_matches_generic():
+    """Residual and Jacobian action of the bordered engine == the
+    generic BlockELL engine on the identical WellGraphMesh model (incl.
+    a rate force and a state-dependent BHP force)."""
+    from jutul.jl_tpu.models.setup import merge_state
+    from jutul.jl_tpu.ops.assembly import compile_model
+
+    model, wmesh, params, state0, forces = _case()
+    comp = compile_model(model)
+    eng = BorderedStencilModel(comp)
+    n = comp.n_cells
+    rng = np.random.default_rng(3)
+    st = dict(state0)
+    st["Pressure"] = np.asarray(st["Pressure"]) * (
+        1.0 + 0.01 * rng.normal(size=n))
+    full = merge_state(st, params)
+    full0 = merge_state(state0, params)
+
+    r_b, B, _ = eng.assemble(full, full0, 0.5 * DAY, forces)
+    fe = comp.evaluate_secondaries(full)
+    fe0 = comp.evaluate_secondaries(full0)
+    r_g = comp.residual(fe, fe0, 0.5 * DAY, forces)
+    np.testing.assert_allclose(np.asarray(r_b), np.asarray(r_g),
+                               rtol=1e-9, atol=1e-14)
+
+    blocks = comp.jacobian_blocks(fe, fe0, 0.5 * DAY, forces)
+    J = BlockELL(comp.ell, blocks)
+    x = rng.normal(size=(n, comp.ndof))
+    y_g = np.asarray(J.matvec(jnp.asarray(x)))
+    y_b = np.asarray(B.matvec(jnp.asarray(x)))
+    scale = np.abs(y_g).max()
+    assert np.abs(y_b - y_g).max() / scale < 1e-9
+
+
+def test_bordered_transpose_is_adjoint():
+    """<x, B y> == <B^T x, y> for the bordered well matrix."""
+    from jutul.jl_tpu.models.setup import merge_state
+    from jutul.jl_tpu.ops.assembly import compile_model
+
+    model, wmesh, params, state0, forces = _case()
+    comp = compile_model(model)
+    eng = BorderedStencilModel(comp)
+    full = merge_state(state0, params)
+    _, B, _ = eng.assemble(full, full, 0.5 * DAY, forces)
+    Bt = bordered_transpose(B)
+    rng = np.random.default_rng(0)
+    n = comp.n_cells
+    x = jnp.asarray(rng.normal(size=(n, comp.neq_total)))
+    y = jnp.asarray(rng.normal(size=(n, comp.ndof)))
+    lhs = float(jnp.sum(x * B.matvec(y)))
+    rhs = float(jnp.sum(Bt.matvec(x) * y))
+    assert np.isclose(lhs, rhs, rtol=1e-10)
+
+
+def test_bordered_simulate_matches_generic():
+    """Simulator(use_stencil=True) on a WellGraphMesh drives the bordered
+    engine + Schur well solves and reproduces the generic engine's
+    states (eager and jitted-schedule paths)."""
+    model, wmesh, params, state0, forces = _case()
+    dts = [0.1 * DAY, 0.2 * DAY]
+    kw = dict(forces=forces, info_level=-1,
+              tolerances={"default": 1e-10},
+              max_nonlinear_iterations=30)
+
+    sim_g = Simulator(model, state0=state0, parameters=params)
+    sg, rg = sim_g.simulate(dts, **kw)
+    assert all(r["success"] for r in rg)
+
+    sim_b = Simulator(model, state0=state0, parameters=params,
+                      use_stencil=True)
+    assert isinstance(sim_b._stencil, BorderedStencilModel)
+    sb, rb = sim_b.simulate(dts, **kw)
+    assert all(r["success"] for r in rb)
+
+    p_g = np.asarray(sg[-1]["Pressure"])
+    p_b = np.asarray(sb[-1]["Pressure"])
+    np.testing.assert_allclose(p_b, p_g, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(sb[-1]["Saturations"]),
+                               np.asarray(sg[-1]["Saturations"]),
+                               atol=1e-7)
+    # wells behave like wells
+    assert p_b[wmesh.well_cells["inj"]] > p_b[0]
+
+
+def test_bordered_simulate_jit_schedule():
+    """The whole-schedule jit path (the bench's product program shape)
+    runs the bordered engine and matches the eager bordered run."""
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
+
+    model, wmesh, params, state0, forces = _case()
+    dts = [0.1 * DAY, 0.2 * DAY]
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=30,
+                                          min_cells=32)),
+        rtol=1e-11, max_iterations=300)
+    kw = dict(forces=forces, info_level=-1, linear_solver=solver,
+              tolerances={"mass_conservation": 1e-9},
+              max_nonlinear_iterations=30)
+
+    sim = Simulator(model, state0=state0, parameters=params,
+                    use_stencil=True)
+    se, re_ = sim.simulate(dts, **kw)
+    assert all(r["success"] for r in re_)
+
+    # simulate() advances the simulator's state (reference simulate!
+    # semantics) — the jit run needs a fresh Simulator
+    sim_j = Simulator(model, state0=state0, parameters=params,
+                      use_stencil=True)
+    sj = sim_j.simulate_jit(dts, **kw)
+    p_e = np.asarray(se[-1]["Pressure"])
+    p_j = np.asarray(sj.states[-1]["Pressure"])
+    np.testing.assert_allclose(p_j, p_e, rtol=1e-6)
+
+
+def test_bordered_adjoint_matches_generic():
+    """use_stencil adjoints on a well-model case: bordered transposed
+    lambda-solves reproduce the generic adjoint gradient."""
+    from jutul.jl_tpu.adjoint.gradients import solve_adjoint_sensitivities
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
+
+    model, wmesh, params, state0, forces = _case(nx=5, ny=4, nz=3)
+    dts = [0.1 * DAY, 0.2 * DAY]
+    states, reports = Simulator(model, state0=state0,
+                                parameters=params).simulate(
+        dts, forces=forces, info_level=-1,
+        tolerances={"default": 1e-11}, max_nonlinear_iterations=30)
+    assert all(r["success"] for r in reports)
+
+    nc = wmesh._nc_base
+
+    def G(model_, state, dt, n_, forces_):
+        return dt * jnp.sum(state["Saturations"][:nc, 0] ** 2)
+
+    ref = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces)
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=30,
+                                          min_cells=32)),
+        rtol=1e-12, max_iterations=400)
+    st = solve_adjoint_sensitivities(
+        model, states, dts, G, parameters=params, state0=state0,
+        forces=forces, use_stencil=True, linear_solver=solver)
+    for k in ("Transmissibilities", "FluidVolume"):
+        scale = max(np.abs(ref[k]).max(), 1e-30)
+        assert np.abs(st[k] - ref[k]).max() / scale < 1e-6, k
