@@ -237,7 +237,7 @@ class GeneralDistributedSimulator:
     def __init__(self, mesh, system, device_mesh: Mesh, partition=None,
                  axis: str = "d", parameters: dict | None = None,
                  data_fields: dict | None = None,
-                 halo_mode: str = "auto"):
+                 halo_mode: str = "auto", model=None):
         self.axis = axis
         self.device_mesh = device_mesh
         D = device_mesh.devices.size
@@ -255,10 +255,17 @@ class GeneralDistributedSimulator:
             partition = GreedyGraphPartitioner().partition(
                 mesh.neighborship(), mesh.number_of_cells(), D)
 
-        gdd = DataDomain(mesh)
-        for k, v in (data_fields or {}).items():
-            gdd.set(k, v)
-        self.global_model = SimulationModel(gdd, system)
+        if model is not None:
+            # distribute an EXISTING SimulationModel (its DataDomain
+            # already carries the property fields) — the path the
+            # distributed MultiModel engine uses for the main submodel
+            # (reference: submodel(::MultiModel), dd/subdomains.jl:41)
+            self.global_model = model
+        else:
+            gdd = DataDomain(mesh)
+            for k, v in (data_fields or {}).items():
+                gdd.set(k, v)
+            self.global_model = SimulationModel(gdd, system)
         self.comp = compile_model(self.global_model)
         gparams = parameters or setup_parameters(self.global_model)
         if self.comp.neq_total != self.comp.ndof:

@@ -1,0 +1,139 @@
+"""Distributed MultiModel (r4; VERDICT r3 item 5): a coupled
+reservoir+wells MultiModel — per-well submodels + skew-symmetric Peaceman
+cross-terms — runs under domain decomposition through
+``GeneralDistributedMultiModel`` and matches the single-device coupled
+solve. Reference counterpart: ``SimpleMultiModelPartition`` /
+``submodel(::MultiModel)`` (src/dd/subdomains.jl:41-250)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from jutul.jl_tpu import Simulator, CartesianMesh, setup_state, si_unit
+from jutul.jl_tpu.meshes.unstructured import UnstructuredMesh
+from jutul.jl_tpu.models.darcy import (
+    ImmiscibleFluid,
+    PhaseSourceTerm,
+    PressureBoundaryCondition,
+    setup_darcy_model,
+)
+from jutul.jl_tpu.models.wells import WellSpec, setup_well_multimodel
+from jutul.jl_tpu.parallel.multimodel import GeneralDistributedMultiModel
+from jutul.jl_tpu.parallel.partition import GreedyGraphPartitioner
+
+BAR = si_unit("bar")
+DAY = si_unit("day")
+DARCY = si_unit("darcy")
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def _coupled_case(nx=6, ny=5, nz=4, seed=0, unstructured=True):
+    mesh = CartesianMesh((nx, ny, nz), (60.0, 50.0, 20.0))
+    if unstructured:
+        mesh = UnstructuredMesh.from_cartesian(mesh)
+    nc = mesh.number_of_cells()
+    rng = np.random.default_rng(seed)
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    perm = rng.lognormal(0.0, 1.0, nc) * 0.2 * DARCY
+    res = setup_darcy_model(mesh, fluid, permeability=perm, porosity=0.25,
+                            gravity=True)
+
+    def cell(ix, iy, iz):
+        return (iz * ny + iy) * nx + ix
+
+    wells = [WellSpec("inj", [cell(0, 0, nz - 1), cell(0, 0, nz - 2)],
+                      WI=[2e-12, 3e-12], volume=0.5),
+             WellSpec("prod", [cell(nx - 1, ny - 1, 0)], WI=4e-12,
+                      volume=0.5)]
+    mm, names = setup_well_multimodel(res, wells, fluid=fluid)
+    p0, sw0 = 150.0 * BAR, 0.4
+    state0 = {
+        "reservoir": setup_state(res, Pressure=p0,
+                                 Saturations=[sw0, 1 - sw0]),
+        **{n: setup_state(mm[n], Pressure=p0,
+                          Saturations=[sw0, 1 - sw0]) for n in names},
+    }
+    forces = {
+        "reservoir": None,
+        "inj": {"rate": PhaseSourceTerm([0], np.array([[0.05, 0.0]]))},
+        "prod": {"bhp": PressureBoundaryCondition(
+            [0], 120.0 * BAR, 1e-11, saturations=[0.5, 0.5])},
+    }
+    return mm, names, state0, forces
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_distributed_multimodel_matches_single(n_dev):
+    """Reservoir (partitioned) + two well submodels (replicated) with
+    skew-symmetric cross-terms: the distributed coupled Newton reproduces
+    the single-device MultiModel states to tight tolerance."""
+    require_devices(n_dev)
+    mm, names, state0, forces = _coupled_case()
+    dts = [0.1 * DAY, 0.2 * DAY]
+
+    # single-device coupled solve
+    sim = Simulator(mm, state0=state0)
+    s_ref, rep = sim.simulate(dts, forces=forces, info_level=-1,
+                              tolerances={"default": 1e-10},
+                              max_nonlinear_iterations=30)
+    assert all(r["success"] for r in rep)
+
+    res = mm["reservoir"]
+    nc = res.number_of_cells()
+    part = GreedyGraphPartitioner().partition(
+        res.domain.mesh.neighborship(), nc, n_dev)
+    dmesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    dsim = GeneralDistributedMultiModel(mm, dmesh, main="reservoir",
+                                        partition=part)
+    s_dist, _ = dsim.simulate(state0, dts, forces=forces, info_level=-1,
+                              tolerances={"default": 1e-10}, max_newton=30,
+                              rtol=1e-12, max_lin_it=500)
+
+    for m in ["reservoir"] + names:
+        p_r = np.asarray(s_ref[-1][m]["Pressure"])
+        p_d = np.asarray(s_dist[-1][m]["Pressure"])
+        np.testing.assert_allclose(p_d, p_r, rtol=1e-6, err_msg=m)
+        s_r = np.asarray(s_ref[-1][m]["Saturations"])
+        s_d = np.asarray(s_dist[-1][m]["Saturations"])
+        np.testing.assert_allclose(s_d, s_r, atol=1e-6, err_msg=m)
+    # wells do something: injector wellbore above its completion pressure
+    p_res = np.asarray(s_dist[-1]["reservoir"]["Pressure"])
+    p_inj = float(np.asarray(s_dist[-1]["inj"]["Pressure"])[0])
+    assert p_inj > p_res[0]
+
+
+def test_distributed_multimodel_straddling_wells():
+    """A well whose completions straddle shard boundaries: cross-term
+    rows assemble on the owner of each completion's reservoir cell and
+    the psum reconstructs the well equation exactly (no forced-group
+    partition needed — the reference requires one, partitioning.jl:239)."""
+    require_devices(8)
+    mm, names, state0, forces = _coupled_case(nx=8, ny=4, nz=3, seed=3)
+    res = mm["reservoir"]
+    nc = res.number_of_cells()
+    # linear partition on purpose: the injector's two completions are in
+    # different z-layers -> different shards
+    part = (np.arange(nc) * 8 // nc).astype(np.int64)
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    dsim = GeneralDistributedMultiModel(mm, dmesh, main="reservoir",
+                                        partition=part)
+    dt = 0.15 * DAY
+
+    sim = Simulator(mm, state0=state0)
+    s_ref, rep = sim.simulate([dt], forces=forces, info_level=-1,
+                              tolerances={"default": 1e-10},
+                              max_nonlinear_iterations=30)
+    assert all(r["success"] for r in rep)
+    s_dist, _ = dsim.simulate(state0, [dt], forces=forces, info_level=-1,
+                              tolerances={"default": 1e-10}, max_newton=30,
+                              rtol=1e-12, max_lin_it=500)
+    for m in ["reservoir"] + names:
+        np.testing.assert_allclose(
+            np.asarray(s_dist[-1][m]["Pressure"]),
+            np.asarray(s_ref[-1][m]["Pressure"]), rtol=1e-6, err_msg=m)
