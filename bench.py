@@ -138,13 +138,16 @@ def build(nx, ny, nz, gravity=True, wells=True, well_models=None):
         comp = compile_model(model)
         inj_cells = [wmesh.well_cells[f"inj{i}"] for i in range(4)]
         bhp = float(p0[specs[-1].cells[0]]) - 2.0 * BAR
+        ctl = float(os.environ.get("BENCH_BHP_CTRANS_MULT", "10"))
         forces = {
             # rate control: surface water stream into each injector
             "rate": PhaseSourceTerm(inj_cells, np.array([[q, 0.0]] * 4)),
             # BHP control: fixed-pressure surface connection; the control
             # transmissibility dominates the wellbore's perforation row
+            # (a larger multiplier enforces BHP tighter but stiffens the
+            # well row and slows the mixed-precision refinement)
             "bhp": PressureBoundaryCondition(
-                [wmesh.well_cells["prod"]], bhp, 50.0 * WI * ncomp,
+                [wmesh.well_cells["prod"]], bhp, ctl * WI * ncomp,
                 saturations=[0.5, 0.5]),
         }
         return model, comp, state0, params, forces
@@ -345,16 +348,23 @@ def _device_kind():
 
 def _refine_record(sim, result, forces, n_lin_it, tol=1e-8):
     """Mixed-precision refinement of the final accepted step to the 1e-8
-    north star (VERDICT r2 item 8: put 1e-8 in the bench record). Runs on
-    the host CPU backend — extra TPU executions risk the shared worker —
-    so the f32 correction solves + f64 residuals all stay off-device
-    (hence use_pallas=False: Mosaic kernels are TPU-only)."""
+    north star (VERDICT r2 item 8: put 1e-8 in the bench record).
+
+    Default: everything on the host CPU backend — extra TPU executions
+    risk the shared worker (hence use_pallas=False: Mosaic kernels are
+    TPU-only). BENCH_REFINE_TPU=1 (VERDICT r3 item 3: 1e-8 ON-TPU at
+    flagship scale): the f32 correction assembly+solves run on the TPU
+    (one jitted program per sweep; params resident across sweeps), only
+    the f64 residual evaluation stays on the host CPU."""
     from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
 
     try:
         cpu = jax.devices("cpu")[0]
     except Exception as e:
         return {"f64_refined": f"unavailable: {e}"}
+    on_tpu = (os.environ.get("BENCH_REFINE_TPU") == "1"
+              and jax.default_backend() != "cpu")
+    solve_device = jax.devices()[0] if on_tpu else None
     comp = sim.compiled
     final = {k: np.asarray(result.final_state_device[k])
              for k in comp.model.primary_variables}
@@ -363,19 +373,32 @@ def _refine_record(sim, result, forces, n_lin_it, tol=1e-8):
     solver = StencilKrylovSolver(
         preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
                                           min_cells=16384,
-                                          use_pallas=False)),
+                                          use_pallas=(None if on_tpu
+                                                      else False))),
         rtol=0.0, max_iterations=max(60, 2 * n_lin_it),
-        use_fused_body=False)  # the
+        use_fused_body=None if on_tpu else False)  # the
     # correction solves must gain >=1 digit/sweep; 25 its stalled at
     # 2.7e-8 on the 131k bank rung (measured)
+    # the f64 polish phase always runs on the host CPU — its solver must
+    # avoid TPU-only Mosaic paths regardless of the f32 solver's config
+    f64_solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
+                                          min_cells=16384,
+                                          use_pallas=False)),
+        rtol=1e-8, max_iterations=max(60, 2 * n_lin_it),
+        use_fused_body=False)
     try:
+        t0 = time.perf_counter()
         with jax.default_device(cpu):
             _st64, info = sim.refine_solution(
                 final, start, result.final_ministep_dt, forces=forces,
-                tol=tol, max_refine=8, solver=solver)
+                tol=tol, max_refine=8, solver=solver,
+                solve_device=solve_device, f64_solver=f64_solver)
         return {"f64_refined_max_abs_residual": info["f64_max_abs_residual"],
                 "refine_sweeps": info["sweeps"],
-                "refine_converged": bool(info["converged"])}
+                "refine_converged": bool(info["converged"]),
+                "refine_on_tpu": bool(on_tpu),
+                "refine_seconds": round(time.perf_counter() - t0, 1)}
     except Exception as e:  # never let the 1e-8 demo kill the perf record
         return {"f64_refined": f"failed: {type(e).__name__}: {e}"}
 
@@ -579,9 +602,14 @@ def run_product(nx, ny, nz, n_lin_it):
     # and refine against that step's forces when the schedule is per-step
     forces_last = forces[-1] if isinstance(forces, list) else forces
     ver = _f64_verify(sim, result, params, forces_last)
-    # the 1e-8 north-star demo (CPU-backend refinement; gated by cell
-    # count — at 1M the CPU correction solves would blow the rung budget)
-    refine_cap = int(os.environ.get("BENCH_REFINE_MAX_CELLS", "300000"))
+    # the 1e-8 north-star demo. CPU-backend refinement is gated by cell
+    # count (at 1M the CPU correction solves would blow the rung budget);
+    # BENCH_REFINE_TPU=1 solves the corrections ON the TPU, so the gate
+    # covers the 1M flagship (VERDICT r3 item 3)
+    refine_cap = int(os.environ.get(
+        "BENCH_REFINE_MAX_CELLS",
+        "2097152" if os.environ.get("BENCH_REFINE_TPU") == "1"
+        else "300000"))
     if os.environ.get("BENCH_REFINE", "1") == "1" and nc <= refine_cap:
         ver.update(_refine_record(sim, result, forces_last, n_lin_it))
     print(f"# exec: {t_exec:.1f}s (upload {t_upload:.1f}s | device "
@@ -1382,6 +1410,28 @@ def _orchestrate():
         banked["rung_errors"] = [e[-300:] for e in errors]
         chosen = banked
     if chosen is not None:
+        # 1e-8-on-TPU rung (VERDICT r3 item 3): a second flagship-grid run
+        # with TPU-side correction solves after the headline record is
+        # safe; its f64_refined_* fields merge into the chosen record
+        elapsed = time.perf_counter() - t_start
+        if (flag is not None and elapsed < 10 * 60
+                and os.environ.get("BENCH_REFINE_FLAGSHIP", "1") == "1"):
+            ref, rerr = _run_worker(os.environ.get("BENCH_GRID"), 3, 480,
+                                    {"BENCH_REFINE": "1",
+                                     "BENCH_REFINE_TPU": "1"})
+            if ref is not None and "f64_refined_max_abs_residual" in ref:
+                chosen["f64_refined_max_abs_residual"] = \
+                    ref["f64_refined_max_abs_residual"]
+                chosen["refine_sweeps"] = ref.get("refine_sweeps")
+                chosen["refine_converged"] = ref.get("refine_converged")
+                chosen["refine_on_tpu"] = ref.get("refine_on_tpu")
+                chosen["refine_seconds"] = ref.get("refine_seconds")
+            elif ref is not None:
+                chosen["flagship_refine"] = {
+                    k: v for k, v in ref.items()
+                    if k.startswith("f64_refined") or k == "refine_on_tpu"}
+            else:
+                chosen["flagship_refine"] = {"failed": rerr[-300:]}
         # adjoint-overhead rung (BASELINE metric): only with ~7 min of the
         # ~25-min driver budget left and a TPU rung already banked — the
         # headline number is never risked on it
@@ -1390,7 +1440,7 @@ def _orchestrate():
         # sweep's REMOTE compile (219 s for the scan body with the
         # BiCGStab while_loop inside); 540 s cap + 14-min guard keeps the
         # worst-case ladder at ~23 min
-        if elapsed < 14 * 60 and os.environ.get("BENCH_ADJOINT", "1") == "1":
+        if elapsed < 16 * 60 and os.environ.get("BENCH_ADJOINT", "1") == "1":
             # r4: the adjoint rung runs at the FLAGSHIP 1M grid (stencil
             # CPR-GMG lambda-solves; VERDICT r3 item 4). BENCH_ADJ_GRID
             # overrides (e.g. the old 65k rung).
@@ -1413,7 +1463,7 @@ def _orchestrate():
             # blow the rung budget); a small dedicated rung attests the
             # gradient (VERDICT r3 weak 3)
             if (adj is None or "grad_dot_test_rel_err" not in adj) and \
-                    time.perf_counter() - t_start < 16 * 60:
+                    time.perf_counter() - t_start < 18 * 60:
                 dot, derr = _run_worker(
                     os.environ.get("BENCH_DOT_GRID", "32,32,16"), 2, 420,
                     {"BENCH_MODE": "adjoint"})
@@ -1432,7 +1482,7 @@ def _orchestrate():
         # device time goes — runs LAST (several sub-second executions in
         # one process carry a small crash risk; the record is banked)
         elapsed = time.perf_counter() - t_start
-        if (elapsed < 15 * 60
+        if (elapsed < 18 * 60
                 and os.environ.get("BENCH_STAGES", "1") == "1"
                 and flag is not None):
             stg, serr = _run_worker(

@@ -184,6 +184,11 @@ def bicgstab(matvec: Callable, b, x0=None, maxiter: int = 200,
 
     r0 = b - matvec(x0)
     rhat = r0
+    # breakdown guards must be representable in the WORKING dtype: a
+    # 1e-300 literal flushes to 0.0 in f32, turning every guard into a
+    # divide-by-zero once the solve converges past the residual floor
+    # (measured: rtol=0 f32 solves went NaN after exact convergence)
+    tiny = float(jnp.finfo(jnp.asarray(b).dtype).tiny)
 
     def cond(carry):
         x, r, p, v, rho, alpha, omega, it, res = carry
@@ -192,19 +197,19 @@ def bicgstab(matvec: Callable, b, x0=None, maxiter: int = 200,
     def step(carry):
         x, r, p, v, rho, alpha, omega, it, _res = carry
         rho_new = dot(rhat, r)
-        beta = (rho_new / jnp.where(rho != 0, rho, 1e-300)) * (
-            alpha / jnp.where(omega != 0, omega, 1e-300)
+        beta = (rho_new / jnp.where(rho != 0, rho, tiny)) * (
+            alpha / jnp.where(omega != 0, omega, tiny)
         )
         p = r + beta * (p - omega * v)
         phat = precond(p)
         v = matvec(phat)
         denom = dot(rhat, v)
-        alpha = rho_new / jnp.where(denom != 0, denom, 1e-300)
+        alpha = rho_new / jnp.where(denom != 0, denom, tiny)
         s = r - alpha * v
         shat = precond(s)
         t = matvec(shat)
         tt = dot(t, t)
-        omega = dot(t, s) / jnp.where(tt != 0, tt, 1e-300)
+        omega = dot(t, s) / jnp.where(tt != 0, tt, tiny)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         res = norm(r)

@@ -2,6 +2,7 @@
 (reference: src/core_types/contexts/, src/context.jl:12-96 —
 float_type/index_type/transfer/select_contexts)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,4 +99,60 @@ def test_mixed_precision_refinement():
     assert info["converged"], info
     assert info["f64_max_abs_residual"] <= 1e-9
     # refinement must have actually improved on the f32 result
+    assert info["f64_residual_history"][0] > info["f64_max_abs_residual"]
+
+
+def test_refinement_with_solve_device():
+    """solve_device= routes the f32 correction assembly+solve through ONE
+    jitted program on the given device with resident params (the 1e-8
+    on-TPU path, VERDICT r3 item 3; on CPU rigs the device is the CPU,
+    exercising the identical program structure)."""
+    import numpy as np
+
+    from jutul.jl_tpu import si_unit
+    from jutul.jl_tpu.models.darcy import (
+        ImmiscibleFluid,
+        PhaseSourceTerm,
+        setup_darcy_model,
+    )
+
+    BAR = si_unit("bar")
+    DARCY = si_unit("darcy")
+    nx, ny, nz = 8, 6, 4
+    nc = nx * ny * nz
+    rng = np.random.default_rng(1)
+    mesh = CartesianMesh((nx, ny, nz), (80.0, 60.0, 20.0))
+    fluid = ImmiscibleFluid(viscosities=(1e-3, 2e-3))
+    model = setup_darcy_model(
+        mesh, fluid, permeability=rng.uniform(0.2, 1.0, nc) * DARCY,
+        porosity=0.25, gravity=True)
+    model.context = TPUContext()
+    sw = rng.uniform(0.3, 0.7, nc)
+    state0 = setup_state(model, Pressure=100.0 * BAR,
+                         Saturations=np.stack([sw, 1 - sw], axis=1))
+    params = setup_parameters(model)
+    forces = {"src": PhaseSourceTerm([0], np.array([[0.02, 0.0]]))}
+    # the flagship shape: stencil engine + StencilKrylovSolver
+    from jutul.jl_tpu.ops.stencil import GMG, StencilCPR, StencilKrylovSolver
+
+    solver = StencilKrylovSolver(
+        preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=30,
+                                          min_cells=32, use_pallas=False)),
+        rtol=1e-10, max_iterations=80, use_fused_body=False)
+    sim = Simulator(model, state0=state0, parameters=params,
+                    use_stencil=True)
+    dt = 3600.0
+    res = sim.simulate([dt], forces=forces, info_level=-1,
+                       linear_solver=solver,
+                       tolerances={"default": 1e-5},
+                       max_nonlinear_iterations=20)
+    assert res.reports[-1]["success"]
+    final = {k: np.asarray(res.states[-1][k])
+             for k in model.primary_variables}
+    dev = jax.devices()[0]
+    st64, info = sim.refine_solution(final, state0, dt, forces=forces,
+                                     tol=1e-9, max_refine=10,
+                                     solver=solver, solve_device=dev)
+    assert info["converged"], info
+    assert info["f64_max_abs_residual"] <= 1e-9
     assert info["f64_residual_history"][0] > info["f64_max_abs_residual"]
