@@ -775,6 +775,7 @@ def run_adjoint(nx, ny, nz):
     out = compiled(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(jax.device_get(leaf)).ravel()[:1]  # host-scalar sync
+    t_fwd_device = time.perf_counter() - t0
     result = post(*out)
     t_forward = time.perf_counter() - t0
     stats = report_stats(result.reports)
@@ -821,10 +822,17 @@ def run_adjoint(nx, ny, nz):
     t_cold, _ = sweep()  # pays the jac/vjp/tsolve compiles
     t_adjoint, gt = sweep()
     g_fp = float(np.abs(gt).max())
-    overhead = t_adjoint / t_forward
-    print(f"# adjoint: fwd {t_forward:.2f}s ({newtons} N, "
-          f"{ministeps} ministeps) | sweep cold {t_cold:.1f}s warm "
-          f"{t_adjoint:.2f}s -> overhead {overhead:.2f}x", file=sys.stderr)
+    # overhead is normalized by the forward's DEVICE time (sync-bounded)
+    # — the total forward wall includes the tunnel's fetch, which made
+    # the r3 record's ratio measure the tunnel, not the adjoint
+    # (VERDICT r3 weak 2); both figures are recorded
+    overhead = t_adjoint / t_fwd_device
+    overhead_wall = t_adjoint / t_forward
+    print(f"# adjoint: fwd {t_forward:.2f}s (device {t_fwd_device:.2f}s, "
+          f"{newtons} N, {ministeps} ministeps) | sweep cold "
+          f"{t_cold:.1f}s warm {t_adjoint:.2f}s -> overhead "
+          f"{overhead:.2f}x (vs fwd wall {overhead_wall:.2f}x)",
+          file=sys.stderr)
 
     # Dot-test attestation (VERDICT r3 weak 3 / item 4): the TPU sweep's
     # gradient is checked against an f64 CPU central difference of the
@@ -856,6 +864,8 @@ def run_adjoint(nx, ny, nz):
         "adjoint_seconds": round(t_adjoint, 2),
         "adjoint_compile_sweep_seconds": round(t_cold, 2),
         "forward_seconds": round(t_forward, 2),
+        "forward_device_seconds": round(t_fwd_device, 2),
+        "overhead_vs_forward_wall": round(overhead_wall, 3),
         "forward_compile_seconds": round(t_compile_fwd, 1),
         "newton_iterations": newtons,
         "ministeps": ministeps,
@@ -997,6 +1007,46 @@ def run_stages(nx, ny, nz):
                     return norm_feed(t)
                 out = jax.lax.fori_loop(0, nrep, body, -r)
                 return out.ravel()[0]
+            if stage == "iter_2d":
+                # the FULL BiCGStab iteration with every vector kept in
+                # its natural (n, neq) shape — no flat reshapes at the
+                # matvec/precond boundaries. Healthy-worker result at 1M
+                # (2026-08-19): iter_2d 6.8 ms vs lin_iter_xla 7.1 ms vs
+                # iter_nobody 7.7 ms — the chain (2x V-cycle + matvec)
+                # dominates; relayouts and body are noise-level. (A
+                # degraded-tunnel bisect earlier the same day showed
+                # 1.8 vs 15.4 ms — discarded; see docs/tpu.md on stall
+                # transients.)
+                mv = ps.mv_A if ps.mv_A is not None else A.matvec
+                def dot2(a, b):
+                    return jnp.sum(a * b)
+                b2 = -r
+                rhat = b2
+                def body(i, carry):
+                    x, r_, p, v, rho, alpha, omega = carry
+                    rho_new = dot2(rhat, r_)
+                    beta = (rho_new / jnp.where(rho != 0, rho, 1e-30)
+                            ) * (alpha / jnp.where(omega != 0, omega,
+                                                   1e-30))
+                    p = r_ + beta * (p - omega * v)
+                    phat = cpr.apply(ps, A, p)
+                    v = mv(phat)
+                    denom = dot2(rhat, v)
+                    alpha = rho_new / jnp.where(denom != 0, denom,
+                                                1e-30)
+                    s = r_ - alpha * v
+                    shat = cpr.apply(ps, A, s)
+                    t = mv(shat)
+                    tt = dot2(t, t)
+                    omega = dot2(t, s) / jnp.where(tt != 0, tt, 1e-30)
+                    x = x + alpha * phat + omega * shat
+                    r_ = s - omega * t
+                    return (x, r_, p, v, rho_new, alpha, omega)
+                z = jnp.zeros_like(b2)
+                one = jnp.float32(1.0)
+                out = jax.lax.fori_loop(
+                    0, nrep, body, (z, b2, z, z, one, one, one))
+                return out[0].ravel()[0] + jnp.sum(out[1] * out[1])
             if stage.startswith("iter_k"):
                 # incremental bisection: iter_nobody + the first k dot/
                 # update groups of the BiCGStab body (XLA ops)

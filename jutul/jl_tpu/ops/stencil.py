@@ -978,6 +978,21 @@ class StencilKrylovSolver:
         neq, ndof, _ = A.diag.shape
         mv = pstate.mv_A if pstate.mv_A is not None else A.matvec
 
+        from ..linsolve.krylov import bicgstab, resolve_bicgstab
+
+        fn = resolve_bicgstab(A.diag.dtype, self.use_fused_body)
+        if fn is bicgstab:
+            # XLA chain is shape-generic: keep every vector in the
+            # operators' native (n, neq)/(n, ndof) layout — no flat
+            # relayouts at the matvec/precond boundaries (krylov.py)
+            du, stats = fn(
+                mv, (-r).astype(A.diag.dtype),
+                maxiter=self.max_iterations,
+                rtol=self.rtol if rtol is None else rtol,
+                atol=self.atol,
+                precond=lambda x: self.preconditioner.apply(pstate, A, x))
+            return du, stats
+
         def matvec(x):
             return mv(x.reshape(n, ndof)).reshape(-1)
 
@@ -985,9 +1000,6 @@ class StencilKrylovSolver:
             return self.preconditioner.apply(pstate, A,
                                              x.reshape(n, neq)).reshape(-1)
 
-        from ..linsolve.krylov import resolve_bicgstab
-
-        fn = resolve_bicgstab(A.diag.dtype, self.use_fused_body)
         du, stats = fn(matvec, (-r).reshape(-1).astype(A.diag.dtype),
                        maxiter=self.max_iterations,
                        rtol=self.rtol if rtol is None else rtol,
@@ -1003,7 +1015,7 @@ class StencilKrylovSolver:
         correction is low rank; Krylov absorbs it). Counterpart of the
         reference's Schur-reduced well solves
         (src/linsolve/multimodel.jl:17)."""
-        from ..linsolve.krylov import resolve_bicgstab
+        from ..linsolve.krylov import bicgstab, resolve_bicgstab
         from .stencil_wells import schur_eliminate
 
         A = B.A
@@ -1015,19 +1027,27 @@ class StencilKrylovSolver:
         s_matvec, r_schur, back_substitute = schur_eliminate(
             B, r, base_mv=base_mv)
 
-        def matvec(x):
-            return s_matvec(x.reshape(nc, ndof)).reshape(-1)
-
-        def M(x):
-            return self.preconditioner.apply(pstate, A,
-                                             x.reshape(nc, neq)).reshape(-1)
-
         fn = resolve_bicgstab(A.diag.dtype, self.use_fused_body)
-        du_r, stats = fn(matvec,
-                         (-r_schur).reshape(-1).astype(A.diag.dtype),
-                         maxiter=self.max_iterations,
-                         rtol=self.rtol if rtol is None else rtol,
-                         atol=self.atol, precond=M)
-        du_r = du_r.reshape(nc, ndof)
+        if fn is bicgstab:
+            du_r, stats = fn(
+                s_matvec, (-r_schur).astype(A.diag.dtype),
+                maxiter=self.max_iterations,
+                rtol=self.rtol if rtol is None else rtol,
+                atol=self.atol,
+                precond=lambda x: self.preconditioner.apply(pstate, A, x))
+        else:
+            def matvec(x):
+                return s_matvec(x.reshape(nc, ndof)).reshape(-1)
+
+            def M(x):
+                return self.preconditioner.apply(
+                    pstate, A, x.reshape(nc, neq)).reshape(-1)
+
+            du_r, stats = fn(matvec,
+                             (-r_schur).reshape(-1).astype(A.diag.dtype),
+                             maxiter=self.max_iterations,
+                             rtol=self.rtol if rtol is None else rtol,
+                             atol=self.atol, precond=M)
+            du_r = du_r.reshape(nc, ndof)
         du_w = back_substitute(du_r)
         return jnp.concatenate([du_r, du_w], axis=0), stats

@@ -193,6 +193,11 @@ def report_stats(reports: list) -> dict:
                 stats["failed_ministeps"] += 1
                 stats["wasted_newtons"] += its
             stats["wall_time"] += float(m.get("wall_time", 0.0))
+            if m.get("wall_time_is_amortized"):
+                # jit-timestep paths spread ONE device execution's wall
+                # clock evenly across its ministeps — the aggregate is
+                # real, per-ministep attribution is not
+                stats["wall_time_is_amortized"] = True
             stats["linear_iterations"] += int(m.get("linear_iterations", 0))
             for key, t in (m.get("timings") or {}).items():
                 stats["timings"][key] = stats["timings"].get(key, 0.0) + t
