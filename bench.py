@@ -385,7 +385,11 @@ def _refine_record(sim, result, forces, n_lin_it, tol=1e-8):
         preconditioner=StencilCPR(gmg=GMG(n_smooth=2, n_coarse_sweeps=12,
                                           min_cells=16384,
                                           use_pallas=False)),
-        rtol=1e-8, max_iterations=max(60, 2 * n_lin_it),
+        # rtol 1e-6 (not 1e-8): a polish correction solved to 6 relative
+        # digits from the ~1e-7 f32 stall lands the residual near 1e-13
+        # — far past the 1e-8 target — at a fraction of the f64 CPU
+        # Krylov cost that blew the 1M refine rung budget (r4 rehearsal)
+        rtol=1e-6, max_iterations=max(60, 2 * n_lin_it),
         use_fused_body=False)
     try:
         t0 = time.perf_counter()
@@ -908,15 +912,29 @@ def run_stages(nx, ny, nz):
     nc = nx * ny * nz
     n_rep = int(os.environ.get("BENCH_STAGE_REPS", "64"))
     lin_its = int(os.environ.get("BENCH_STAGE_LINITS", "25"))
-    # legacy split modes drive StencilCompiledModel directly -> lattice-only
-    model, comp, state0, params, forces = build(nx, ny, nz, well_models=False)
-    sc = StencilCompiledModel(comp)
+    # BENCH_STAGE_WELLS=1: stage the BORDERED well-model engine (r4: the
+    # flagship's well models cost ~+33 ms/Newton at 131k, ~+68 at 1M —
+    # this mode attributes it: bordered assembly vs lattice assembly,
+    # Schur matvec vs lattice matvec, full bordered iteration)
+    wells_stage = os.environ.get("BENCH_STAGE_WELLS") == "1"
+    model, comp, state0, params, forces = build(nx, ny, nz,
+                                                well_models=wells_stage)
+    if wells_stage:
+        from jutul.jl_tpu.ops.stencil_wells import (
+            BorderedStencilModel,
+            schur_eliminate,
+        )
+
+        sc = BorderedStencilModel(comp)
+    else:
+        sc = StencilCompiledModel(comp)
     gmg = GMG(n_smooth=2, n_coarse_sweeps=12, min_cells=16384)
     cpr = StencilCPR(gmg=gmg)
     st = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in state0.items()}
     pr = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
     dt = 3600.0
-    n = sc.n_cells
+    # lattice row count (bordered engine: wells live past nc)
+    n = sc.nc if wells_stage else sc.n_cells
     neq, ndof = sc.neq, sc.ndof
 
     def norm_feed(v):
@@ -951,18 +969,137 @@ def run_stages(nx, ny, nz):
     def prog_fixture(stage):
         def prog(state, parameters, nrep):
             full, r, A = prologue(state, parameters)
+            B = None
+            r_full = r
+            if wells_stage:
+                # bordered system: lattice stages run on the interior
+                # block; schur/iter_w stages on the Schur operator
+                B, A = A, A.A
+                r = r_full[:n]
             if stage == "assembly":
                 def body(i, carry):
                     s, acc = carry
                     fl = merge_state(s, parameters)
                     r2, A2, _ = sc.assemble(fl, full, dt, forces)
+                    d2 = (A2.A if wells_stage else A2).diag
                     s2 = dict(s)
                     s2["Pressure"] = s["Pressure"] + 1e-12 * r2[:, 0]
-                    return s2, acc + A2.diag.ravel()[0]
+                    return s2, acc + d2.ravel()[0]
                 _, out = jax.lax.fori_loop(
                     0, nrep, body, (state, jnp.float32(0.0)))
                 return out
             ps = cpr.update(A)
+            if stage in ("schur_mv", "iter_w", "iter_w2", "iter_wsc",
+                         "iter_wg", "iter_wbox"):
+                s_mv, r_schur, _bs = schur_eliminate(
+                    B, r_full,
+                    base_mv=ps.mv_A if ps.mv_A is not None else None)
+                if stage == "iter_wbox":
+                    # box-slice correction: the bench wells perforate
+                    # CONTIGUOUS vertical columns, so in the 4-D lattice
+                    # view gather/scatter become static lax.slice +
+                    # dynamic_update_slice — no scatter/gather ops to
+                    # poison the layout assignment of the Krylov chain
+                    from jutul.jl_tpu.ops.smallmat import block_inv
+                    mvb = ps.mv_A if ps.mv_A is not None else A.matvec
+                    nzl, nyl, nxl = A.L
+                    pcell = np.asarray(B.perf_cell)
+                    pwell = np.asarray(B.perf_well)
+                    Dinv = block_inv(B.D_ww)
+                    boxes = []
+                    for w in range(B.D_ww.shape[0]):
+                        idx = np.where(pwell == w)[0]
+                        cells = pcell[idx]
+                        iz = cells // (nxl * nyl)
+                        rem = cells % (nxl * nyl)
+                        iy, ix = rem // nxl, rem % nxl
+                        assert (ix == ix[0]).all() and (iy == iy[0]).all()
+                        order = np.argsort(iz)
+                        assert (np.diff(iz[order]) == 1).all()
+                        boxes.append((int(iz.min()), int(iz.max()) + 1,
+                                      int(iy[0]), int(ix[0]), idx[order]))
+                    Jbr, Jrb = B.J_br, B.J_rb
+                    def s_mv(xr):  # noqa: F811
+                        y = mvb(xr)
+                        x4 = xr.reshape(nzl, nyl, nxl, xr.shape[-1])
+                        y4 = y.reshape(nzl, nyl, nxl, y.shape[-1])
+                        for w, (z0, z1, jy, jx, idx) in enumerate(boxes):
+                            seg = x4[z0:z1, jy, jx, :]
+                            t = jnp.einsum("pij,pj->i", Jbr[idx], seg)
+                            yw = jnp.einsum("ij,j->i", Dinv[w], t)
+                            out = jnp.einsum("pij,j->pi", Jrb[idx], yw)
+                            y4 = y4.at[z0:z1, jy, jx, :].add(-out)
+                        return y4.reshape(y.shape)
+                if stage == "iter_wsc":
+                    # scatter-only probe: matvec + a CONSTANT 40-row
+                    # scatter-add per apply (no gather, no tiny einsums)
+                    mvb = ps.mv_A if ps.mv_A is not None else A.matvec
+                    pc = jnp.asarray(B.perf_cell)
+                    cst = jnp.ones((pc.shape[0], r.shape[1]), r.dtype)
+                    def s_mv(xr):  # noqa: F811
+                        return mvb(xr).at[pc].add(1e-30 * cst)
+                if stage == "iter_wg":
+                    # gather-only probe: matvec + a scalar from 40
+                    # gathered rows folded in elementwise (no scatter)
+                    mvb = ps.mv_A if ps.mv_A is not None else A.matvec
+                    pc = jnp.asarray(B.perf_cell)
+                    def s_mv(xr):  # noqa: F811
+                        g = jnp.sum(xr[pc])
+                        return mvb(xr) * (1.0 + 1e-30 * g)
+                if stage == "iter_w2":
+                    # restructured Schur correction: fused into the
+                    # matvec RESULT (no zeros+subtract passes), one-hot
+                    # matmul instead of segment_sum
+                    from jutul.jl_tpu.ops.smallmat import block_inv
+                    mvb = ps.mv_A if ps.mv_A is not None else A.matvec
+                    nw_ = B.D_ww.shape[0]
+                    Dinv = block_inv(B.D_ww)
+                    W = jax.nn.one_hot(jnp.asarray(B.perf_well), nw_,
+                                       dtype=jnp.float32)  # (np, nw)
+                    pc = jnp.asarray(B.perf_cell)
+                    def s_mv(xr):  # noqa: F811
+                        y = mvb(xr)
+                        t = jnp.einsum("pij,pj->pi", B.J_br, xr[pc])
+                        yw = jnp.einsum("wij,wj->wi", Dinv, W.T @ t)
+                        out = jnp.einsum("pij,pj->pi", B.J_rb,
+                                         W @ yw)
+                        return y.at[pc].add(-out)
+                if stage == "schur_mv":
+                    def body(i, x):
+                        return norm_feed(s_mv(x))
+                    out = jax.lax.fori_loop(0, nrep, body, -r_schur)
+                    return out.ravel()[0]
+                # iter_w: the FULL bordered BiCGStab iteration, 2-D
+                # carries (compare against iter_2d on the same worker)
+                def dot2(a, b):
+                    return jnp.sum(a * b)
+                b2 = -r_schur
+                rhat = b2
+                def body(i, carry):
+                    x, r_, p, v, rho, alpha, omega = carry
+                    rho_new = dot2(rhat, r_)
+                    beta = (rho_new / jnp.where(rho != 0, rho, 1e-30)
+                            ) * (alpha / jnp.where(omega != 0, omega,
+                                                   1e-30))
+                    p = r_ + beta * (p - omega * v)
+                    phat = cpr.apply(ps, A, p)
+                    v = s_mv(phat)
+                    denom = dot2(rhat, v)
+                    alpha = rho_new / jnp.where(denom != 0, denom,
+                                                1e-30)
+                    s = r_ - alpha * v
+                    shat = cpr.apply(ps, A, s)
+                    t = s_mv(shat)
+                    tt = dot2(t, t)
+                    omega = dot2(t, s) / jnp.where(tt != 0, tt, 1e-30)
+                    x = x + alpha * phat + omega * shat
+                    r_ = s - omega * t
+                    return (x, r_, p, v, rho_new, alpha, omega)
+                z = jnp.zeros_like(b2)
+                one = jnp.float32(1.0)
+                out = jax.lax.fori_loop(
+                    0, nrep, body, (z, b2, z, z, one, one, one))
+                return out[0].ravel()[0] + jnp.sum(out[1] * out[1])
             if stage == "cpr_update":
                 def body(i, acc):
                     sc_ = 1.0 + 1e-6 * jnp.asarray(i, jnp.float32)
@@ -1193,6 +1330,9 @@ def run_stages(nx, ny, nz):
 
     stages = ["matvec", "vcycle", "cpr_apply", "assembly", "cpr_update",
               "lin_iter", "lin_iter_xla", "lin_iter_fori"]
+    if wells_stage:
+        stages = ["assembly", "matvec", "schur_mv", "iter_2d", "iter_w",
+                  "cpr_update"]
     sel = os.environ.get("BENCH_STAGE_ONLY")
     if sel:
         stages = [s.strip() for s in sel.split(",")]
@@ -1406,9 +1546,15 @@ def _orchestrate():
     # assembly OFF): the banked rung must never die to a new Mosaic
     # path; the flagship rung runs the full product default and attests
     # the fused kernels
+    # refinement OFF in the bank worker (r4): the CPU-path refinement
+    # measured 231-281 s INSIDE the bank process — most of its 420 s
+    # budget and a hang there loses the banked JSON entirely. The 1e-8
+    # record comes from the dedicated refine rung below (flagship grid,
+    # TPU correction solves), with a small-grid fallback.
     banked, err = _run_worker(small_grid, 4, 420,
                               {"BENCH_FUSED_BODY": "0",
-                               "BENCH_ASSEMBLY": "0"})
+                               "BENCH_ASSEMBLY": "0",
+                               "BENCH_REFINE": "0"})
     if banked is not None:
         banked["tpu_worker_health"] = health
         banked["canary"] = canary_line
@@ -1466,7 +1612,11 @@ def _orchestrate():
         elapsed = time.perf_counter() - t_start
         if (flag is not None and elapsed < 10 * 60
                 and os.environ.get("BENCH_REFINE_FLAGSHIP", "1") == "1"):
-            ref, rerr = _run_worker(os.environ.get("BENCH_GRID"), 3, 480,
+            # 1-step schedule: refinement only needs ONE accepted
+            # flagship-grid step (the refined fields record their own
+            # rung's config below); the 3-step forward wasted ~40% of
+            # the rung's 480 s budget in the r4 rehearsal timeout
+            ref, rerr = _run_worker(os.environ.get("BENCH_GRID"), 1, 480,
                                     {"BENCH_REFINE": "1",
                                      "BENCH_REFINE_TPU": "1"})
             if ref is not None and "f64_refined_max_abs_residual" in ref:
@@ -1476,12 +1626,32 @@ def _orchestrate():
                 chosen["refine_converged"] = ref.get("refine_converged")
                 chosen["refine_on_tpu"] = ref.get("refine_on_tpu")
                 chosen["refine_seconds"] = ref.get("refine_seconds")
+                chosen["refine_rung_steps"] = ref.get("steps", 1)
             elif ref is not None:
                 chosen["flagship_refine"] = {
                     k: v for k, v in ref.items()
                     if k.startswith("f64_refined") or k == "refine_on_tpu"}
             else:
                 chosen["flagship_refine"] = {"failed": rerr[-300:]}
+        # fallback 1e-8 rung: if the flagship-grid refinement did not
+        # land a converged record, demonstrate it at the bank grid (the
+        # bank rung itself no longer refines — see above)
+        if (not chosen.get("refine_converged")
+                and time.perf_counter() - t_start < 14 * 60
+                and os.environ.get("BENCH_REFINE_FALLBACK", "1") == "1"):
+            ref2, rerr2 = _run_worker(small_grid, 1, 360,
+                                      {"BENCH_REFINE": "1",
+                                       "BENCH_REFINE_TPU": "1"})
+            if ref2 is not None and "f64_refined_max_abs_residual" in ref2:
+                chosen.setdefault("small_rung", {}).update({
+                    "f64_refined_max_abs_residual":
+                        ref2["f64_refined_max_abs_residual"],
+                    "refine_converged": ref2.get("refine_converged"),
+                    "refine_on_tpu": ref2.get("refine_on_tpu"),
+                    "refine_seconds": ref2.get("refine_seconds")})
+            elif ref2 is None:
+                chosen.setdefault("small_rung", {})[
+                    "refine_failed"] = rerr2[-300:]
         # adjoint-overhead rung (BASELINE metric): only with ~7 min of the
         # ~25-min driver budget left and a TPU rung already banked — the
         # headline number is never risked on it

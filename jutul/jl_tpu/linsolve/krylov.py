@@ -242,19 +242,18 @@ def resolve_bicgstab(dtype, use_fused: bool | None):
     system raises: it computes in f32 and would silently lose the
     precision the f64 conformance paths rely on.
 
-    Auto rule: fused on the TPU backend with an f32 system (the
-    configuration of the externally verified 1M-cell record), XLA chain
-    otherwise. r4 note: per-iteration stage timings comparing the fused
-    body against the XLA chain at 1M cells were inconsistent across
-    workers (a degraded-tunnel bisect showed the chain ahead; a healthy
-    rerun measured the full iteration within 4% of the bare
-    matvec/V-cycle chain, i.e. body cost is noise-level either way), so
-    the record-proven auto rule stands; BENCH_FUSED_BODY A/Bs it."""
+    Auto rule (r4): ALWAYS the XLA chain. Same-worker product A/B at the
+    1M-cell well-model flagship (2026-08-19, minutes apart, HEALTHY
+    canary): fused body 0.158 s/Newton (14.2 s device, 400 its,
+    ~35 ms/it) vs XLA chain with native 2-D carries 0.0769 s/Newton
+    (6.3 s device, 424 its, ~15 ms/it) — the fused kernels' flat-vector
+    interface forces layout conversions against the 2-D-native
+    matvec/V-cycle chain that cost far more than the dot/axpy fusion
+    saves. The Mosaic body remains available via use_fused_body=True
+    (and computes identically; it was the r3 record's configuration
+    when the solver carried flat vectors everywhere)."""
     if use_fused is None:
-        from ..dtypes import compute_platform
-
-        use_fused = (compute_platform() == "tpu"
-                     and dtype == jnp.float32)
+        use_fused = False
     elif use_fused and dtype != jnp.float32:
         raise ValueError(
             "use_fused_body=True requires an f32 system (the Mosaic "

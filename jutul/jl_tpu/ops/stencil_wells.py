@@ -401,14 +401,52 @@ class BorderedStencilModel:
         return r, B, state
 
 
+def _well_boxes(B: BorderedStencilMatrix):
+    """Static per-well lattice boxes, or None.
+
+    When every well's perforations form a contiguous VERTICAL COLUMN of
+    lattice cells (same ix/iy, consecutive iz — the standard completion
+    pattern), the per-matvec Schur correction can gather and scatter via
+    static ``lax.slice``/``dynamic_update_slice`` on the 4-D lattice
+    view instead of indexed gather/scatter ops. This matters enormously
+    on TPU: a 40-row gather OR scatter on the Krylov-carried vector
+    inside the solve loop poisons XLA's layout assignment for the whole
+    V-cycle/matvec chain — measured +4.5 ms per linear iteration at 131k
+    cells (bench stage bisect `iter_wg`/`iter_wsc`/`iter_wbox`, r4) vs
+    +0.2 ms for the box form, with identical numerics."""
+    nzl, nyl, nxl = B.A.L
+    pcell = np.asarray(B.perf_cell)
+    pwell = np.asarray(B.perf_well)
+    boxes = []
+    for w in range(B.D_ww.shape[0]):
+        idx = np.where(pwell == w)[0]
+        if idx.size == 0:
+            return None
+        cells = pcell[idx]
+        iz = cells // (nxl * nyl)
+        rem = cells % (nxl * nyl)
+        iy, ix = rem // nxl, rem % nxl
+        if not ((ix == ix[0]).all() and (iy == iy[0]).all()):
+            return None
+        order = np.argsort(iz)
+        if iz[order].size > 1 and not (np.diff(iz[order]) == 1).all():
+            return None
+        boxes.append((int(iz.min()), int(iz.max()) + 1, int(iy[0]),
+                      int(ix[0]), idx[order]))
+    return boxes
+
+
 def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None):
     """Reduce the bordered system to the reservoir Krylov space.
 
     Returns (S_matvec over (nc, ndof) vectors, r_schur (nc, neq),
     back_substitute(du_r) -> du_w). The Schur complement
-    S = A_rr − A_rw D⁻¹ A_wr is applied matrix-free (one tiny gather +
-    block solve + scatter per matvec); the well blocks are block-diagonal
-    because wellbores only couple through their own perforations."""
+    S = A_rr − A_rw D⁻¹ A_wr is applied matrix-free; the well blocks are
+    block-diagonal because wellbores only couple through their own
+    perforations. Column-completed wells apply the correction through
+    static box slices on the 4-D lattice view (see _well_boxes — the
+    generic gather/scatter form costs ~4.5 ms/iteration of TPU layout
+    poisoning); arbitrary completions fall back to gather/scatter."""
     nc = B.A.n
     nw = B.D_ww.shape[0]
     rr, rw = r[:nc], r[nc:]
@@ -425,9 +463,25 @@ def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None):
         return jnp.zeros_like(rr).at[B.perf_cell].add(out)
 
     mv = base_mv if base_mv is not None else B.A.matvec
+    boxes = _well_boxes(B)
+    if boxes is not None:
+        nzl, nyl, nxl = B.A.L
+        Jbr, Jrb = B.J_br, B.J_rb
 
-    def s_matvec(xr):
-        return mv(xr) - correction(xr)
+        def s_matvec(xr):
+            y = mv(xr)
+            x4 = xr.reshape(nzl, nyl, nxl, xr.shape[-1])
+            y4 = y.reshape(nzl, nyl, nxl, y.shape[-1])
+            for w, (z0, z1, jy, jx, idx) in enumerate(boxes):
+                seg = x4[z0:z1, jy, jx, :]  # (ncomp, ndof) static slice
+                t = jnp.einsum("pij,pj->i", Jbr[idx], seg)
+                yw = jnp.einsum("ij,j->i", Dinv[w], t)
+                out = jnp.einsum("pij,j->pi", Jrb[idx], yw)
+                y4 = y4.at[z0:z1, jy, jx, :].add(-out)
+            return y4.reshape(y.shape)
+    else:
+        def s_matvec(xr):
+            return mv(xr) - correction(xr)
 
     yw0 = jnp.einsum("wij,wj->wi", Dinv, rw)  # D⁻¹ r_w
     r_schur = rr - jnp.zeros_like(rr).at[B.perf_cell].add(
