@@ -1471,20 +1471,21 @@ def _orchestrate():
        a short execution; measured r3), then the CPU fallback (honestly
        labeled). No rest+re-probe: a 4-min settle never recovered a
        hung worker in any r2/r3 measurement.
-    1. BANK a small known-survivable TPU result first (131k cells, ~2-4
-       min incl. compile + the 1e-8 refinement record) while the worker
-       is fresh — measured r2: crash probability grows with execution
-       length and worker session age, and a crashed worker can HANG the
-       NEXT execution until its timeout, so the cheap rung must go first.
+    1. BANK a small known-survivable TPU result first (131k cells, ~2
+       min incl. compile; no in-process refinement — r4 moved the 1e-8
+       record to its own rung) while the worker is fresh — measured r2:
+       crash probability grows with execution length and worker session
+       age, and a crashed worker can HANG the NEXT execution until its
+       timeout, so the cheap rung must go first.
     2. Then attempt the 1M flagship with a hard cap; emit the flagship
        result if it lands, else the banked one (degraded-labeled).
     3. CPU fallback only if both TPU rungs fail.
 
-    Worst case ~23 min; no inter-rung sleeps — the banked result means
-    a crashed 1M attempt costs nothing extra. When the healthy path lands
-    with budget to spare, a 4th rung measures the BASELINE metric's
-    'adjoint overhead' (adjoint-to-forward wall ratio) at 65k cells and
-    rides along in the emitted record."""
+    No inter-rung sleeps — the banked result means a crashed 1M attempt
+    costs nothing extra. When the healthy path lands with budget to
+    spare, follow-on rungs ride along in judged-value order: the 1M
+    adjoint (+ small dot-test rung), the flagship-grid 1e-8 refinement
+    (+ small-grid fallback), then the stage split — worst case ~24 min."""
     t_start = time.perf_counter()
     errors = []
 
