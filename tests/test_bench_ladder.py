@@ -1,0 +1,95 @@
+"""Orchestrator-level tests for the bench ladder (bench.py).
+
+The ladder's rung ORDER and record-merging logic are product behavior
+for the driver artifact (one JSON line per run): the proven rungs must
+run before the unproven ones so an overrun cannot starve them, and
+every follow-on rung's fields must merge into the chosen record. The
+workers are stubbed — no device contact.
+"""
+
+import importlib.util
+import io
+import contextlib
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench_mod():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _fake_worker(calls, refine_converges=True):
+    def fake(grid, n_step, timeout_s, extra_env=None):
+        env = extra_env or {}
+        mode = env.get("BENCH_MODE", "product")
+        tag = ("adjoint" if mode == "adjoint" else
+               "stages" if mode == "stages" else
+               "refine" if env.get("BENCH_REFINE") == "1" else "product")
+        calls.append((tag, grid, n_step))
+        if tag == "adjoint":
+            return {"value": 0.62, "cells": 1048576,
+                    "adjoint_seconds": 7.0, "forward_seconds": 15.0,
+                    "adjoint_compile_sweep_seconds": 35.0,
+                    "newton_iterations": 30, "adjoint_states_exact": True,
+                    "grad_trans_max_abs": 1.0, "adjoint_lambda_solver": "x",
+                    "grad_dot_test_rel_err": 1e-7}, None
+        if tag == "refine":
+            if not refine_converges:
+                return None, "timeout after 480s"
+            return {"f64_refined_max_abs_residual": 5e-9,
+                    "refine_sweeps": 3, "refine_converged": True,
+                    "refine_on_tpu": True, "refine_seconds": 120.0}, None
+        if tag == "stages":
+            return {"stages_ms_per_call": {"matvec": 1.0},
+                    "value": 1.0}, None
+        return {"metric": "m", "value": 6.6e6, "unit": "u",
+                "vs_baseline": 2.7,
+                "cells": 1048576 if grid is None else 131072,
+                "seconds_per_newton": 0.077}, None
+    return fake
+
+
+def _run_ladder(bench, calls, **kw):
+    bench._run_worker = _fake_worker(calls, **kw)
+    bench._probe_canary = lambda: ("HEALTHY", "canary ok")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._orchestrate()
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def test_ladder_order_adjoint_before_refine(bench_mod):
+    calls = []
+    out = _run_ladder(bench_mod, calls)
+    order = [c[0] for c in calls]
+    assert order[:2] == ["product", "product"]  # bank, then flagship
+    assert order.index("adjoint") < order.index("refine")
+    assert out["adjoint_rung"]["value"] == 0.62
+    assert out["f64_refined_max_abs_residual"] == 5e-9
+    assert out["refine_converged"] is True
+    # the adjoint rung carried its own dot test -> no extra dot rung
+    assert "dot_test" not in out["adjoint_rung"]
+    assert "stage_split" in out
+
+
+def test_ladder_refine_fallback_on_flagship_refine_failure(bench_mod):
+    calls = []
+    out = _run_ladder(bench_mod, calls, refine_converges=False)
+    # flagship refine failed -> fallback small-grid refine rung fires,
+    # which also fails here -> failure recorded, ladder still emits
+    refines = [c for c in calls if c[0] == "refine"]
+    assert len(refines) == 2
+    assert refines[1][1] is not None  # fallback names the small grid
+    assert "flagship_refine" in out
+    assert out["small_rung"]["refine_failed"]
+    assert out["adjoint_rung"]["value"] == 0.62  # adjoint unaffected
