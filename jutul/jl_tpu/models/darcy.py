@@ -419,6 +419,15 @@ class PressureBoundaryCondition(JutulForce):
         self.trans = trans  # (ns,) half-face trans to boundary
         self.saturations = saturations  # inflow saturations (ns, nph)
 
+    def shift_pressure_datum(self, p_ref):
+        """Boundary pressure is absolute — rebase it with the cell
+        pressures (JutulForce.shift_pressure_datum protocol)."""
+        import copy as _copy
+
+        g = _copy.copy(self)
+        g.pressure = self.pressure - p_ref
+        return g
+
     def _flux_one(self, model, p, mob, rho, pb, T, s_in=None):
         """Boundary out-flux for ONE cell: p scalar, mob/rho/s_in (nph,)."""
         dp = p - pb  # > 0: outflow

@@ -35,6 +35,17 @@ class JutulForce:
     def diagonal_jacobian(self, model, eq, eq_name, compiled, state, dt):
         return None
 
+    def shift_pressure_datum(self, p_ref):
+        """Return a copy of this force with any ABSOLUTE pressures it
+        carries shifted by ``-p_ref`` (mixed-precision refinement rebases
+        pressures so f32 correction Jacobians resolve Δp near equilibrium;
+        see Simulator.refine_solution). Forces holding no absolute pressure
+        return self. Any force type introducing an absolute-pressure field
+        MUST override this — refinement relies on it (ADVICE r4: the old
+        hasattr duck-typing silently skipped unknown force types and
+        reintroduced the measured ~1e-7 f32 refinement stall)."""
+        return self
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass

@@ -39,6 +39,19 @@ Vectors are processed as (R, 128) tiles (R a multiple of 8, zero
 padded); zero padding is preserved by every update, and contributes
 nothing to the dots. All reductions accumulate f32 per 128-lane block
 then sum, matching the XLA chain's f32 semantics to roundoff.
+
+VERIFICATION CAVEAT (ADVICE r4): the phase-masked held-window scheme
+(junk writes into held block-0 output windows, ph2 replay from
+x0_save/r0_save scratch) depends on Mosaic pipeline fetch/flush-skip
+semantics for consecutive equal block indices. CI exercises only
+interpret mode (tests/test_fused_krylov.py, interpret=True), which does
+NOT model those pipeline semantics — a Mosaic regression here would
+surface only on real TPU hardware. For that reason the fused body is
+OPT-IN (resolve_bicgstab defaults to the shape-generic XLA chain,
+linsolve/krylov.py) and MUST NOT be re-enabled as a default without a
+same-worker product A/B attestation in the bench record (the r3/r4
+protocol, docs/tpu.md): run the flagship rung fused vs unfused on one
+worker and require bit-identical convergence histories.
 """
 from __future__ import annotations
 

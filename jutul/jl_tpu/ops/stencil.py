@@ -131,7 +131,11 @@ def _warn_compile_pathology_shape(nx, ny, nz):
         on_tpu = compute_platform() == "tpu"
     except Exception:
         on_tpu = False
-    if on_tpu and n >= 2 ** 20 and nx < max(ny, nz, 256):
+    # Only the documented signature warns: x extent strictly smaller than
+    # another dimension (ADVICE r4: `nx < 256` alone fired even when the
+    # dims were already in the suggested largest-on-x order, e.g.
+    # (200,100,60), making the suggestion a no-op false positive).
+    if on_tpu and n >= 2 ** 20 and nx < max(ny, nz):
         import warnings
 
         dims = tuple(sorted((nx, ny, nz), reverse=True))

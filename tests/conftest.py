@@ -17,8 +17,30 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The ambient axon TPU plugin ignores the env var, so set the config flag too
 # (must happen before any backend initialization).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True)
+def _guard_x64_config():
+    """Fail loudly if a test leaks a flipped jax_enable_x64 flag.
+
+    The whole suite assumes f64 (FD gradient checks, exactness asserts,
+    f64-only index paths). A process-global x64 flip leaking from one test
+    silently poisons every later test file — round 4 shipped exactly this
+    bug (bench.py's import-time flip execed by the ladder tests broke
+    113/300 tests). This guard turns any future leak into ONE clear failure
+    at the offending test instead of a hundred confusing ones downstream.
+    """
+    yield
+    if not jax.config.jax_enable_x64:
+        # Restore before failing so only the leaking test fails.
+        jax.config.update("jax_enable_x64", True)
+        pytest.fail(
+            "test leaked jax_enable_x64=False into the process-global JAX "
+            "config; snapshot/restore the flag inside the test"
+        )

@@ -21,11 +21,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.fixture()
 def bench_mod():
+    # Snapshot process-global JAX config: bench.py is a benchmark entry point
+    # and must never be able to poison the rest of the suite via import-time
+    # side effects (the round-4 x64 leak broke 113 tests this way).
+    import jax
+
+    x64_before = jax.config.jax_enable_x64
     spec = importlib.util.spec_from_file_location(
         "bench_under_test", os.path.join(REPO, "bench.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod
+    yield mod
+    jax.config.update("jax_enable_x64", x64_before)
 
 
 def _fake_worker(calls, refine_converges=True):
@@ -80,6 +87,25 @@ def test_ladder_order_adjoint_before_refine(bench_mod):
     # the adjoint rung carried its own dot test -> no extra dot rung
     assert "dot_test" not in out["adjoint_rung"]
     assert "stage_split" in out
+
+
+def test_ladder_sick_path_attempts_adjoint_micro_rung(bench_mod):
+    """A hung worker must not erase the BASELINE adjoint-overhead metric:
+    after the sick bank rung lands, a cheap adjoint micro-rung rides along
+    (VERDICT r4 item 2)."""
+    calls = []
+    bench_mod._run_worker = _fake_worker(calls)
+    bench_mod._probe_canary = lambda: ("HUNG", "canary: HUNG")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench_mod._orchestrate()
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    order = [c[0] for c in calls]
+    assert order == ["product", "adjoint"]  # sick bank, then micro-adjoint
+    assert out["degraded"] == "tpu_worker_hung"
+    assert out["adjoint_rung"]["value"] == 0.62
+    assert out["adjoint_rung"]["degraded"] == "tpu_worker_hung"
+    assert out["adjoint_overhead"] == 0.62
 
 
 def test_ladder_refine_fallback_on_flagship_refine_failure(bench_mod):
