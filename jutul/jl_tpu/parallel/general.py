@@ -58,7 +58,8 @@ class GeneralDecomposition:
     """
 
     def __init__(self, mesh, partition: np.ndarray, n_devices: int,
-                 stencil: np.ndarray | None = None):
+                 stencil: np.ndarray | None = None,
+                 extra_adjacency: np.ndarray | None = None):
         self.n_devices = D = int(n_devices)
         part = np.asarray(partition, dtype=np.int64)
         nc = mesh.number_of_cells()
@@ -74,6 +75,15 @@ class GeneralDecomposition:
         self.stencil = stencil  # global (nf, K); the distributed CPR's
         self.neighbors = neighbors  # coarse-operator setup reads these
 
+        # extra (row_cell, read_cell) adjacency beyond the face stencils:
+        # non-face couplings (e.g. MultiModel cross-terms INTERNAL to the
+        # partitioned model, reference crossterm.jl:3-660 under
+        # dd/subdomains.jl) make read_cell a ghost on row_cell's owner so
+        # the ordinary halo exchange delivers its state/dofs.
+        ea = (np.asarray(extra_adjacency, dtype=np.int64).reshape(-1, 2)
+              if extra_adjacency is not None and len(extra_adjacency)
+              else None)
+
         own_lists = [np.flatnonzero(part == d) for d in range(D)]
         ghost_lists = []
         face_lists = []
@@ -84,8 +94,12 @@ class GeneralDecomposition:
             faces_d = np.flatnonzero(touch)
             face_lists.append(faces_d)
             cells_touched = np.unique(stencil[faces_d].reshape(-1))
-            ghost_lists.append(
-                cells_touched[~own_mask[cells_touched]])
+            ghosts = cells_touched[~own_mask[cells_touched]]
+            if ea is not None:
+                reads = np.unique(ea[own_mask[ea[:, 0]], 1])
+                ghosts = np.unique(np.concatenate(
+                    [ghosts, reads[~own_mask[reads]]]))
+            ghost_lists.append(ghosts)
 
         self.n_own_max = max(1, max(len(o) for o in own_lists))
         self.n_ghost_max = max(1, max(len(g) for g in ghost_lists))
@@ -237,7 +251,8 @@ class GeneralDistributedSimulator:
     def __init__(self, mesh, system, device_mesh: Mesh, partition=None,
                  axis: str = "d", parameters: dict | None = None,
                  data_fields: dict | None = None,
-                 halo_mode: str = "auto", model=None):
+                 halo_mode: str = "auto", model=None,
+                 extra_adjacency=None):
         self.axis = axis
         self.device_mesh = device_mesh
         D = device_mesh.devices.size
@@ -321,7 +336,8 @@ class GeneralDistributedSimulator:
             mesh, partition, D,
             stencil=(np.concatenate(
                 [np.asarray(c.stencil) for _sl, c in self.flux_cons],
-                axis=1) if self.flux_cons else None))
+                axis=1) if self.flux_cons else None),
+            extra_adjacency=extra_adjacency)
         dec = self.dec
 
         # per-shard parameter stacks
