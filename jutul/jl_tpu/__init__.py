@@ -108,10 +108,16 @@ from .simulator.timesteps import (
 )
 from .adjoint.dict_opt import (
     DictParameters,
+    DictParametersSampler,
     free_optimization_parameter,
     freeze_optimization_parameter,
     optimize,
     parameters_gradient,
+)
+from .simulator.distance_functions import (
+    compute_distance,
+    nonconverged_equations,
+    scaled_residual_norm,
 )
 from .adjoint.gradients import (
     AdjointStorage,

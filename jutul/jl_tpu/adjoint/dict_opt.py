@@ -251,3 +251,71 @@ def parameters_gradient(dopt: DictParameters, objective,
                         setup_function=None, sim_kwargs=None):
     """Free-function form of :meth:`DictParameters.parameters_gradient`."""
     return dopt.parameters_gradient(objective, setup_function, sim_kwargs)
+
+
+class DictParametersSampler:
+    """Sampling/uncertainty-quantification helper over a
+    :class:`DictParameters` free set (reference:
+    src/DictOptimization/uq.jl + the ``DictParametersSampler`` struct,
+    types.jl:123-147).
+
+    ``sampler(x)`` simulates the case built from the unit-box vector
+    ``x`` (same parameterization as ``optimize``: every free parameter
+    mapped through its scaler/limits) and returns
+    ``output_function(case, states, reports)``; with an ``objective`` it
+    returns ``{"output": ..., "objective": ...}``. A matrix ``x``
+    (n_params, n_samples) simulates each column — the reference's
+    ensemble loop — returning a list."""
+
+    def __init__(self, dopt: DictParameters, output_function=None,
+                 objective=None, sim_kwargs: dict | None = None):
+        if not dopt.free:
+            raise ValueError("no free parameters to sample over")
+        if dopt.setup_function is None:
+            raise ValueError("DictParameters needs a setup_function")
+        self.dopt = dopt
+        self.output_function = (output_function if output_function
+                                is not None
+                                else (lambda case, states, reports: states))
+        self.objective = objective
+        self.sim_kwargs = sim_kwargs or {}
+
+    def n_parameters(self) -> int:
+        return self.dopt.vectorize().size
+
+    def sample_prior(self, n_samples: int, rng=None) -> np.ndarray:
+        """(n_params, n_samples) uniform unit-box samples around the
+        current parameters' feasible box."""
+        rng = np.random.default_rng(rng)
+        return rng.uniform(0.0, 1.0, (self.n_parameters(), n_samples))
+
+    def __call__(self, x: np.ndarray, info_level: int = 1):
+        from ..simulator.simulator import simulate
+
+        x = np.asarray(x, dtype=np.float64)
+        if x.ndim == 2:
+            out = []
+            for i in range(x.shape[1]):
+                if info_level > 0:
+                    print(f"Simulating parameter set {i + 1}/{x.shape[1]}")
+                out.append(self(x[:, i], info_level=0))
+            return out
+        params = self.dopt.devectorize(x)
+        case = self.dopt.setup_function(params)
+        states, reports = simulate(
+            dict(case.state0), case.model, case.dt, forces=case.forces,
+            parameters=case.parameters, info_level=-1, **self.sim_kwargs)
+        qoi = self.output_function(case, states, reports)
+        if self.objective is None:
+            return qoi
+        import jax.numpy as jnp
+
+        total = 0.0
+        for n_step, st in enumerate(states):
+            dt = float(case.dt[n_step])
+            f = (case.forces[n_step] if isinstance(case.forces, list)
+                 else case.forces)
+            total += float(self.objective(
+                case.model, {k: jnp.asarray(v) for k, v in st.items()},
+                dt, n_step, f))
+        return {"output": qoi, "objective": total}

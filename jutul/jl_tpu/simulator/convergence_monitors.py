@@ -48,19 +48,44 @@ def detect_oscillation(errors: list[float], window: int = 4) -> bool:
 class ConvergenceMonitorCuttingCriterion:
     """Early-abort criterion (reference cutting_criterions.jl:57).
 
-    ``__call__(errors, it, max_it) -> True`` requests an immediate timestep
-    cut. The ministep is declared hopeless when the extrapolated iteration
-    count ``log(target/e) / log(theta)`` exceeds the remaining budget by
-    ``slack``.
+    ``__call__(errors, it, max_it, residuals=None) -> True`` requests an
+    immediate timestep cut. The ministep is declared hopeless when the
+    extrapolated iteration count ``log(target/e) / log(theta)`` exceeds
+    the remaining budget by ``slack``.
+
+    ``distance_function``/``mapping`` (reference distance-function menu,
+    distance_functions.jl:8-51): when given, the monitored scalar is
+    ``1 + compute_distance(residuals, distance_function, mapping)``
+    instead of the default worst scaled error — e.g.
+    ``scaled_residual_norm`` + ``max`` reproduces the default, while
+    ``nonconverged_equations`` + ``sum`` monitors the count of
+    non-converged criteria. The simulator passes the per-criterion
+    scaled-residual dict as the 4th argument.
     """
 
     def __init__(self, min_iterations: int = 4, slack: float = 1.5,
-                 max_contraction: float = 0.95):
+                 max_contraction: float = 0.95, distance_function=None,
+                 mapping=max):
         self.min_iterations = min_iterations
         self.slack = slack
         self.max_contraction = max_contraction
+        self.distance_function = distance_function
+        self.mapping = mapping
+        self._dist_hist: list[float] = []
 
-    def __call__(self, errors: list[float], it: int, max_it: int) -> bool:
+    def __call__(self, errors: list[float], it: int, max_it: int,
+                 residuals: dict | None = None) -> bool:
+        if self.distance_function is not None and residuals is not None:
+            from .distance_functions import compute_distance
+
+            if len(errors) <= 1:
+                self._dist_hist = []  # new ministep: errors restarted
+            d, _names = compute_distance(residuals, self.distance_function,
+                                         self.mapping)
+            # 1 + d keeps the convergence target at 1.0 (d == 0 converged),
+            # so the same contraction/extrapolation machinery applies
+            self._dist_hist.append(1.0 + d)
+            errors = self._dist_hist
         if it < self.min_iterations or not errors:
             return False
         theta = compute_contraction_factor(errors)

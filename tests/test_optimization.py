@@ -147,6 +147,52 @@ def test_dict_parameters_lbfgsb_optimizer():
     assert np.allclose(best["K"], truth, rtol=0.05)
 
 
+def test_dict_parameters_sampler():
+    """DictParametersSampler UQ helper (reference uq.jl + types.jl:123):
+    ensemble simulation over the unit-box parameterization, with and
+    without an objective."""
+    from jutul.jl_tpu.adjoint.dict_opt import (
+        DictParameters,
+        DictParametersSampler,
+    )
+
+    nx = 6
+    case = _poisson_case(nx=nx)
+
+    def setup(params):
+        c = _poisson_case(nx=nx)
+        c.parameters["K"] = np.asarray(params["K"])
+        return c
+
+    dopt = DictParameters({"K": case.parameters["K"]}, setup, verbose=False)
+    dopt.free_optimization_parameter("K", abs_min=0.5, abs_max=20.0)
+
+    sampler = DictParametersSampler(
+        dopt, output_function=lambda c, states, reports:
+        np.asarray(states[-1]["U"]))
+    x = dopt.vectorize()
+    out = sampler(x, info_level=0)
+    assert out.shape == (nx,) and np.all(np.isfinite(out))
+
+    # ensemble: column-per-sample matrix, like the reference's loop
+    X = sampler.sample_prior(3, rng=0)
+    assert X.shape == (dopt.vectorize().size, 3)
+    outs = sampler(X, info_level=0)
+    assert len(outs) == 3
+    # distinct samples -> distinct fields
+    assert not np.allclose(outs[0], outs[1])
+
+    def G(model, state, dt, n, forces):
+        return dt * jnp.sum(state["U"] ** 2)
+
+    sampler_obj = DictParametersSampler(
+        dopt, output_function=lambda c, s, r: np.asarray(s[-1]["U"]),
+        objective=G)
+    res = sampler_obj(x, info_level=0)
+    assert set(res) == {"output", "objective"}
+    assert np.isfinite(res["objective"])
+
+
 def test_unit_box_bfgs_linear_equality():
     """Sum-to-one equality constraint (reference lin_eq,
     constrained_optimizer.jl:62-96): minimize ||x - t||^2 s.t. sum x = 1.

@@ -87,6 +87,65 @@ def test_monitor_relaxation():
     assert w < 1.0
 
 
+def test_distance_function_menu():
+    """Reference ConvergenceMonitors distance functions
+    (distance_functions.jl:8-51 + utils.jl flatten_dict)."""
+    from jutul.jl_tpu.simulator.distance_functions import (
+        compute_distance,
+        flatten_dict,
+        get_model_residuals,
+        nonconverged_equations,
+        scaled_residual_norm,
+    )
+
+    crit = {"mass_conservation": {"CNV": np.asarray([2e-3, 5e-4]),
+                                  "MB": np.asarray(5e-7)}}
+    tol = {"CNV": 1e-3, "MB": 1e-6}
+    res = get_model_residuals(crit, lambda eq, c: tol[c])
+    assert res["mass_conservation"]["CNV"] == pytest.approx(2.0)
+    assert res["mass_conservation"]["MB"] == pytest.approx(0.5)
+    vals, names = flatten_dict(res)
+    assert set(names) == {"mass_conservation.CNV", "mass_conservation.MB"}
+    d, _ = compute_distance(res)  # default: scaled_residual_norm + max
+    assert d == pytest.approx(1.0)  # max(2.0 - 1, 0.5 - 1 -> 0)
+    dn, _ = compute_distance(res, nonconverged_equations, sum)
+    assert dn == pytest.approx(1.0)  # one criterion not converged
+    sv, _ = scaled_residual_norm(res)
+    assert sorted(sv) == pytest.approx([0.0, 1.0])
+    # converged residuals -> zero distance under both menus
+    res_ok = {"mass_conservation": {"CNV": 0.5, "MB": 0.1}}
+    assert compute_distance(res_ok)[0] == 0.0
+    assert compute_distance(res_ok, nonconverged_equations, sum)[0] == 0.0
+
+
+def test_cutting_criterion_with_distance_function():
+    """The monitor accepts a distance-function menu entry and decides from
+    its own distance history (reference cutting_criterions.jl:57 composed
+    with distance_functions.jl)."""
+    from jutul.jl_tpu.simulator.distance_functions import (
+        scaled_residual_norm,
+    )
+
+    crit = ConvergenceMonitorCuttingCriterion(
+        min_iterations=3, distance_function=scaled_residual_norm,
+        mapping=max)
+    stagnant = [{"eq": {"CNV": 100.0 - i}} for i in range(5)]
+    errors = []
+    fired = False
+    for i, res in enumerate(stagnant):
+        errors.append(float(res["eq"]["CNV"]))
+        fired = crit(errors, i + 1, 15, res)
+    assert fired  # ~1/iteration off 100 cannot land in 15
+    crit2 = ConvergenceMonitorCuttingCriterion(
+        min_iterations=3, distance_function=scaled_residual_norm,
+        mapping=max)
+    converging = [{"eq": {"CNV": v}} for v in [100.0, 10.0, 2.0, 1.1]]
+    errors = []
+    for i, res in enumerate(converging):
+        errors.append(float(res["eq"]["CNV"]))
+        assert not crit2(errors, i + 1, 15, res)
+
+
 def heat_model(n=10):
     g = CartesianMesh((n,), (1.0,))
     model = SimulationModel(DataDomain(g), SimpleHeatSystem())
