@@ -396,6 +396,15 @@ def _refine_record(sim, result, forces, n_lin_it, tol=1e-8):
         # Krylov cost that blew the 1M refine rung budget (r4 rehearsal)
         rtol=1e-6, max_iterations=max(60, 2 * n_lin_it),
         use_fused_body=False)
+    # phase0: at flagship scale the f32 correction sweeps stall ~2e-6 on
+    # the stiff well-control rows AND cost 114-154 s each in tunnel
+    # transfers, while ONE f64 CPU polish sweep gains two digits in
+    # ~103 s (measured r5 rehearsal: f32,f32,f64,f64 path converged to
+    # 9.7e-10 in 474 s; f64-first fits the 560 s rung) — skip straight
+    # to the f64 polish at >= 512k cells.
+    nc = int(np.asarray(final["Pressure"]).shape[0])
+    phase0 = os.environ.get(
+        "BENCH_REFINE_PHASE0", "f64" if nc >= 512 * 1024 else "auto")
     try:
         t0 = time.perf_counter()
         with jax.default_device(cpu):
@@ -403,11 +412,12 @@ def _refine_record(sim, result, forces, n_lin_it, tol=1e-8):
                 final, start, result.final_ministep_dt, forces=forces,
                 tol=tol, max_refine=8, solver=solver,
                 solve_device=solve_device, f64_solver=f64_solver,
-                info_level=1)
+                info_level=1, phase0=phase0)
         return {"f64_refined_max_abs_residual": info["f64_max_abs_residual"],
                 "refine_sweeps": info["sweeps"],
                 "refine_converged": bool(info["converged"]),
                 "refine_on_tpu": bool(on_tpu),
+                "refine_phase0": phase0,
                 "refine_seconds": round(time.perf_counter() - t0, 1)}
     except Exception as e:  # never let the 1e-8 demo kill the perf record
         return {"f64_refined": f"failed: {type(e).__name__}: {e}"}
@@ -1692,7 +1702,11 @@ def _orchestrate():
         if (flag is not None
                 and time.perf_counter() - t_start < 14 * 60
                 and os.environ.get("BENCH_REFINE_FLAGSHIP", "1") == "1"):
-            ref, rerr = _run_worker(os.environ.get("BENCH_GRID"), 1, 480,
+            # 560 s cap (was 480): the r5 rehearsal measured forward+
+            # compile+upload ~130-270 s (tunnel-state dependent) plus
+            # ~205 s for the two f64 polish sweeps the f64-first path
+            # needs — 480 s died to a slow-upload day, 560 s fits it
+            ref, rerr = _run_worker(os.environ.get("BENCH_GRID"), 1, 560,
                                     {"BENCH_REFINE": "1",
                                      "BENCH_REFINE_TPU": "1"})
             if ref is not None and "f64_refined_max_abs_residual" in ref:
