@@ -484,8 +484,9 @@ def run_product(nx, ny, nz, n_lin_it):
     use_fused = None if fused_env is None else fused_env == "1"
     gmg = GMG(
         n_smooth=n_smooth,
-        n_coarse_sweeps=12,
+        n_coarse_sweeps=int(os.environ.get("BENCH_GMG_COARSE", "12")),
         min_cells=int(os.environ.get("BENCH_GMG_MIN_CELLS", "16384")),
+        coarsen_factor=int(os.environ.get("BENCH_GMG_F", "2")),
         use_pallas=use_pallas,
         # TPU A/B at 1M (2026-08-18, same worker back-to-back):
         # jacobi 0.104 s/Newton (82 N / 330 its, 4.02 its/N) vs

@@ -440,13 +440,20 @@ class GeneralDistributedMultiModel:
     # -- the coupled SPMD assembly ------------------------------------------
     def _coupled_system(self, ms_own, ms0_own, ss, ss0, cp, fp, tabs,
                         cttabs, ittabs, q1, bc1, sforces, dt, with_jac=True,
-                        with_crit=True):
+                        with_crit=True, small_params=None, mode="psum"):
         """Assemble the coupled residual (and Jacobian pieces) on this
         shard. Replicated small-model quantities are identical on every
         shard; cross-term contributions to them are psum-reduced. Returns
         a pytree of ARRAYS only (it rides the Newton while_loop carry;
         matvec/preconditioner closures are rebuilt from the static
-        tables), plus the crit dict when requested."""
+        tables), plus the crit dict when requested.
+
+        ``small_params`` overrides ``self.small_params`` with TRACED
+        values (the adjoint differentiates the residual wrt them).
+        ``mode="local"`` skips every psum and returns the shard-LOCAL
+        pieces split as ``(r_m, r_s_base, r_s_extra_local)`` — the
+        adjoint's vjp pulls need the pre-reduction local map (the true
+        small residual is ``r_s_base + psum(r_s_extra_local)``)."""
         gen = self.gen
         comp_m = gen.comp
         ax = self.axis
@@ -456,10 +463,12 @@ class GeneralDistributedMultiModel:
         r_m = sys["r_own"]  # (nom, neq_m), masked
         am = sys["am"]
 
+        if small_params is None:
+            small_params = self.small_params
         # small models (replicated): residual + coupled small Jacobian
-        merged = {n: merge_state(ss[n], self.small_params[n])
+        merged = {n: merge_state(ss[n], small_params[n])
                   for n in self.small_names}
-        merged0 = {n: merge_state(ss0[n], self.small_params[n])
+        merged0 = {n: merge_state(ss0[n], small_params[n])
                    for n in self.small_names}
         r_s, J_s, full_s = self.small_comp.assemble(
             merged, merged0, dt, sforces, with_jacobian=with_jac)
@@ -527,6 +536,9 @@ class GeneralDistributedMultiModel:
                             -ws[:, None, None] * jac_s)
                     int_blocks.append((jac_t, jac_s))
 
+        if mode == "local":
+            # shard-local pieces for the adjoint's vjp pulls (no psum)
+            return r_m * am, r_s, r_s_extra
         # replicate the sharded small-row contributions
         r_s_extra = {n: jax.lax.psum(v, ax) for n, v in r_s_extra.items()}
         r_s_tot = {n: r_s[n] + r_s_extra[n] for n in r_s}

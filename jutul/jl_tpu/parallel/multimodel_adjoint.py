@@ -1,0 +1,477 @@
+"""Distributed discrete adjoint for the distributed MultiModel engine.
+
+Counterpart of the reference's multimodel adjoint (reference:
+src/ad/gradients.jl:17-284 over MultiModel storage, multimodel
+cross-term Jacobian transposes via the same dual machinery) composed
+with its MPI domain decomposition (ext/JutulPartitionedArraysExt/) —
+here: one jitted SPMD program per backward ministep over the
+``GeneralDistributedMultiModel`` layout (partitioned main + replicated
+smalls + shard-owned cross-terms).
+
+The transposed coupled operator is assembled from the SAME pieces the
+forward Krylov solve uses:
+
+- ``A_mm^T`` is ``jax.linear_transpose`` of the main-block SpMV
+  (accumulation diagonal + face blocks + main-internal cross-term
+  blocks; the packed halo exchange transposes to the exact reverse
+  exchange);
+- the mixed coupling transposes are hand-written mirrors of
+  ``_apply_ms``/``_apply_sm`` with the per-connection Jacobian blocks
+  transposed — ``(A_ms)^T`` psums main-row cotangents into the
+  replicated small dofs, ``(A_sm)^T`` gathers replicated small-row
+  cotangents into owned main rows;
+- the replicated small block transposes densely (``E^T``, LU-factored
+  once per step).
+
+Parameter cotangents are per-shard ``jax.vjp`` pulls of the shard-LOCAL
+coupled residual (``_coupled_system(mode="local")``): main cell/face
+cotangents route home exactly as in the single-model general adjoint;
+replicated small-parameter cotangents combine as
+``base + psum(full - base)`` — the small models' own residual is
+evaluated identically on every shard (count once) while each cross-term
+connection lives on exactly one shard (psum).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..linsolve.krylov import bicgstab
+from ..ops.smallmat import block_inv, bmv
+
+
+class GeneralDistributedMultiModelAdjoint:
+    """Adjoint sweeps over a ``GeneralDistributedMultiModel``."""
+
+    def __init__(self, dmm):
+        self.dmm = dmm
+
+    # ------------------------------------------------------------------
+    def _local_G(self, G, u_m, u_s, cp, sp, dt, n, am, forces):
+        """Shard-local objective: main part over owned alive cells
+        (summed over shards by construction of G as a cell sum), small
+        part replicated (identical on every shard, counted once)."""
+        dmm = self.dmm
+        comp_m = dmm.gen.comp
+        nom = dmm.gen.dec.n_own_max
+        st_m = {**comp_m.unpack_dofs(u_m),
+                **{k: v[:nom] for k, v in cp.items()}}
+        st_m = comp_m._eval_secondaries_local(st_m)
+        st_m = {k: (v * am if (hasattr(v, "ndim") and v.ndim == 2)
+                    else (v * am[:, 0] if hasattr(v, "ndim")
+                          and v.ndim == 1 else v))
+                for k, v in st_m.items()}
+        state = {dmm.main: st_m}
+        for name in dmm.small_names:
+            comp_s = dmm.small_comp.comps[name]
+            st = dict(sp[name])
+            st.update(comp_s.unpack_dofs(u_s[name]))
+            state[name] = comp_s._eval_secondaries_local(st)
+        return G(dmm.mm, state, dt, n, forces)
+
+    # ------------------------------------------------------------------
+    def _apply_sm_T(self, arrays, cttabs, lam_s):
+        """(A_sm)^T λ_s: replicated small-ROW cotangents into owned main
+        DOF cotangents (shard-local — λ_s is replicated and each
+        connection lives on this shard iff it owns the main cell)."""
+        dmm = self.dmm
+        nom = dmm.gen.dec.n_own_max
+        some = jax.tree_util.tree_leaves(lam_s)[0]
+        y_m = jnp.zeros((nom, dmm.ndof_m), some.dtype)
+        for pt, tabs_p, blocks in zip(dmm.pair_tables, cttabs,
+                                      arrays["ct_blocks"]):
+            jac_m, jac_s = blocks
+            m_loc, s_cell, alive, _cd = tabs_p
+            pair = pt.pair
+            sname = pair.source if pt.t_is_main else pair.target
+            a_m, a_s, sl_m, sl_s = dmm._pair_coeffs(pt)
+            if a_s != 0.0:
+                contrib = jnp.einsum("mij,mi->mj", jac_m,
+                                     lam_s[sname][s_cell, sl_s])
+                y_m = y_m.at[m_loc].add(a_s * contrib)
+        return y_m
+
+    def _apply_ms_T(self, arrays, cttabs, lam_m):
+        """(A_ms)^T λ_m: owned main-ROW cotangents into the replicated
+        small DOF cotangents (psum reconstructs the global sum)."""
+        dmm = self.dmm
+        lay = dmm.small_comp.layout
+        y = {n: jnp.zeros(lay.dof_slices[n][1], lam_m.dtype)
+             for n in lay.names}
+        for pt, tabs_p, blocks in zip(dmm.pair_tables, cttabs,
+                                      arrays["ct_blocks"]):
+            jac_m, jac_s = blocks
+            m_loc, s_cell, alive, _cd = tabs_p
+            pair = pt.pair
+            sname = pair.source if pt.t_is_main else pair.target
+            a_m, a_s, sl_m, sl_s = dmm._pair_coeffs(pt)
+            if a_m != 0.0:
+                contrib = jnp.einsum("mij,mi->mj", jac_s,
+                                     lam_m[m_loc, sl_m])
+                y[sname] = y[sname].at[s_cell].add(a_m * contrib)
+        return {n: jax.lax.psum(v, dmm.axis) for n, v in y.items()}
+
+    # ------------------------------------------------------------------
+    def _build_step(self, G: Callable, n: int, has_next: bool):
+        dmm = self.dmm
+        gen = dmm.gen
+        comp_m = gen.comp
+        dec = gen.dec
+        ax = dmm.axis
+        nom = dec.n_own_max
+        lay = dmm.small_comp.layout
+        forces_n = (self._forces[n]
+                    if isinstance(self._forces, (list, tuple))
+                    else self._forces)
+        forces_nx = (self._forces[min(n + 1, len(self._stacks) - 1)]
+                     if isinstance(self._forces, (list, tuple))
+                     else self._forces)
+        _, _, sf_n = dmm._split_forces(forces_n)
+        _, _, sf_nx = dmm._split_forces(forces_nx)
+
+        def local_step(u_m, u_s, u_m_prev, u_s_prev, u_m_next, u_s_next,
+                       lam_m_next, lam_s_next, cp, fp, tb, q, bc, q_nx,
+                       bc_nx, cttabs, inttabs, sp, dts):
+            cp1 = {k: v[0] for k, v in cp.items()}
+            fp1 = {k: v[0] for k, v in fp.items()}
+            tabs = tuple(t[0] for t in tb)
+            q1, q2 = q[0], q_nx[0]
+            bc1 = tuple(b[0] for b in bc)
+            bc2 = tuple(b[0] for b in bc_nx)
+            ct1 = _strip(cttabs, 4)
+            it1 = _strip(inttabs, 7)
+            dt_n, dt_next = dts[0], dts[1]
+            nh = gen._n_halo_tabs
+            own_alive = tabs[nh + 5]
+            am = own_alive[:, None]
+            halo = gen.halo_from_tabs(tabs[:nh])
+
+            def unpack(u_m_, u_s_):
+                ms = comp_m.unpack_dofs(u_m_)
+                ss = {m: dmm.small_comp.comps[m].unpack_dofs(u_s_[m])
+                      for m in dmm.small_names}
+                return ms, ss
+
+            def r_local(u_m_, u_s_, u0_m_, u0_s_, cp_, fp_, sp_,
+                        q_, bc_, sf_, dt_):
+                ms, ss = unpack(u_m_, u_s_)
+                ms0, ss0 = unpack(u0_m_, u0_s_)
+                return dmm._coupled_system(
+                    ms, ms0, ss, ss0, cp_, fp_, tabs, ct1, it1, q_, bc_,
+                    sf_, dt_, with_jac=False, with_crit=False,
+                    small_params=sp_, mode="local")
+
+            def r_base(u_s_, u0_s_, sp_, sf_, dt_):
+                """The replicated smalls' OWN residual (no cross-terms):
+                identical on every shard — the count-once part of the
+                small-parameter cotangent."""
+                from ..models.setup import merge_state
+
+                _, ss = unpack(u_m, u_s_)
+                _, ss0 = unpack(u_m, u0_s_)
+                merged = {m: merge_state(ss[m], sp_[m])
+                          for m in dmm.small_names}
+                merged0 = {m: merge_state(ss0[m], sp_[m])
+                           for m in dmm.small_names}
+                r_s, _J, _f = dmm.small_comp.assemble(
+                    merged, merged0, dt_, sf_, with_jacobian=False)
+                return r_s
+
+            # ---- rhs = -dG/du - (dF_{n+1}/du_n)^T λ_{n+1} --------------
+            g_u_m, g_u_s, g_cp, g_sp = jax.grad(
+                lambda um, us, c, s: self._local_G(
+                    G, um, us, c, s, dt_n, n, am, forces_n),
+                argnums=(0, 1, 2, 3))(u_m, u_s, cp1, sp)
+            rhs_m, rhs_s = -g_u_m, {m: -v for m, v in g_u_s.items()}
+            if has_next:
+                lam_next = (lam_m_next, lam_s_next)
+
+                def r_next_of_u0(u0_m_, u0_s_):
+                    r_m, r_sb, r_sl = r_local(
+                        u_m_next, u_s_next, u0_m_, u0_s_, cp1, fp1, sp,
+                        q2, bc2, sf_nx, dt_next)
+                    # cross-terms don't read state0, so the local pieces
+                    # carry the full u0 dependence (r_sb counted once:
+                    # replicated input, replicated cotangent)
+                    return r_m, {m: r_sb[m] + r_sl[m]
+                                 for m in r_sb}
+
+                _, pull0 = jax.vjp(r_next_of_u0, u_m, u_s)
+                du0_m, du0_s = pull0(lam_next)
+                rhs_m = rhs_m - du0_m
+                rhs_s = {m: rhs_s[m] - du0_s[m] for m in rhs_s}
+
+            # ---- transposed coupled solve ------------------------------
+            ms, ss = unpack(u_m, u_s)
+            ms0, ss0 = unpack(u_m_prev, u_s_prev)
+            arrays, _ = dmm._coupled_system(
+                ms, ms0, ss, ss0, cp1, fp1, tabs, ct1, it1, q1, bc1,
+                sf_n, dt_n, with_jac=True, with_crit=False,
+                small_params=sp)
+            spmv_m = dmm._main_spmv(arrays, tabs, halo, am, it1)
+            spmv_m_T = jax.linear_transpose(
+                spmv_m, jnp.zeros((nom, dmm.ndof_m), u_m.dtype))
+            ET = arrays["small_dense"].T
+            from jax.scipy.linalg import lu_factor, lu_solve
+
+            lu_ET = lu_factor(ET)
+            dinv_mT = jnp.swapaxes(block_inv(arrays["diag_own"]), 1, 2)
+
+            def flat_s(d):
+                return jnp.concatenate([d[m].reshape(-1)
+                                        for m in lay.names])
+
+            def split_dof_s(v):
+                out = {}
+                for m in lay.names:
+                    sl, shape = lay.dof_slices[m]
+                    out[m] = v[sl].reshape(shape)
+                return out
+
+            def matvec_T(lam_flat):
+                lam_m, lam_s = dmm._split_res(lam_flat)
+                (xm,) = spmv_m_T(lam_m)
+                xm = xm + self._apply_sm_T(arrays, ct1, lam_s)
+                xs = split_dof_s(ET @ flat_s(lam_s))
+                ms_bar = self._apply_ms_T(arrays, ct1, lam_m)
+                xs = {m: xs[m] + ms_bar[m] for m in xs}
+                return dmm._flatten(xm * am, xs)
+
+            def precond(v):
+                r_m, r_s = dmm._split_res(v)
+                x_m = bmv(dinv_mT, r_m)
+                x_s = split_dof_s(lu_solve(lu_ET, flat_s(r_s)))
+                return dmm._flatten(x_m, x_s)
+
+            def dot(a, b):
+                da = jax.lax.psum(
+                    jnp.dot(a[:dmm.n_main_flat], b[:dmm.n_main_flat]), ax)
+                return da + jnp.dot(a[dmm.n_main_flat:],
+                                    b[dmm.n_main_flat:])
+
+            rhs = dmm._flatten(rhs_m * am, rhs_s)
+            lam_flat, stats = bicgstab(
+                matvec_T, rhs, maxiter=self.max_lin_it, rtol=self.rtol,
+                precond=precond, dot_fn=dot)
+            lam_m, lam_s = dmm._split_res(lam_flat)
+            lam_m = lam_m * am
+
+            # ---- parameter cotangents ----------------------------------
+            fp_f = {k: v for k, v in fp1.items()
+                    if jnp.issubdtype(v.dtype, jnp.floating)
+                    and not k.startswith("__flux_orient_")}
+            fp_i = {k: v for k, v in fp1.items() if k not in fp_f}
+            lam_pair = (lam_m, lam_s)
+
+            def r_full_of_params(cp_, fpf_, sp_):
+                r_m, r_sb, r_sl = r_local(
+                    u_m, u_s, u_m_prev, u_s_prev, cp_, {**fp_i, **fpf_},
+                    sp_, q1, bc1, sf_n, dt_n)
+                return r_m, {m: r_sb[m] + r_sl[m] for m in r_sb}
+
+            _, pull = jax.vjp(r_full_of_params, cp1, fp_f, sp)
+            cp_bar_ext, fp_bar, sp_bar_full = pull(lam_pair)
+            _, pull_b = jax.vjp(
+                lambda sp_: r_base(u_s, u_s_prev, sp_, sf_n, dt_n), sp)
+            (sp_bar_base,) = pull_b(lam_s)
+            # replicated small params: base counted once + psum'd
+            # shard-owned cross-term shares (+ G's own dependence)
+            sp_bar = jax.tree_util.tree_map(
+                lambda full, base, g: base + jax.lax.psum(full - base, ax)
+                + g,
+                sp_bar_full, sp_bar_base, g_sp)
+            fp_bar = dict(fp_bar)
+            for k, v in fp_i.items():
+                fp_bar[k] = jnp.zeros(v.shape)
+            cp_bar_own = {}
+            for k, v in cp_bar_ext.items():
+                v = v + g_cp[k]
+                halo_T = jax.linear_transpose(
+                    halo, jnp.zeros((nom,) + v.shape[1:], v.dtype))
+                (own_bar,) = halo_T(v)
+                cp_bar_own[k] = own_bar[None]
+            fp_bar = {k: v[None] for k, v in fp_bar.items()}
+            return (lam_m, lam_s, cp_bar_own, fp_bar, sp_bar,
+                    stats["iterations"])
+
+        m_dof_spec = P(ax)
+        s_dof_spec = {m: P() for m in dmm.small_names}
+        cp_spec = {k: P(ax) for k in gen.cell_params}
+        fp_spec = {k: P(ax) for k in gen.face_params}
+        tables = gen.engine_tables()
+        tab_spec = tuple(P(ax) for _ in tables)
+        cttabs = dmm._pair_tab_stacks()
+        ct_spec = tuple(
+            (P(ax), P(ax), P(ax),
+             ({k: P(ax) for k in t[3]} if t[3] is not None else None))
+            for t in cttabs)
+        inttabs = dmm._internal_tab_stacks()
+        it_spec = tuple(
+            (P(ax),) * 6
+            + (({k: P(ax) for k in t[6]} if t[6] is not None else None),)
+            for t in inttabs)
+        sp_spec = {m: {k: P() for k in dmm.small_params[m]}
+                   for m in dmm.small_names}
+        lam_s_spec = {m: P() for m in dmm.small_names}
+        self._tables = tables
+        self._cttabs = cttabs
+        self._inttabs = inttabs
+        return jax.jit(jax.shard_map(
+            local_step,
+            mesh=dmm.device_mesh,
+            in_specs=(m_dof_spec, s_dof_spec, m_dof_spec, s_dof_spec,
+                      m_dof_spec, s_dof_spec, m_dof_spec, lam_s_spec,
+                      cp_spec, fp_spec, tab_spec, P(ax), (P(ax),) * 4,
+                      P(ax), (P(ax),) * 4, ct_spec, it_spec, sp_spec,
+                      P()),
+            out_specs=(m_dof_spec, lam_s_spec, cp_spec, fp_spec, sp_spec,
+                       P()),
+            check_vma=False,
+        ))
+
+    # ------------------------------------------------------------------
+    def solve(self, states: list, timesteps, G: Callable, state0: dict,
+              forces=None, rtol: float = 1e-10, max_lin_it: int = 400,
+              reports: list | None = None):
+        """Backward sweep; returns per-model gradient dicts (main cell
+        parameters in global mesh order, faces in global face order,
+        small-model parameters as plain arrays).
+
+        ``states``/``state0`` are per-model GLOBAL states. Same exactness
+        requirement as every discrete adjoint here: states[n] must
+        satisfy the one-ministep implicit system (pass ``reports`` to
+        have that checked)."""
+        if reports is not None:
+            for i, rep in enumerate(reports):
+                ok = [m for m in rep.get("ministeps", [])
+                      if m.get("success", True)]
+                if len(ok) > 1:
+                    raise ValueError(
+                        f"report step {i} used {len(ok)} ministeps; pass "
+                        "per-ministep states (expand_to_ministeps)")
+        dmm = self.dmm
+        gen = dmm.gen
+        comp_m = gen.comp
+        dec = gen.dec
+        self.rtol = rtol
+        self.max_lin_it = max_lin_it
+        self._forces = forces
+        dts = np.atleast_1d(np.asarray(timesteps, dtype=np.float64))
+        N = len(states)
+        assert N == len(dts)
+
+        def dofs_of(state):
+            sh = dmm.shard_state(state)
+            u_m = comp_m.get_dofs(
+                {k: jnp.asarray(v) for k, v in sh[dmm.main].items()})
+            u_s = {m: dmm.small_comp.comps[m].get_dofs(
+                {k: jnp.asarray(v) for k, v in sh[m].items()})
+                for m in dmm.small_names}
+            return u_m, u_s
+
+        u0 = dofs_of(state0)
+        us = [dofs_of(s) for s in states]
+
+        def _stacks_for(f):
+            q, bc, _sf = dmm._split_forces(f)
+            if q is None:
+                q = jnp.zeros((dmm.n_devices, dec.n_own_max, dmm.neq_m))
+            if bc is None:
+                nph = comp_m.neq_total
+                bc = (jnp.zeros((dmm.n_devices, 1), jnp.int32),
+                      jnp.zeros((dmm.n_devices, 1)),
+                      jnp.zeros((dmm.n_devices, 1)),
+                      jnp.full((dmm.n_devices, 1, nph), 1.0 / nph))
+            return q, bc
+
+        if isinstance(forces, (list, tuple)):
+            stacks = [_stacks_for(f) for f in forces]
+        else:
+            stacks = [_stacks_for(forces)] * N
+        self._stacks = stacks
+
+        cp = {k: jnp.asarray(v) for k, v in gen.cell_params.items()}
+        fp = {k: jnp.asarray(v) for k, v in gen.face_params.items()}
+        sp = {m: {k: jnp.asarray(np.asarray(v))
+                  for k, v in dmm.small_params[m].items()}
+              for m in dmm.small_names}
+
+        cp_grad = {k: np.zeros((dmm.n_devices, dec.n_own_max)
+                               + np.asarray(v).shape[2:])
+                   for k, v in cp.items()}
+        fp_grad = {k: np.zeros(np.asarray(v).shape) for k, v in fp.items()}
+        sp_grad = {m: {k: np.zeros(np.asarray(v).shape)
+                       for k, v in sp[m].items()}
+                   for m in sp}
+        lam_m = jnp.zeros((dmm.n_devices * dec.n_own_max, dmm.neq_m))
+        lam_s = {m: jnp.zeros(dmm.small_comp.layout.res_slices[m][1])
+                 for m in dmm.small_names}
+        u_next = us[-1]
+        cache = {}
+        for n in range(N - 1, -1, -1):
+            has_next = n < N - 1
+            key = (n, has_next)
+            if key not in cache:
+                cache[key] = self._build_step(G, n, has_next)
+            u_prev = us[n - 1] if n > 0 else u0
+            q_n, bc_n = stacks[n]
+            q_nx, bc_nx = stacks[n + 1] if has_next else stacks[n]
+            dt_pair = jnp.asarray([dts[n],
+                                   dts[n + 1] if has_next else dts[n]])
+            lam_m, lam_s, cp_bar, fp_bar, sp_bar, _lin = cache[key](
+                us[n][0], us[n][1], u_prev[0], u_prev[1], u_next[0],
+                u_next[1], lam_m, lam_s, cp, fp, self._tables, q_n, bc_n,
+                q_nx, bc_nx, self._cttabs, self._inttabs, sp, dt_pair)
+            for k in cp_grad:
+                cp_grad[k] += np.asarray(cp_bar[k], np.float64).reshape(
+                    cp_grad[k].shape)
+            for k in fp_grad:
+                fp_grad[k] += np.asarray(fp_bar[k], np.float64)
+            for m in sp_grad:
+                for k in sp_grad[m]:
+                    sp_grad[m][k] += np.asarray(sp_bar[m][k], np.float64)
+            u_next = us[n]
+
+        out = {dmm.main: {}}
+        for k, v in cp_grad.items():
+            out[dmm.main][k] = dec.unshard_cells(
+                v.reshape((dmm.n_devices * dec.n_own_max,) + v.shape[2:]))
+        for k, v in fp_grad.items():
+            if k.startswith("__flux_orient_"):
+                continue
+            nfg = gen.mesh.number_of_faces()
+            g = np.zeros((nfg,) + v.shape[2:])
+            for d in range(dmm.n_devices):
+                alive = dec.face_alive[d] > 0
+                np.add.at(g, dec.face_g[d][alive], v[d][alive])
+            out[dmm.main][k] = g
+        for m in sp_grad:
+            out[m] = sp_grad[m]
+        return out
+
+
+def _strip(tab_stacks, width):
+    """Drop the leading shard axis from stacked pair tables (the dict
+    tail entry strips per-leaf)."""
+    out = []
+    for t in tab_stacks:
+        head = tuple(t[i][0] for i in range(width - 1))
+        tail = ({k: v[0] for k, v in t[width - 1].items()}
+                if t[width - 1] is not None else None)
+        out.append(head + (tail,))
+    return tuple(out)
+
+
+def solve_adjoint_sensitivities_multimodel_general(
+        dmm, states: list, timesteps, G: Callable, state0: dict,
+        forces=None, reports=None, **kw):
+    """Distributed-MultiModel counterpart of
+    ``solve_adjoint_sensitivities`` (reference: src/ad/gradients.jl:17
+    over MultiModel storage, through the MPI DD ext)."""
+    return GeneralDistributedMultiModelAdjoint(dmm).solve(
+        states, timesteps, G, state0, forces=forces, reports=reports, **kw)

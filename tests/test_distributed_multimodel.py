@@ -220,6 +220,70 @@ def test_distributed_multimodel_internal_cross_terms():
         np.asarray(s_nof[-1]["reservoir"]["Pressure"]) - p_fault)) > 1.0
 
 
+def test_distributed_multimodel_adjoint_matches_single():
+    """Distributed MultiModel ADJOINT (VERDICT r4 item 6): the transposed
+    coupled solve (A_mm^T via linear_transpose of the main SpMV, mixed
+    cross-term blocks hand-transposed, replicated small block dense) +
+    per-shard vjp parameter pulls reproduce the single-device multimodel
+    adjoint gradients. Reference: src/ad/gradients.jl:17-284 over
+    MultiModel storage through the MPI DD ext."""
+    require_devices(4)
+    from jutul.jl_tpu import solve_adjoint_sensitivities
+    from jutul.jl_tpu.parallel.multimodel_adjoint import (
+        solve_adjoint_sensitivities_multimodel_general,
+    )
+
+    mm, names, state0, forces = _coupled_case()
+    dts = [0.05 * DAY, 0.08 * DAY]
+
+    sim = Simulator(mm, state0=state0)
+    states, rep = sim.simulate(dts, forces=forces, info_level=-1,
+                               tolerances={"default": 1e-12},
+                               max_nonlinear_iterations=40)
+    assert all(r["success"] for r in rep)
+    for r in rep:  # adjoint exactness needs one ministep per step
+        assert len([m for m in r["ministeps"] if m["success"]]) == 1
+
+    BAR_ = 150.0 * BAR
+
+    def G(mm_, state, dt, n, f):
+        tot = dt * jnp.sum((state["reservoir"]["Pressure"] / BAR_) ** 2)
+        for w in ("inj", "prod"):
+            tot = tot + dt * jnp.sum((state[w]["Pressure"] / BAR_) ** 2)
+        return tot
+
+    grad_ref = solve_adjoint_sensitivities(
+        mm, [dict(s) for s in states], dts, G,
+        parameters={n: dict(p) for n, p in
+                    Simulator(mm, state0=state0).parameters.items()},
+        state0=state0, forces=forces)
+
+    res = mm["reservoir"]
+    nc = res.number_of_cells()
+    part = GreedyGraphPartitioner().partition(
+        res.domain.mesh.neighborship(), nc, 4)
+    dmesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    dsim = GeneralDistributedMultiModel(mm, dmesh, main="reservoir",
+                                        partition=part)
+    grad_dist = solve_adjoint_sensitivities_multimodel_general(
+        dsim, [dict(s) for s in states], dts, G, state0, forces=forces,
+        reports=rep, rtol=1e-13, max_lin_it=2000)
+
+    n_checked = 0
+    for mname in grad_ref:
+        for pname, gr in grad_ref[mname].items():
+            gr = np.asarray(gr)
+            if gr.size == 0:  # e.g. 1-cell well submodels have no faces
+                continue
+            gd = np.asarray(grad_dist[mname][pname]).reshape(gr.shape)
+            scale = max(float(np.abs(gr).max()), 1e-30)
+            np.testing.assert_allclose(
+                gd / scale, gr / scale, atol=2e-6,
+                err_msg=f"{mname}.{pname}")
+            n_checked += 1
+    assert n_checked >= 5  # reservoir cell+face params + well params
+
+
 def test_distributed_multimodel_straddling_wells():
     """A well whose completions straddle shard boundaries: cross-term
     rows assemble on the owner of each completion's reservoir cell and
