@@ -102,6 +102,17 @@ def bordered_transpose(B: BorderedStencilMatrix) -> BorderedStencilMatrix:
         J_rb=swapT(B.J_br), J_br=swapT(B.J_rb), D_ww=swapT(B.D_ww))
 
 
+def _perf_onehot(nc, perf_cell, dtype):
+    """(nc, np) one-hot selector generated from iota comparisons —
+    never an indexed gather/scatter, so scatter-adds expressed through
+    it (``einsum('np,p...->n...')``) impose NO layout on the big
+    operand (see _onehot_correction for the measured layout-poisoning
+    background)."""
+    cells = jnp.asarray(np.asarray(perf_cell), jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nc, cells.shape[0]), 0)
+    return (rows == cells[None, :]).astype(dtype)
+
+
 class _DomainView:
     def __init__(self, domain, mesh):
         self._domain = domain
@@ -246,7 +257,8 @@ class BorderedStencilModel:
             r_w = r_w + jax.vmap(fn)(cw, cw0)
 
         F = self._perf_flux(cell_state, self._perf_face_state(state))
-        r_lat = r_lat.at[self.perf_cell].add(F)
+        oh = _perf_onehot(self.nc, self.perf_cell, r_lat.dtype)
+        r_lat = r_lat + jnp.einsum("np,pi->ni", oh, F)
         r_w = r_w.at[self.perf_well].add(-F)
         r = jnp.concatenate([r_lat, r_w], axis=0)
         if forces:
@@ -306,9 +318,12 @@ class BorderedStencilModel:
         JF_l = JF_l.astype(dtype)
         JF_r = JF_r.astype(dtype)
 
-        # residual[res] += F, residual[well] -= F
-        diag = diag.at[:, :, self.perf_cell].add(
-            jnp.moveaxis(JF_l, 0, -1))
+        # residual[res] += F, residual[well] -= F. The diag update goes
+        # through the one-hot contraction: diag feeds EVERY Krylov matvec
+        # and CPR update, so an indexed scatter here would propagate its
+        # layout through the whole solve loop (the r4/r5 poisoning class)
+        oh = _perf_onehot(self.nc, self.perf_cell, dtype)
+        diag = diag + jnp.einsum("np,pij->ijn", oh, JF_l)
         J_rb = JF_r
         J_br = -JF_l
         D_ww = D_ww.at[self.perf_well].add(-JF_r)
@@ -385,7 +400,8 @@ class BorderedStencilModel:
             fn = lambda cs, cs0, _c=con: _c.fn(model, cs, cs0, dt)
             r_w = r_w + jax.vmap(fn)(cw, cw0)
         F = self._perf_flux(cell_state, self._perf_face_state(state))
-        r_lat = r_lat.at[self.perf_cell].add(F.astype(r_lat.dtype))
+        oh = _perf_onehot(self.nc, self.perf_cell, r_lat.dtype)
+        r_lat = r_lat + jnp.einsum("np,pi->ni", oh, F.astype(r_lat.dtype))
         r_w = r_w.at[self.perf_well].add(-F.astype(r_w.dtype))
         r = jnp.concatenate([r_lat, r_w], axis=0)
 
@@ -436,21 +452,64 @@ def _well_boxes(B: BorderedStencilMatrix):
     return boxes
 
 
-def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None):
+def _onehot_correction(B: BorderedStencilMatrix, Dinv):
+    """Layout-NEUTRAL Schur correction: gather/scatter/reshape-free.
+
+    The r4 box-slice form fixed the 131k layout poisoning (+4.5 ms/it ->
+    +0.2) but STILL cost ~10 ms/linear-iteration at the 1M lattice
+    (r5 product A/B: well models 14.3 ms/it vs source-term wells
+    3.9 ms/it on the same worker) — the 4-D reshape + dynamic-update-
+    slice chain on the Krylov-carried vector forces relayouts at that
+    shape. This form touches the carry with NOTHING but elementwise ops
+    and tiny contractions: a (nc, np) one-hot selector is generated
+    in-register from iota comparisons (never materialized in HBM), the
+    perforation gather is ``einsum('np,nj->pj', onehot, x)`` and the
+    scatter-back is ``einsum('np,pi->ni', onehot, out)`` — exact (each
+    row of onehot selects exactly one perforation cell), works for
+    ARBITRARY completions (no column requirement), and imposes no
+    layout on x or y."""
+    nc = B.A.n
+    nw = B.D_ww.shape[0]
+    cells = jnp.asarray(np.asarray(B.perf_cell), jnp.int32)  # (np,)
+    wells = np.asarray(B.perf_well)
+    # (nw, np) well-membership matrix (tiny, static)
+    Wmat = jnp.asarray((wells[None, :] == np.arange(nw)[:, None])
+                       .astype(np.float64))
+
+    def correction(xr):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nc, cells.shape[0]), 0)
+        onehot = (rows == cells[None, :]).astype(xr.dtype)  # (nc, np)
+        seg = jnp.einsum("np,nj->pj", onehot, xr)  # perforation-cell dofs
+        t = jnp.einsum("pij,pj->pi", B.J_br, seg)  # (np, neq)
+        tw = Wmat.astype(xr.dtype) @ t  # (nw, neq) per-well sums
+        yw = jnp.einsum("wij,wj->wi", Dinv, tw)  # (nw, ndof)
+        out = jnp.einsum("pij,pj->pi", B.J_rb,
+                         (Wmat.T.astype(xr.dtype) @ yw))  # (np, neq)
+        return jnp.einsum("np,pi->ni", onehot, out)
+
+    return correction
+
+
+def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None,
+                    correction_form: str | None = None):
     """Reduce the bordered system to the reservoir Krylov space.
 
     Returns (S_matvec over (nc, ndof) vectors, r_schur (nc, neq),
     back_substitute(du_r) -> du_w). The Schur complement
     S = A_rr − A_rw D⁻¹ A_wr is applied matrix-free; the well blocks are
     block-diagonal because wellbores only couple through their own
-    perforations. Column-completed wells apply the correction through
-    static box slices on the 4-D lattice view (see _well_boxes — the
-    generic gather/scatter form costs ~4.5 ms/iteration of TPU layout
-    poisoning); arbitrary completions fall back to gather/scatter."""
+    perforations. ``correction_form``: "onehot" (default — the
+    layout-neutral contraction form, see _onehot_correction), "box"
+    (r4 static lattice-box slices; column completions only), or
+    "gather" (indexed gather/scatter; measured +4.5 ms/it of layout
+    poisoning at 131k). Env JUTUL_WELL_CORR overrides."""
+    import os
+
     nc = B.A.n
     nw = B.D_ww.shape[0]
     rr, rw = r[:nc], r[nc:]
     Dinv = block_inv(B.D_ww)  # (nw, ndof, neq) acting eq-residual -> dof
+    form = correction_form or os.environ.get("JUTUL_WELL_CORR", "onehot")
 
     def gather_to_wells(xr):
         t = jnp.einsum("pij,pj->pi", B.J_br, xr[B.perf_cell])  # (np, neq)
@@ -463,8 +522,13 @@ def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None):
         return jnp.zeros_like(rr).at[B.perf_cell].add(out)
 
     mv = base_mv if base_mv is not None else B.A.matvec
-    boxes = _well_boxes(B)
-    if boxes is not None:
+    boxes = _well_boxes(B) if form == "box" else None
+    if form == "onehot":
+        corr_oh = _onehot_correction(B, Dinv)
+
+        def s_matvec(xr):
+            return mv(xr) - corr_oh(xr)
+    elif boxes is not None:
         nzl, nyl, nxl = B.A.L
         Jbr, Jrb = B.J_br, B.J_rb
 
@@ -484,7 +548,9 @@ def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None):
             return mv(xr) - correction(xr)
 
     yw0 = jnp.einsum("wij,wj->wi", Dinv, rw)  # D⁻¹ r_w
-    r_schur = rr - jnp.zeros_like(rr).at[B.perf_cell].add(
+    oh0 = _perf_onehot(nc, B.perf_cell, rr.dtype)
+    r_schur = rr - jnp.einsum(
+        "np,pi->ni", oh0,
         jnp.einsum("pij,pj->pi", B.J_rb, yw0[B.perf_well]))
 
     def back_substitute(du_r):
