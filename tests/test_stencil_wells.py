@@ -210,12 +210,12 @@ def test_bordered_adjoint_matches_generic():
         assert np.abs(st[k] - ref[k]).max() / scale < 1e-6, k
 
 
-def test_schur_box_path_matches_generic_fallback():
-    """The box-slice Schur correction (column-completed wells apply the
-    perforation correction through static lax.slice/dynamic_update_slice
-    on the 4-D lattice view; ops/stencil_wells._well_boxes) is
-    numerically identical to the generic gather/scatter fallback, and
-    non-column completions actually take the fallback."""
+def test_schur_correction_forms_agree():
+    """All three Schur-correction forms — "onehot" (the r5 layout-neutral
+    contraction default), "box" (r4 static lattice-box slices), and
+    "gather" (indexed gather/scatter) — are numerically identical on a
+    column-completed case, and non-column completions decline the box
+    path (while the onehot form handles them unchanged)."""
     import jutul.jl_tpu.ops.stencil_wells as sw
     from jutul.jl_tpu.models.setup import merge_state
     from jutul.jl_tpu.ops.assembly import compile_model
@@ -228,28 +228,30 @@ def test_schur_box_path_matches_generic_fallback():
         {k: jnp.asarray(v) for k, v in state0.items()},
         {k: jnp.asarray(v) for k, v in params.items()})
     r, B, _ = eng.assemble(full, full, 3600.0, forces)
-    assert sw._well_boxes(B) is not None  # column wells -> box path
+    assert sw._well_boxes(B) is not None  # column wells -> box eligible
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((eng.nc, eng.ndof)))
 
-    s_box, r_schur_box, back_box = schur_eliminate(B, r)
-    orig = sw._well_boxes
-    sw._well_boxes = lambda _B: None  # force the generic form
-    try:
-        s_gen, r_schur_gen, back_gen = schur_eliminate(B, r)
-    finally:
-        sw._well_boxes = orig
-    np.testing.assert_allclose(np.asarray(s_box(x)), np.asarray(s_gen(x)),
-                               rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(r_schur_box),
-                               np.asarray(r_schur_gen), rtol=1e-12)
+    outs = {}
+    for form in ("onehot", "box", "gather"):
+        s_mv, r_schur, back = schur_eliminate(B, r, correction_form=form)
+        outs[form] = (np.asarray(s_mv(x)), np.asarray(r_schur),
+                      np.asarray(back(x)))
+    for form in ("box", "gather"):
+        for a, b in zip(outs["onehot"], outs[form]):
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12,
+                                       err_msg=form)
 
-    # a non-column completion pattern must decline the box path
-    import dataclasses as _dc
-
-    nx, ny = 6, 5
+    # a non-column completion pattern must decline the box path...
     pc = np.asarray(B.perf_cell).copy()
     pc[1] = pc[0] + 1  # second completion moves to an x-neighbor
     B2 = sw.BorderedStencilMatrix(B.A, pc, B.perf_well, B.J_rb, B.J_br,
                                   B.D_ww)
     assert sw._well_boxes(B2) is None
+    # ...while onehot and gather still agree on it
+    s_oh, r_oh, _ = schur_eliminate(B2, r, correction_form="onehot")
+    s_g, r_g, _ = schur_eliminate(B2, r, correction_form="gather")
+    np.testing.assert_allclose(np.asarray(s_oh(x)), np.asarray(s_g(x)),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_oh), np.asarray(r_g),
+                               rtol=1e-12)
