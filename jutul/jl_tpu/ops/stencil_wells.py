@@ -44,6 +44,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .smallmat import block_inv
+
+# TPU einsum/dot default precision truncates inputs to bf16 — measured on
+# the 1M flagship (r5): the one-hot contractions rounded the gathered
+# perforation dofs and Jacobian blocks to ~3 digits, degrading Newton to
+# quasi-Newton (9.9 vs 4.7 linear its/Newton, 25 vs 13 ministeps). Every
+# contraction on this path carries full working precision.
+_PREC = jax.lax.Precision.HIGHEST
 from .stencil import StencilCompiledModel, StencilMatrix, stencil_transpose
 
 
@@ -75,10 +82,10 @@ class BorderedStencilMatrix:
         xr, xw = x[:nc], x[nc:]
         yr = self.A.matvec(xr)
         yr = yr.at[self.perf_cell].add(
-            jnp.einsum("pij,pj->pi", self.J_rb, xw[self.perf_well]))
-        yw = jnp.einsum("wij,wj->wi", self.D_ww, xw)
+            jnp.einsum("pij,pj->pi", self.J_rb, xw[self.perf_well], precision=_PREC))
+        yw = jnp.einsum("wij,wj->wi", self.D_ww, xw, precision=_PREC)
         yw = yw.at[self.perf_well].add(
-            jnp.einsum("pij,pj->pi", self.J_br, xr[self.perf_cell]))
+            jnp.einsum("pij,pj->pi", self.J_br, xr[self.perf_cell], precision=_PREC))
         return jnp.concatenate([yr, yw], axis=0)
 
 
@@ -258,7 +265,7 @@ class BorderedStencilModel:
 
         F = self._perf_flux(cell_state, self._perf_face_state(state))
         oh = _perf_onehot(self.nc, self.perf_cell, r_lat.dtype)
-        r_lat = r_lat + jnp.einsum("np,pi->ni", oh, F)
+        r_lat = r_lat + jnp.einsum("np,pi->ni", oh, F, precision=_PREC)
         r_w = r_w.at[self.perf_well].add(-F)
         r = jnp.concatenate([r_lat, r_w], axis=0)
         if forces:
@@ -323,7 +330,7 @@ class BorderedStencilModel:
         # and CPR update, so an indexed scatter here would propagate its
         # layout through the whole solve loop (the r4/r5 poisoning class)
         oh = _perf_onehot(self.nc, self.perf_cell, dtype)
-        diag = diag + jnp.einsum("np,pij->ijn", oh, JF_l)
+        diag = diag + jnp.einsum("np,pij->ijn", oh, JF_l, precision=_PREC)
         J_rb = JF_r
         J_br = -JF_l
         D_ww = D_ww.at[self.perf_well].add(-JF_r)
@@ -401,7 +408,7 @@ class BorderedStencilModel:
             r_w = r_w + jax.vmap(fn)(cw, cw0)
         F = self._perf_flux(cell_state, self._perf_face_state(state))
         oh = _perf_onehot(self.nc, self.perf_cell, r_lat.dtype)
-        r_lat = r_lat + jnp.einsum("np,pi->ni", oh, F.astype(r_lat.dtype))
+        r_lat = r_lat + jnp.einsum("np,pi->ni", oh, F.astype(r_lat.dtype), precision=_PREC)
         r_w = r_w.at[self.perf_well].add(-F.astype(r_w.dtype))
         r = jnp.concatenate([r_lat, r_w], axis=0)
 
@@ -479,13 +486,13 @@ def _onehot_correction(B: BorderedStencilMatrix, Dinv):
     def correction(xr):
         rows = jax.lax.broadcasted_iota(jnp.int32, (nc, cells.shape[0]), 0)
         onehot = (rows == cells[None, :]).astype(xr.dtype)  # (nc, np)
-        seg = jnp.einsum("np,nj->pj", onehot, xr)  # perforation-cell dofs
-        t = jnp.einsum("pij,pj->pi", B.J_br, seg)  # (np, neq)
+        seg = jnp.einsum("np,nj->pj", onehot, xr, precision=_PREC)  # perforation-cell dofs
+        t = jnp.einsum("pij,pj->pi", B.J_br, seg, precision=_PREC)  # (np, neq)
         tw = Wmat.astype(xr.dtype) @ t  # (nw, neq) per-well sums
-        yw = jnp.einsum("wij,wj->wi", Dinv, tw)  # (nw, ndof)
+        yw = jnp.einsum("wij,wj->wi", Dinv, tw, precision=_PREC)  # (nw, ndof)
         out = jnp.einsum("pij,pj->pi", B.J_rb,
-                         (Wmat.T.astype(xr.dtype) @ yw))  # (np, neq)
-        return jnp.einsum("np,pi->ni", onehot, out)
+                         (Wmat.T.astype(xr.dtype) @ yw), precision=_PREC)  # (np, neq)
+        return jnp.einsum("np,pi->ni", onehot, out, precision=_PREC)
 
     return correction
 
@@ -512,13 +519,13 @@ def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None,
     form = correction_form or os.environ.get("JUTUL_WELL_CORR", "onehot")
 
     def gather_to_wells(xr):
-        t = jnp.einsum("pij,pj->pi", B.J_br, xr[B.perf_cell])  # (np, neq)
+        t = jnp.einsum("pij,pj->pi", B.J_br, xr[B.perf_cell], precision=_PREC)  # (np, neq)
         return jax.ops.segment_sum(t, jnp.asarray(B.perf_well),
                                    num_segments=nw)  # (nw, neq)
 
     def correction(xr):
-        yw = jnp.einsum("wij,wj->wi", Dinv, gather_to_wells(xr))
-        out = jnp.einsum("pij,pj->pi", B.J_rb, yw[B.perf_well])
+        yw = jnp.einsum("wij,wj->wi", Dinv, gather_to_wells(xr), precision=_PREC)
+        out = jnp.einsum("pij,pj->pi", B.J_rb, yw[B.perf_well], precision=_PREC)
         return jnp.zeros_like(rr).at[B.perf_cell].add(out)
 
     mv = base_mv if base_mv is not None else B.A.matvec
@@ -538,23 +545,23 @@ def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None,
             y4 = y.reshape(nzl, nyl, nxl, y.shape[-1])
             for w, (z0, z1, jy, jx, idx) in enumerate(boxes):
                 seg = x4[z0:z1, jy, jx, :]  # (ncomp, ndof) static slice
-                t = jnp.einsum("pij,pj->i", Jbr[idx], seg)
-                yw = jnp.einsum("ij,j->i", Dinv[w], t)
-                out = jnp.einsum("pij,j->pi", Jrb[idx], yw)
+                t = jnp.einsum("pij,pj->i", Jbr[idx], seg, precision=_PREC)
+                yw = jnp.einsum("ij,j->i", Dinv[w], t, precision=_PREC)
+                out = jnp.einsum("pij,j->pi", Jrb[idx], yw, precision=_PREC)
                 y4 = y4.at[z0:z1, jy, jx, :].add(-out)
             return y4.reshape(y.shape)
     else:
         def s_matvec(xr):
             return mv(xr) - correction(xr)
 
-    yw0 = jnp.einsum("wij,wj->wi", Dinv, rw)  # D⁻¹ r_w
+    yw0 = jnp.einsum("wij,wj->wi", Dinv, rw, precision=_PREC)  # D⁻¹ r_w
     oh0 = _perf_onehot(nc, B.perf_cell, rr.dtype)
     r_schur = rr - jnp.einsum(
         "np,pi->ni", oh0,
-        jnp.einsum("pij,pj->pi", B.J_rb, yw0[B.perf_well]))
+        jnp.einsum("pij,pj->pi", B.J_rb, yw0[B.perf_well]), precision=_PREC)
 
     def back_substitute(du_r):
         t = gather_to_wells(du_r)
-        return jnp.einsum("wij,wj->wi", Dinv, -(rw + t))
+        return jnp.einsum("wij,wj->wi", Dinv, -(rw + t), precision=_PREC)
 
     return s_matvec, r_schur, back_substitute
