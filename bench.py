@@ -773,8 +773,13 @@ def run_adjoint(nx, ny, nz):
                                           min_cells=16384)),
         rtol=1e-3, max_iterations=50)
     n_step = int(os.environ.get("BENCH_NSTEP", "2"))
-    dt = 3 * 3600.0  # small enough that report steps accept in 1 ministep
-    # (the jit path cuts in-jit otherwise; exactness is recorded below)
+    # small enough that report steps accept in 1 ministep WITH margin:
+    # at 3 h the r4 forward accepted exactly AT the 15-Newton cap via the
+    # relaxed final tolerance, and the r5 kernel change's roundoff
+    # flipped it into cuts (8 ministeps, adjoint_states_exact false) —
+    # 1.5 h converges comfortably inside the cap, keeping the exact
+    # per-ministep state sequence the discrete adjoint transposes
+    dt = float(os.environ.get("BENCH_ADJ_DT", str(1.5 * 3600.0)))
     sim = Simulator(model, state0=st, parameters=pr, use_stencil=True)
     cfg = dict(
         linear_solver=solver,
