@@ -21,6 +21,16 @@ import jax.numpy as jnp
 # working dtype; enabling x64 merely *allows* float64, it does not force it.
 jax.config.update("jax_enable_x64", True)
 
+# TPU dot/einsum default precision feeds the MXU bf16-truncated inputs.
+# For an implicit-solver framework every matmul-shaped contraction sits
+# on a Jacobian/preconditioner path, where silent bf16 rounding degrades
+# Newton/Krylov convergence RATES while leaving answers correct — a
+# failure invisible to correctness tests (measured on the 1M flagship:
+# 9.9 vs ~5 linear its/Newton; docs/tpu.md r5). Full f32 precision is
+# the right framework-wide default; the few big matmuls here are
+# bandwidth-bound, so the extra MXU passes are free.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 _DEFAULT_FLOAT = jnp.float64
 _DEFAULT_INT = jnp.int32
 
