@@ -1651,6 +1651,14 @@ def _orchestrate():
         banked["rung_errors"] = [e[-300:] for e in errors]
         chosen = banked
     if chosen is not None:
+        # Bank the record line NOW (r5): the follow-on rungs below can
+        # take 10+ minutes, and if the DRIVER's budget kills this
+        # process mid-rung nothing after this point prints — the final
+        # merged record is printed again at the end, and every consumer
+        # (driver included, mirroring _run_worker) parses the LAST JSON
+        # line, so the early line only matters when the late one never
+        # happens.
+        print(json.dumps(chosen), flush=True)
         # RUNG ORDER (r4): the PROVEN rungs run first. The 1M adjoint
         # rung succeeded in the r4 rehearsal; the 1M refine rung has
         # not yet landed within budget — so the adjoint (VERDICT item

@@ -72,7 +72,16 @@ def _run_ladder(bench, calls, **kw):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench._orchestrate()
-    return json.loads(buf.getvalue().strip().splitlines()[-1])
+    lines = [ln for ln in buf.getvalue().strip().splitlines()
+             if ln.startswith("{")]
+    # the record is BANKED before the follow-on rungs (a driver-budget
+    # kill mid-rung must not lose the headline): early print + final
+    # merged print; consumers parse the LAST line
+    assert len(lines) >= 2
+    early = json.loads(lines[0])
+    assert early["value"] == json.loads(lines[-1])["value"]
+    assert "adjoint_rung" not in early  # banked before follow-ons
+    return json.loads(lines[-1])
 
 
 def test_ladder_order_adjoint_before_refine(bench_mod):
