@@ -313,7 +313,11 @@ class DictParametersSampler:
         total = 0.0
         for n_step, st in enumerate(states):
             dt = float(case.dt[n_step])
-            f = (case.forces[n_step] if isinstance(case.forces, list)
+            # Simulator.simulate treats BOTH list and tuple forces as
+            # per-step schedules — mirror that here or the objective sees
+            # the whole schedule instead of step n's forces
+            f = (case.forces[n_step]
+                 if isinstance(case.forces, (list, tuple))
                  else case.forces)
             total += float(self.objective(
                 case.model, {k: jnp.asarray(v) for k, v in st.items()},

@@ -114,8 +114,9 @@ def _perf_onehot(nc, perf_cell, dtype):
     never an indexed gather/scatter, so scatter-adds expressed through
     it (``einsum('np,p...->n...')``) impose NO layout on the big
     operand (see _onehot_correction for the measured layout-poisoning
-    background)."""
-    cells = jnp.asarray(np.asarray(perf_cell), jnp.int32)
+    background). ``perf_cell`` may be concrete or traced (the bordered
+    matrix is assembled inside jit on the whole-schedule path)."""
+    cells = jnp.asarray(perf_cell).astype(jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (nc, cells.shape[0]), 0)
     return (rows == cells[None, :]).astype(dtype)
 
@@ -484,8 +485,7 @@ def _onehot_correction(B: BorderedStencilMatrix, Dinv):
                        .astype(np.float64))
 
     def correction(xr):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nc, cells.shape[0]), 0)
-        onehot = (rows == cells[None, :]).astype(xr.dtype)  # (nc, np)
+        onehot = _perf_onehot(nc, cells, xr.dtype)  # (nc, np)
         seg = jnp.einsum("np,nj->pj", onehot, xr, precision=_PREC)  # perforation-cell dofs
         t = jnp.einsum("pij,pj->pi", B.J_br, seg, precision=_PREC)  # (np, neq)
         tw = Wmat.astype(xr.dtype) @ t  # (nw, neq) per-well sums
@@ -517,6 +517,13 @@ def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None,
     rr, rw = r[:nc], r[nc:]
     Dinv = block_inv(B.D_ww)  # (nw, ndof, neq) acting eq-residual -> dof
     form = correction_form or os.environ.get("JUTUL_WELL_CORR", "onehot")
+    if form not in ("onehot", "box", "gather"):
+        # an unrecognized value must NOT fall through silently: the
+        # fallback is the measured-slowest gather form (+4.5 ms/linear
+        # iteration of layout poisoning at 131k, docs/tpu.md)
+        raise ValueError(
+            f"correction_form {form!r} (JUTUL_WELL_CORR) must be one of "
+            "'onehot', 'box', 'gather'")
 
     def gather_to_wells(xr):
         t = jnp.einsum("pij,pj->pi", B.J_br, xr[B.perf_cell], precision=_PREC)  # (np, neq)
@@ -558,7 +565,9 @@ def schur_eliminate(B: BorderedStencilMatrix, r, base_mv=None,
     oh0 = _perf_onehot(nc, B.perf_cell, rr.dtype)
     r_schur = rr - jnp.einsum(
         "np,pi->ni", oh0,
-        jnp.einsum("pij,pj->pi", B.J_rb, yw0[B.perf_well]), precision=_PREC)
+        jnp.einsum("pij,pj->pi", B.J_rb, yw0[B.perf_well],
+                   precision=_PREC),
+        precision=_PREC)
 
     def back_substitute(du_r):
         t = gather_to_wells(du_r)

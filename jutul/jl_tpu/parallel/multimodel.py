@@ -149,21 +149,30 @@ class _InternalPairTables:
         return out
 
 
+def _strip(tab_stacks, width):
+    """Drop the leading shard axis from stacked pair tables of
+    ``width``-tuples whose last entry is a dict-or-None (inside shard_map
+    every (D, ...) stack arrives as (1, ...)). Cross-term tables are
+    4-tuples, main-internal pair tables 7-tuples; the adjoint
+    (multimodel_adjoint.py) strips the SAME layouts, so there is exactly
+    one copy of this structure knowledge."""
+    out = []
+    for t in tab_stacks:
+        head = tuple(t[i][0] for i in range(width - 1))
+        tail = ({k: v[0] for k, v in t[width - 1].items()}
+                if t[width - 1] is not None else None)
+        out.append(head + (tail,))
+    return tuple(out)
+
+
 def _strip_cttabs(cttabs):
-    """Drop the leading shard axis from the stacked cross-term tables
-    (inside shard_map every (D, ...) stack arrives as (1, ...))."""
-    return tuple((t[0][0], t[1][0], t[2][0],
-                  ({k: v[0] for k, v in t[3].items()}
-                   if t[3] is not None else None))
-                 for t in cttabs)
+    """Stacked cross-term tables (4-tuples)."""
+    return _strip(cttabs, 4)
 
 
 def _strip_inttabs(inttabs):
-    """Same, for the main-internal pair tables (7-tuples)."""
-    return tuple((t[0][0], t[1][0], t[2][0], t[3][0], t[4][0], t[5][0],
-                  ({k: v[0] for k, v in t[6].items()}
-                   if t[6] is not None else None))
-                 for t in inttabs)
+    """Main-internal pair tables (7-tuples)."""
+    return _strip(inttabs, 7)
 
 
 class GeneralDistributedMultiModel:
@@ -1211,9 +1220,21 @@ class GeneralDistributedMultiModel:
                 f"{max_timestep_cuts} dt cuts (dT={float(dT):g}, "
                 f"t_done={float(np.asarray(t_done)):g})")
         bufs = {name: np.asarray(v) for name, v in bufs.items()}
-        if k > cap:
-            print(f"Warning: {k} ministeps exceeded cap={cap}; "
-                  f"reports truncated.")
+        truncated = k > cap
+        if truncated:
+            # in-jit attempts past the cap all overwrote slot cap-1, so
+            # attempts cap-1..k-2 are LOST from the report and the Newton
+            # total below undercounts — warn (not print: survives captured
+            # stdout) and flag the report so consumers don't mistake the
+            # truncated history for the full one
+            import warnings
+
+            warnings.warn(
+                f"{k} ministep attempts exceeded jit_report_capacity="
+                f"{cap}; attempts {cap - 1}..{k - 2} overwrote report "
+                f"slot {cap - 1} and their Newton iterations are missing "
+                "from the returned total. Raise jit_report_capacity.",
+                stacklevel=2)
         minis = [{"dt": float(bufs["dt"][i]),
                   "success": bool(bufs["success"][i]),
                   "iterations": int(bufs["iterations"][i]),
@@ -1222,7 +1243,9 @@ class GeneralDistributedMultiModel:
                   "wall_time_is_amortized": True,
                   "errors": [float(bufs["error"][i])]}
                  for i in range(min(k, cap))]
-        self.last_report = {"ministeps": minis, "success": True}
+        self.last_report = {"ministeps": minis, "success": True,
+                            "truncated": truncated,
+                            "ministep_attempts": k}
         return s, int(bufs["iterations"][:min(k, cap)].sum())
 
     # -- outer loops ---------------------------------------------------------

@@ -43,6 +43,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..linsolve.krylov import bicgstab
 from ..ops.smallmat import block_inv, bmv
+from .multimodel import _strip
 
 
 class GeneralDistributedMultiModelAdjoint:
@@ -136,7 +137,7 @@ class GeneralDistributedMultiModelAdjoint:
 
         def local_step(u_m, u_s, u_m_prev, u_s_prev, u_m_next, u_s_next,
                        lam_m_next, lam_s_next, cp, fp, tb, q, bc, q_nx,
-                       bc_nx, cttabs, inttabs, sp, dts):
+                       bc_nx, cttabs, inttabs, sp, dts, step_no):
             cp1 = {k: v[0] for k, v in cp.items()}
             fp1 = {k: v[0] for k, v in fp.items()}
             tabs = tuple(t[0] for t in tb)
@@ -183,9 +184,13 @@ class GeneralDistributedMultiModelAdjoint:
                 return r_s
 
             # ---- rhs = -dG/du - (dF_{n+1}/du_n)^T λ_{n+1} --------------
+            # step_no is TRACED (same convention as
+            # solve_adjoint_sensitivities_jit): the compiled program is
+            # step-independent, so the program cache in solve() can reuse
+            # it across steps even for step-indexed objectives
             g_u_m, g_u_s, g_cp, g_sp = jax.grad(
                 lambda um, us, c, s: self._local_G(
-                    G, um, us, c, s, dt_n, n, am, forces_n),
+                    G, um, us, c, s, dt_n, step_no, am, forces_n),
                 argnums=(0, 1, 2, 3))(u_m, u_s, cp1, sp)
             rhs_m, rhs_s = -g_u_m, {m: -v for m, v in g_u_s.items()}
             if has_next:
@@ -328,7 +333,7 @@ class GeneralDistributedMultiModelAdjoint:
                       m_dof_spec, s_dof_spec, m_dof_spec, lam_s_spec,
                       cp_spec, fp_spec, tab_spec, P(ax), (P(ax),) * 4,
                       P(ax), (P(ax),) * 4, ct_spec, it_spec, sp_spec,
-                      P()),
+                      P(), P()),
             out_specs=(m_dof_spec, lam_s_spec, cp_spec, fp_spec, sp_spec,
                        P()),
             check_vma=False,
@@ -413,9 +418,19 @@ class GeneralDistributedMultiModelAdjoint:
                  for m in dmm.small_names}
         u_next = us[-1]
         cache = {}
+        per_step = isinstance(self._forces, (list, tuple))
         for n in range(N - 1, -1, -1):
             has_next = n < N - 1
-            key = (n, has_next)
+            # the traced step closes over n ONLY through the small-model
+            # force objects (_build_step's forces_n/forces_nx); key on
+            # their identities so constant forces compile 2 programs
+            # (has_next true/false) instead of one per step
+            if per_step:
+                f_n = id(self._forces[n])
+                f_nx = id(self._forces[min(n + 1, N - 1)])
+            else:
+                f_n = f_nx = 0
+            key = (f_n, f_nx, has_next)
             if key not in cache:
                 cache[key] = self._build_step(G, n, has_next)
             u_prev = us[n - 1] if n > 0 else u0
@@ -426,7 +441,8 @@ class GeneralDistributedMultiModelAdjoint:
             lam_m, lam_s, cp_bar, fp_bar, sp_bar, _lin = cache[key](
                 us[n][0], us[n][1], u_prev[0], u_prev[1], u_next[0],
                 u_next[1], lam_m, lam_s, cp, fp, self._tables, q_n, bc_n,
-                q_nx, bc_nx, self._cttabs, self._inttabs, sp, dt_pair)
+                q_nx, bc_nx, self._cttabs, self._inttabs, sp, dt_pair,
+                jnp.asarray(n, jnp.int32))
             for k in cp_grad:
                 cp_grad[k] += np.asarray(cp_bar[k], np.float64).reshape(
                     cp_grad[k].shape)
@@ -453,18 +469,6 @@ class GeneralDistributedMultiModelAdjoint:
         for m in sp_grad:
             out[m] = sp_grad[m]
         return out
-
-
-def _strip(tab_stacks, width):
-    """Drop the leading shard axis from stacked pair tables (the dict
-    tail entry strips per-leaf)."""
-    out = []
-    for t in tab_stacks:
-        head = tuple(t[i][0] for i in range(width - 1))
-        tail = ({k: v[0] for k, v in t[width - 1].items()}
-                if t[width - 1] is not None else None)
-        out.append(head + (tail,))
-    return tuple(out)
 
 
 def solve_adjoint_sensitivities_multimodel_general(

@@ -49,9 +49,18 @@ class ConvergenceMonitorCuttingCriterion:
     """Early-abort criterion (reference cutting_criterions.jl:57).
 
     ``__call__(errors, it, max_it, residuals=None) -> True`` requests an
-    immediate timestep cut. The ministep is declared hopeless when the
+    immediate timestep cut. Following the reference's violation counter
+    (cutting_criterions.jl:84-112: "bad" iterates +1, "good" -1, cut only
+    when the count exceeds ``num_violations_cut``), each iterate is
+    classified from the contraction factor of its history prefix:
+    *good* when theta beats the rate needed to land within the remaining
+    budget, *bad* when theta exceeds ``max_contraction`` or the
     extrapolated iteration count ``log(target/e) / log(theta)`` exceeds
-    the remaining budget by ``slack``.
+    the remaining budget by ``slack``. A single slow or plateaued iterate
+    (common for the discrete ``nonconverged_equations`` distance, whose
+    plateaus carry no divergence information) therefore never cuts on its
+    own; violations must accumulate. The counter is replayed from the
+    history each call, so the decision is a pure function of the series.
 
     ``distance_function``/``mapping`` (reference distance-function menu,
     distance_functions.jl:8-51): when given, the monitored scalar is
@@ -65,13 +74,36 @@ class ConvergenceMonitorCuttingCriterion:
 
     def __init__(self, min_iterations: int = 4, slack: float = 1.5,
                  max_contraction: float = 0.95, distance_function=None,
-                 mapping=max):
+                 mapping=max, num_violations_cut: int = 3):
         self.min_iterations = min_iterations
         self.slack = slack
         self.max_contraction = max_contraction
         self.distance_function = distance_function
         self.mapping = mapping
+        self.num_violations_cut = num_violations_cut
         self._dist_hist: list[float] = []
+
+    def _classify(self, window: list[float], max_it: int) -> str:
+        """Classify the iterate ending ``window`` (reference
+        cutting_criterions.jl:84-99 good/ok/bad)."""
+        theta = compute_contraction_factor(window)
+        e = window[-1]
+        if e <= 1.0:
+            return "good"  # at/below the convergence target
+        if theta <= 0.0:
+            return "none"  # insufficient history
+        remaining = max(max_it - len(window), 2)
+        # rate that would land exactly at the target in the remaining
+        # budget (reference contraction_factors.jl theta_target)
+        theta_target = e ** (-1.0 / remaining)
+        if theta <= max(theta_target, 0.1):
+            return "good"
+        if theta >= 1.0:
+            return "bad"  # plateau/divergence: infinite extrapolation
+        if theta > self.max_contraction:
+            return "bad"
+        needed = math.log(1.0 / e) / math.log(theta)
+        return "bad" if needed > self.slack * remaining else "ok"
 
     def __call__(self, errors: list[float], it: int, max_it: int,
                  residuals: dict | None = None) -> bool:
@@ -86,21 +118,16 @@ class ConvergenceMonitorCuttingCriterion:
             # so the same contraction/extrapolation machinery applies
             self._dist_hist.append(1.0 + d)
             errors = self._dist_hist
-        if it < self.min_iterations or not errors:
+        if it < self.min_iterations or len(errors) < 2:
             return False
-        theta = compute_contraction_factor(errors)
-        e = errors[-1]
-        if e <= 1.0:
-            return False
-        if theta >= 1.0:
-            return True  # diverging
-        if theta <= 0.0:
-            return False
-        remaining = max_it - it
-        if theta > self.max_contraction:
-            return True
-        needed = math.log(1.0 / e) / math.log(theta)
-        return needed > self.slack * remaining
+        violations = 0
+        for j in range(2, len(errors) + 1):
+            status = self._classify(errors[:j], max_it)
+            if status == "bad":
+                violations += 1
+            elif status == "good":
+                violations = max(0, violations - 1)
+        return violations > self.num_violations_cut
 
 
 class ConvergenceMonitorRelaxation(NonLinearRelaxation):

@@ -118,6 +118,46 @@ def test_distance_function_menu():
     assert compute_distance(res_ok, nonconverged_equations, sum)[0] == 0.0
 
 
+def test_cutting_criterion_count_plateau_not_cut():
+    """A plateaued nonconverged-equations COUNT (the last criterion
+    converging steadily while the count sits at 1) must not fire an
+    immediate cut: the reference accumulates violations (bad +1, good -1,
+    cut only past num_violations_cut, cutting_criterions.jl:84-112) and a
+    discrete plateau carries no divergence information."""
+    from jutul.jl_tpu.simulator.distance_functions import (
+        nonconverged_equations,
+    )
+
+    crit = ConvergenceMonitorCuttingCriterion(
+        min_iterations=3, distance_function=nonconverged_equations,
+        mapping=sum)
+    # MB converged from the start; CNV contracts healthily and lands by
+    # it=5 — the count plateaus at 1 for four iterations, which the old
+    # immediate theta>=1 cut aborted at it=4 (violations now accumulate,
+    # reference-style, so a bounded plateau survives)
+    cnv = [5.0, 3.0, 2.0, 1.5, 0.9, 0.5]
+    errors = []
+    for i, v in enumerate(cnv):
+        res = {"eq": {"CNV": v, "MB": 0.2}}
+        errors.append(max(v, 0.2))
+        fired = crit(errors, i + 1, 15, res)
+        assert not fired, f"spurious cut at it={i + 1} (count plateau)"
+    # a GENUINE long plateau (nothing ever converges) still cuts once
+    # violations accumulate past the limit
+    crit2 = ConvergenceMonitorCuttingCriterion(
+        min_iterations=3, distance_function=nonconverged_equations,
+        mapping=sum)
+    errors2 = []
+    fired = False
+    for i in range(12):
+        res = {"eq": {"CNV": 50.0, "MB": 40.0}}
+        errors2.append(50.0)
+        fired = crit2(errors2, i + 1, 15, res)
+        if fired:
+            break
+    assert fired, "a persistent full plateau must eventually cut"
+
+
 def test_cutting_criterion_with_distance_function():
     """The monitor accepts a distance-function menu entry and decides from
     its own distance history (reference cutting_criterions.jl:57 composed
