@@ -115,6 +115,20 @@ def test_ladder_sick_path_attempts_adjoint_micro_rung(bench_mod):
     assert out["adjoint_rung"]["value"] == 0.62
     assert out["adjoint_rung"]["degraded"] == "tpu_worker_hung"
     assert out["adjoint_overhead"] == 0.62
+    # a degraded record must still point at the round's builder-measured
+    # healthy rehearsal — explicitly labeled self-reported, never as the
+    # record's own value (VERDICT r4: claims lived in prose only)
+    reh = out["builder_rehearsal"]
+    assert reh["self_reported"] is True
+    assert reh["flagship"]["vs_baseline"] != out["vs_baseline"]
+
+
+def test_ladder_healthy_record_has_no_rehearsal_field(bench_mod):
+    """A HEALTHY driver capture is the real measurement — it must not
+    carry (or be confusable with) the self-reported rehearsal numbers."""
+    calls = []
+    out = _run_ladder(bench_mod, calls)
+    assert "builder_rehearsal" not in out
 
 
 def test_ladder_refine_fallback_on_flagship_refine_failure(bench_mod):
