@@ -46,9 +46,11 @@ class SurfaceCut:
     CutCellMeshes cutting.jl — polygonal-surface cuts, 1,001 LoC; here the
     surface enters ``cut_mesh`` through its signed-distance field).
 
-    ``surface`` is a :class:`~.embedded.SurfaceMesh` of CONVEX planar
-    polygons. The signed distance of a query point is the distance to the
-    closest point on the surface, signed by the closest polygon's plane.
+    ``surface`` is a :class:`~.embedded.SurfaceMesh` of SIMPLE planar
+    polygons (convex or not; the inside test is an even-odd crossing
+    number in each polygon's plane). The signed distance of a query
+    point is the distance to the closest point on the surface, signed
+    by the closest polygon's plane.
     Edge crossings start from linear interpolation of nodal distances
     (exact where the surface is locally planar) and are REFINED to the
     true zero of the signed-distance field by a bracketed
@@ -70,16 +72,36 @@ class SurfaceCut:
             p0, n = s.cell_plane(c)
             d_pl = (pts - p0) @ n  # signed plane distance
             proj = pts - d_pl[:, None] * n[None, :]
-            # inside test for CONVEX polygon: same side of every edge
-            inside = np.ones(pts.shape[0], dtype=bool)
+            # inside test by even-odd crossing number in the polygon
+            # plane — exact for any SIMPLE planar polygon, convex or
+            # not (reference cutting.jl handles general polygonal
+            # surfaces; the old same-side-of-every-edge test required
+            # convexity). Boundary-grazing projections are resolved by
+            # the edge-distance pass below, which always also runs.
             m = len(poly)
+            u = None
             for i in range(m):
-                a, b = poly[i], poly[(i + 1) % m]
-                edge_n = np.cross(b - a, n)  # in-plane outward-ish normal
-                side = (proj - a) @ edge_n
-                ref = float((poly.mean(axis=0) - a) @ edge_n)
-                inside &= (side * np.sign(ref) >= -1e-12 * max(
-                    1.0, abs(ref)))
+                e = poly[(i + 1) % m] - poly[i]
+                ln = np.linalg.norm(e)
+                if ln > 1e-300:
+                    u = e / ln
+                    break
+            if u is None:
+                continue  # degenerate polygon: no area, edges are points
+            v = np.cross(n, u)
+            px = (proj - p0) @ u
+            py = (proj - p0) @ v
+            vx = (poly - p0) @ u
+            vy = (poly - p0) @ v
+            inside = np.zeros(pts.shape[0], dtype=bool)
+            for i in range(m):
+                x1, y1 = vx[i], vy[i]
+                x2, y2 = vx[(i + 1) % m], vy[(i + 1) % m]
+                cond = (y1 > py) != (y2 > py)
+                dy = y2 - y1
+                xint = x1 + (py - y1) * (x2 - x1) / np.where(
+                    dy == 0.0, 1.0, dy)  # dy==0 -> cond False, unused
+                inside ^= cond & (px < xint)
             dist = np.where(inside, np.abs(d_pl), np.inf)
             # edges: closest point on each segment
             for i in range(m):

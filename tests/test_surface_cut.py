@@ -92,6 +92,58 @@ def test_kinked_surface_cut_exact_crease_crossings():
     np.testing.assert_allclose(total_volume(cut), 48.0, rtol=1e-9)
 
 
+def test_nonconvex_surface_polygon_signed_distance():
+    """A NON-CONVEX (L-shaped) surface polygon: the inside test is an
+    even-odd crossing number, so projections landing in the notch must
+    take their distance from the notch edges, not the face plane
+    (reference cutting.jl handles general simple polygons; the old
+    same-side-of-every-edge test misclassified the notch as inside)."""
+    # L-shape in the z=0 plane: outer corner at (2,2), notch removes
+    # the [1,2]x[1,2] quadrant
+    pts = np.array([
+        [0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [2.0, 1.0, 0.0],
+        [1.0, 1.0, 0.0], [1.0, 2.0, 0.0], [0.0, 2.0, 0.0],
+    ])
+    sc = SurfaceCut(SurfaceMesh(pts, [[0, 1, 2, 3, 4, 5]]))
+    q = np.array([
+        [0.5, 0.5, 0.3],    # above the L face: |d| = 0.3
+        [1.5, 0.5, -0.4],   # above the lower arm: |d| = 0.4
+        [1.5, 1.5, 0.3],    # above the NOTCH: closest notch edge is
+                            # 0.5 away in-plane -> sqrt(0.5^2 + 0.3^2)
+        [1.5, 1.5, 0.0],    # in the notch, in-plane: 0.5 to the edges
+        [3.0, 0.5, 0.0],    # outside, past x=2: 1.0 to the right edge
+    ])
+    d = sc.signed_distance(q)
+    np.testing.assert_allclose(
+        np.abs(d), [0.3, 0.4, np.hypot(0.5, 0.3), 0.5, 1.0],
+        rtol=1e-12, atol=1e-12)
+    # sign follows the plane side (z>0 positive for this orientation)
+    assert d[0] * d[1] < 0.0  # opposite sides of the plane
+
+
+def test_nonconvex_surface_cut_volume_conservation():
+    """cut_mesh with a non-convex spanning surface conserves volume and
+    yields a valid geometry."""
+    cm = CartesianMesh((3, 3, 3), (3.0, 3.0, 3.0))
+    um = UnstructuredMesh.from_cartesian(cm)
+    # one planar simple NON-CONVEX polygon in the x=1.6 plane: spans the
+    # domain in (y, z) with a rectangular notch (z in [1.5, 2.5] for
+    # y >= 2) cut out of it — two reentrant corners sit INSIDE the
+    # domain, so the crossing-number inside test is genuinely exercised
+    pts = np.array([
+        [1.6, -5.0, -5.0], [1.6, 9.0, -5.0], [1.6, 9.0, 1.5],
+        [1.6, 2.0, 1.5], [1.6, 2.0, 2.5], [1.6, 9.0, 2.5],
+        [1.6, 9.0, 9.0], [1.6, -5.0, 9.0],
+    ])
+    surf = SurfaceMesh(pts, [[0, 1, 2, 3, 4, 5, 6, 7]])
+    sc = SurfaceCut(surf)
+    cut = cut_mesh(um, sc)
+    assert cut.number_of_cells() >= um.number_of_cells()
+    np.testing.assert_allclose(total_volume(cut), 27.0, rtol=1e-9)
+    geo = cut.tpfv_geometry()
+    assert np.all(geo.volumes > 0)
+
+
 def test_merge_faces_after_cut():
     """Cutting fragments faces; merging restores one face per (cell pair,
     plane) with exact area/volume conservation and fewer faces."""
