@@ -15,8 +15,16 @@ Stages (each line flushed, so a timeout still reports how far we got):
 Classification: HUNG (stage 1 never answers), SLOW (stage 1 answers but
 the full probe cannot finish in time), DEGRADED (finishes, exec2 slow —
 factor printed), HEALTHY. Run as `python scripts/tpu_canary.py` (self-
-subprocesses with a 140 s timeout so a hung worker reports instead of
-blocking forever).
+subprocesses with a CANARY_TIMEOUT_S budget, default 140 s, so a hung
+worker reports instead of blocking forever).
+
+r5 note on the budget: the tunnel's per-process first-contact cost has
+measured up to ~394 s on a worker that then executed at full speed
+(scripts/tpu_upload_probe.py: 4-byte first put 394 s, then 48 MB in
+2.3 s) — under the old 140 s budget that worker classifies HUNG and the
+bench ladder forfeits the round, so the ladder passes CANARY_TIMEOUT_S
+~460 s. A HEALTHY worker still answers the whole probe in seconds; the
+longer budget only costs time when the worker is truly hung.
 """
 import os
 import subprocess
@@ -80,9 +88,10 @@ if __name__ == "__main__":
     else:
         env = dict(os.environ)
         env["_CANARY_INNER"] = "1"
+        budget = int(os.environ.get("CANARY_TIMEOUT_S", "140"))
         try:
             p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=140, text=True,
+                               env=env, timeout=budget, text=True,
                                capture_output=True)
             sys.stdout.write(p.stdout)
             sys.stderr.write(p.stderr[-300:] if p.returncode else "")
@@ -93,8 +102,9 @@ if __name__ == "__main__":
             if "canary-stage1" in partial:
                 got = [ln for ln in partial.strip().splitlines()][-1]
                 print("canary: SLOW (worker answers host syncs but could "
-                      f"not finish the probe within 140s; last: {got!r} — "
-                      "do not measure)")
+                      f"not finish the probe within {budget}s; last: "
+                      f"{got!r} — do not measure)")
             else:
-                print("canary: HUNG (no host sync within 140s — worker is "
-                      "in the post-crash hang state; do not measure)")
+                print(f"canary: HUNG (no host sync within {budget}s — "
+                      "worker is in the post-crash hang state; do not "
+                      "measure)")

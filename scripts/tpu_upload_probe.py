@@ -1,0 +1,58 @@
+"""Probe the axon tunnel's host->device upload characteristics.
+
+Times device_put for different array sizes/counts/dtypes plus an
+on-device PRNG generation alternative, to decide how the bench ladder
+should get its 1M-cell argument pytrees onto the chip (r5: the ~55 MB
+upload costs ~170 s per worker process and starves the later rungs).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+dev = jax.devices()[0]
+print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+
+def sync(x):
+    leaves = jax.tree_util.tree_leaves(x)
+    for l in leaves:
+        l.block_until_ready()
+    # tunnel rule: only a host scalar proves completion
+    np.asarray(jax.device_get(jnp.ravel(leaves[0])[0]))
+
+
+def t(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    sync(out)
+    el = time.perf_counter() - t0
+    print(f"{label}: {el:.2f}s")
+    return el
+
+
+# warm the tunnel first (first put pays session setup)
+t("warmup 4B", lambda: jax.device_put(np.float32(1.0), dev))
+
+one_mb = 1 << 20
+for mb in (1, 4, 16, 48):
+    a = np.random.default_rng(0).normal(size=mb * one_mb // 4).astype(np.float32)
+    t(f"single {mb}MB f32", lambda a=a: jax.device_put(a, dev))
+
+# many small puts vs one batched call
+arrs = [np.random.default_rng(i).normal(size=one_mb).astype(np.float32)
+        for i in range(12)]  # 12 x 4MB = 48MB
+t("12x4MB sequential puts", lambda: [jax.device_put(a, dev) for a in arrs])
+t("12x4MB batched device_put(list)", lambda: jax.device_put(arrs, dev))
+
+# half-width transfer + widen on device
+h = np.random.default_rng(0).normal(size=12 * one_mb).astype(np.float16)
+widen = jax.jit(lambda x: x.astype(jnp.float32))
+t("48MB-as-f16 (24MB wire) + widen", lambda: widen(jax.device_put(h, dev)))
+
+# on-device generation: no wire bytes at all
+gen = jax.jit(lambda key: jax.random.normal(key, (12 * one_mb,), jnp.float32))
+key = jax.device_put(jax.random.PRNGKey(0), dev)
+t("on-device PRNG 48MB (incl compile)", lambda: gen(key))
+t("on-device PRNG 48MB (warm)", lambda: gen(key))
